@@ -1,0 +1,121 @@
+"""Vectorized CIGAR normalization kernels (device-side).
+
+Data-parallel equivalents of the reference's sequential normalization walks:
+``clean_up_cigar_edge_indels`` (reference cigar/mod.rs:265-291) and
+``compress_cigar`` (cigar/mod.rs:204-228), operating on padded int32 code/len
+vectors and returning padded outputs plus a valid-op count.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Op codes (must match portello_tpu.ops.cigar).
+M, I, D, N, S, H, P, EQ, X, PAD = 0, 1, 2, 3, 4, 5, 6, 7, 8, 9
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def is_align_match(codes):
+    return (codes == M) | (codes == EQ) | (codes == X)
+
+
+def consumes_ref(codes):
+    return (codes == M) | (codes == D) | (codes == N) | (codes == EQ) | (codes == X)
+
+
+def consumes_read(codes):
+    # hard clips count (the pipeline always runs with ignore_hard_clip=False,
+    # reference read_alignment_scanner.rs / contig scanner usage)
+    return (
+        (codes == M) | (codes == I) | (codes == S) | (codes == H)
+        | (codes == EQ) | (codes == X)
+    )
+
+
+def clean_up_edge_indels(codes, lens):
+    """Vectorized clean_up_cigar_edge_indels (cigar/mod.rs:265-291).
+
+    Works on a padded vector: PAD entries are ignored but preserved in place.
+    Edge regions are everything before the first / after the last M/=/X entry
+    (including zero-length non-PAD entries, matching the reference's take_while
+    over the raw element list).  Returns (codes, lens, leading_del_shift).
+    """
+    n = codes.shape[0]
+    valid = codes != PAD
+    am = is_align_match(codes) & valid
+    any_am = am.any()
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.where(any_am, jnp.argmax(am).astype(jnp.int32), jnp.int32(n))
+    last = jnp.where(
+        any_am, jnp.int32(n) - 1 - jnp.argmax(am[::-1]).astype(jnp.int32), jnp.int32(-1)
+    )
+    lead = idx < first
+    trail = idx > last
+    edge = (lead | trail) & valid
+    is_del = edge & (codes == D)
+    is_ins = edge & (codes == I)
+    shift = jnp.sum(jnp.where(lead & (codes == D) & valid, lens, 0))
+    new_codes = jnp.where(is_del | is_ins, S, codes)
+    new_lens = jnp.where(is_del, 0, lens)
+    return new_codes, new_lens, shift
+
+
+def compress(codes, lens, max_out: int):
+    """Vectorized compress_cigar (cigar/mod.rs:204-228).
+
+    Drops zero-length and PAD entries, then merges adjacent equal-code runs via
+    a scatter + segment-sum.  Returns (out_codes, out_lens, n_out, overflow);
+    ``overflow`` is True when the compressed cigar exceeds ``max_out`` ops.
+    """
+    n = codes.shape[0]
+    keep = (codes != PAD) & (lens != 0)
+    # Compact kept entries to the front with a scatter.
+    kidx = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    scatter_to = jnp.where(keep, kidx, n)
+    compact_codes = (
+        jnp.full(n + 1, PAD, dtype=codes.dtype).at[scatter_to].set(codes)[:n]
+    )
+    compact_lens = (
+        jnp.zeros(n + 1, dtype=lens.dtype).at[scatter_to].set(lens)[:n]
+    )
+    n_kept = jnp.sum(keep.astype(jnp.int32))
+    pos = jnp.arange(n, dtype=jnp.int32)
+    in_compact = pos < n_kept
+    prev_code = jnp.concatenate([jnp.full(1, -1, compact_codes.dtype), compact_codes[:-1]])
+    new_run = in_compact & ((pos == 0) | (compact_codes != prev_code))
+    run_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+    n_runs = jnp.sum(new_run.astype(jnp.int32))
+    overflow = n_runs > max_out
+    safe_run = jnp.where(in_compact, jnp.minimum(run_id, max_out), max_out)
+    out_lens = (
+        jnp.zeros(max_out + 1, dtype=lens.dtype).at[safe_run].add(compact_lens)[:max_out]
+    )
+    first_writer = jnp.where(new_run, safe_run, max_out)
+    out_codes = (
+        jnp.full(max_out + 1, PAD, dtype=codes.dtype).at[first_writer].set(compact_codes)[:max_out]
+    )
+    # Mask any partial run beyond max_out.
+    out_valid = jnp.arange(max_out, dtype=jnp.int32) < jnp.minimum(n_runs, max_out)
+    out_codes = jnp.where(out_valid, out_codes, PAD)
+    out_lens = jnp.where(out_valid, out_lens, 0)
+    return out_codes, out_lens, jnp.minimum(n_runs, max_out), overflow
+
+
+def cleanup_and_compress(codes, lens, max_out: int):
+    """clean_up_cigar_edge_indels followed by compress_cigar — the finishing pair
+    applied by liftover (liftover_read_alignment.rs:218-222), simplify
+    (simplify_alignment_indels.rs:153-155) and the shifters."""
+    codes, lens, shift = clean_up_edge_indels(codes, lens)
+    out_codes, out_lens, n_out, overflow = compress(codes, lens, max_out)
+    return out_codes, out_lens, n_out, shift, overflow
+
+
+def cigar_read_len(codes, lens):
+    """Total read length (hard clips included), for the liftover length
+    invariant (read_alignment_scanner.rs:204-229)."""
+    return jnp.sum(jnp.where(consumes_read(codes), lens, 0))
+
+
+def cigar_ref_len(codes, lens):
+    return jnp.sum(jnp.where(consumes_ref(codes), lens, 0))

@@ -1,0 +1,129 @@
+"""Batched indel-cluster simplification kernel.
+
+TPU-native reformulation of simplify_alignment_indels
+(reference src/simplify_alignment_indels.rs:4-156): cluster detection and
+reductions are data-parallel scatter/segment ops; the reference's greedy
+per-base re-match loops (right edge first, then left edge, rs:54-92) become two
+bounded-window vectorized common-run computations.  Window saturation sets the
+per-read ``fallback`` flag (exact finish on host).
+
+Coordinates: ``ref_pos`` is relative to the supplied ``ref_win`` window (the
+host gathers a reference-genome window covering the lifted alignment span).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from portello_tpu.kernels.cigar_kernels import (
+    D,
+    I,
+    M,
+    PAD,
+    cleanup_and_compress,
+)
+from portello_tpu.kernels.cluster_utils import (
+    find_clusters,
+    match_run_left,
+    match_run_right,
+)
+
+
+def _simplify_single(
+    codes, lens, ref_pos, ref_win, read_seq, *, max_clusters, window, max_out
+):
+    n = codes.shape[0]
+    cl = find_clusters(codes, lens, ref_pos, max_clusters)
+    dl = cl["del_len"]
+    il = cl["ins_len"]
+    bs = cl["ref_start"]
+    rs = cl["read_start"]
+    cvalid = jnp.arange(max_clusters, dtype=jnp.int32) < cl["n_clusters"]
+
+    # Right-edge greedy re-match (rs:54-68), then left-edge (rs:71-85).
+    m0 = jnp.minimum(dl, il)
+    post, sat_post = match_run_right(ref_win, bs + dl, read_seq, rs + il, m0, window)
+    dl1 = dl - post
+    il1 = il - post
+    m1 = jnp.minimum(dl1, il1)
+    pre, sat_pre = match_run_left(ref_win, bs, read_seq, rs, m1, window)
+    dl2 = dl1 - pre
+    il2 = il1 - pre
+    # Final SNP preference (rs:87-92).
+    snp = (dl2 == 1) & (il2 == 1)
+    post_f = post + snp.astype(post.dtype)
+    dl2 = jnp.where(snp, 0, dl2)
+    il2 = jnp.where(snp, 0, il2)
+
+    # Case selection (rs:41-49): the simple cases bypass sequence inspection.
+    pure = (dl == 0) | (il == 0)
+    one_one = (dl == 1) & (il == 1)
+    mixed = cvalid & ~pure & ~one_one
+
+    # Per-cluster emission, canonical nImD order: [M pre][I][D][M post].
+    c_codes = jnp.stack(
+        [
+            jnp.where(mixed, M, PAD),
+            jnp.where(mixed | pure, I, jnp.where(one_one, M, PAD)),
+            jnp.full_like(dl, D),
+            jnp.where(mixed, M, PAD),
+        ],
+        axis=1,
+    )
+    c_lens = jnp.stack(
+        [
+            jnp.where(mixed, pre, 0),
+            jnp.where(mixed, il2, jnp.where(pure, il, jnp.where(one_one, 1, 0))),
+            jnp.where(mixed, dl2, jnp.where(pure, dl, 0)),
+            jnp.where(mixed, post_f, 0),
+        ],
+        axis=1,
+    )
+    c_codes = jnp.where(cvalid[:, None], c_codes, PAD)
+    c_lens = jnp.where(cvalid[:, None], c_lens, 0)
+    # The reference pushes only nonzero elements (rpush, rs:95-99); a zero-length
+    # M placeholder would wrongly stop the edge-indel cleanup walk.
+    c_codes = jnp.where(c_lens == 0, PAD, c_codes)
+
+    # Reassemble: pass-through ops emit themselves; the cluster replacement is
+    # emitted at the cluster's last op.
+    valid = codes != PAD
+    is_indel = ((codes == I) | (codes == D)) & valid
+    cend = cl["cluster_end"]
+    cid = jnp.clip(cl["cluster_id"], 0, max_clusters - 1)
+    out_codes = jnp.full((n, 4), PAD, dtype=codes.dtype)
+    out_lens = jnp.zeros((n, 4), dtype=lens.dtype)
+    out_codes = out_codes.at[:, 0].set(jnp.where(valid & ~is_indel, codes, PAD))
+    out_lens = out_lens.at[:, 0].set(jnp.where(valid & ~is_indel, lens, 0))
+    out_codes = jnp.where(cend[:, None], c_codes[cid], out_codes)
+    out_lens = jnp.where(cend[:, None], c_lens[cid], out_lens)
+
+    flat_codes = out_codes.reshape(-1)
+    flat_lens = out_lens.reshape(-1)
+    f_codes, f_lens, n_out, shift, c_overflow = cleanup_and_compress(
+        flat_codes, flat_lens, max_out
+    )
+    fallback = (
+        jnp.any(mixed & (sat_post | sat_pre)) | cl["overflow"] | c_overflow
+    )
+    return f_codes, f_lens, n_out, ref_pos + shift, fallback
+
+
+@partial(jax.jit, static_argnames=("max_clusters", "window", "max_out"))
+def simplify_batch(
+    codes, lens, ref_pos, ref_win, read_seq, *, max_clusters, window, max_out
+):
+    """Vectorized simplify_alignment_indels over a batch.
+
+    Returns (codes, lens, n_out, ref_pos, fallback); reads with ``fallback``
+    True must be recomputed exactly on host.
+    """
+    return jax.vmap(
+        lambda c, l, p, rw, rq: _simplify_single(
+            c, l, p, rw, rq,
+            max_clusters=max_clusters, window=window, max_out=max_out,
+        )
+    )(codes, lens, ref_pos, ref_win, read_seq)
