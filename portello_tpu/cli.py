@@ -1,0 +1,135 @@
+"""Command-line interface (reference src/cli.rs:8-174 parity).
+
+Flags mirror the reference: --assembly-to-ref, --read-to-assembly,
+--remapped-read-output ('-' = uncompressed stdout BAM),
+--unassembled-read-output, --ref, --target-region, --threads; plus TPU-native
+extensions (--device, --batch-size) the reference has no equivalent for.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from dataclasses import dataclass
+
+from portello_tpu._version import PROGRAM_NAME, PROGRAM_VERSION
+
+EX_USAGE = 64
+EX_DATAERR = 65
+
+
+@dataclass
+class Settings:
+    assembly_to_ref_bam: str
+    read_to_assembly_bam: str
+    remapped_read_output: str
+    unassembled_read_output: str
+    ref_filename: str
+    target_region: str | None
+    thread_count: int
+    device: str = "auto"
+    batch_size: int = 512
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog=PROGRAM_NAME,
+        description=(
+            "TPU-native liftover of HiFi read alignments from de novo assembly "
+            "contigs onto a reference genome"
+        ),
+    )
+    p.add_argument("--version", action="version", version=f"{PROGRAM_NAME} {PROGRAM_VERSION}")
+    p.add_argument(
+        "--assembly-to-ref", dest="assembly_to_ref_bam", metavar="FILE", required=True,
+        help="Assembly contig to reference genome alignment file in BAM format "
+        "(sorted and indexed)",
+    )
+    p.add_argument(
+        "--read-to-assembly", dest="read_to_assembly_bam", metavar="FILE", required=True,
+        help="Read to assembly alignment file in BAM format (sorted and indexed)",
+    )
+    p.add_argument(
+        "--remapped-read-output", metavar="FILE", required=True,
+        help="Filename for remapped read output, or '-' for uncompressed BAM on stdout",
+    )
+    p.add_argument(
+        "--unassembled-read-output", metavar="FILE", required=True,
+        help="Filename for reads not (well) mapped to any assembly contig",
+    )
+    p.add_argument(
+        "--ref", dest="ref_filename", metavar="FILE", required=True,
+        help="Genome reference in FASTA format",
+    )
+    p.add_argument(
+        "--target-region", default=None,
+        help="Restrict conversion to one region (debug option)",
+    )
+    p.add_argument(
+        "--threads", dest="thread_count", metavar="THREAD_COUNT", type=int, default=0,
+        help="Number of host threads (default: all logical cpus)",
+    )
+    p.add_argument(
+        "--device", choices=["auto", "tpu", "cpu", "host"], default="auto",
+        help="Compute path: TPU/CPU device kernels, or pure-host engine",
+    )
+    p.add_argument(
+        "--batch-size", type=int, default=512,
+        help="Reads per device batch",
+    )
+    return p
+
+
+def parse_settings(argv=None) -> Settings:
+    args = build_parser().parse_args(argv)
+    return Settings(**vars(args))
+
+
+def validate_and_fix_settings(settings: Settings) -> Settings:
+    """Cheap filesystem checks (cli.rs:86-141)."""
+
+    def die(msg: str):
+        print(f"Invalid command-line setting: {msg}", file=sys.stderr)
+        sys.exit(EX_USAGE)
+
+    for path, label in (
+        (settings.assembly_to_ref_bam, "contig-to-ref bam"),
+        (settings.read_to_assembly_bam, "read-to-contig bam"),
+        (settings.ref_filename, "reference fasta"),
+    ):
+        if not path:
+            die(f"Must specify {label} file")
+        if not os.path.exists(path):
+            die(f"Can't find specified {label} file: '{path}'")
+
+    for path, label in (
+        (settings.remapped_read_output, "remapped read output"),
+        (settings.unassembled_read_output, "unassembled read output"),
+    ):
+        if path == "-" and label.startswith("remapped"):
+            continue
+        if not path:
+            die(f"Must specify {label} file")
+        parent = os.path.dirname(path)
+        if parent and not os.path.exists(parent):
+            die(f"Can't find existing directory for {label} file: '{path}'")
+
+    if settings.thread_count < 0:
+        die("--threads argument must be greater than 0")
+    if settings.thread_count == 0:
+        settings.thread_count = os.cpu_count() or 1
+    return settings
+
+
+def validate_settings_data(settings: Settings) -> None:
+    """Data-dependent checks: indexed, non-truncated, mapped inputs
+    (cli.rs:143-170)."""
+    from portello_tpu.io.bam import BamReader, assert_bam_eof
+
+    for path in (settings.assembly_to_ref_bam, settings.read_to_assembly_bam):
+        assert_bam_eof(path)
+        with BamReader(path) as reader:
+            reader.load_index()
+            if not reader.header.refs:
+                raise SystemExit(f"Input alignment file is not mapped: '{path}'")

@@ -1,0 +1,145 @@
+"""Pipeline driver (reference src/main.rs:24-122 parity).
+
+Loads both BAM headers as chrom lists, loads and validates the reference
+FASTA, runs phase 1 (contig scan) then phase 2 (read remap), logging total
+runtime.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from portello_tpu._version import PROGRAM_NAME, PROGRAM_VERSION
+from portello_tpu.cli import (
+    EX_DATAERR,
+    Settings,
+    parse_settings,
+    validate_and_fix_settings,
+    validate_settings_data,
+)
+from portello_tpu.io.fasta import get_genome_ref_from_fasta
+from portello_tpu.logger import setup_logger
+from portello_tpu.pipeline.contig_scan import scan_contig_bam
+from portello_tpu.pipeline.read_scan import scan_and_remap_reads
+from portello_tpu.utils.chrom_list import ChromList
+from portello_tpu.utils.genome_segment import GenomeSegment
+
+
+def get_chrom_array(ref_filename: str, ref_chrom_list: ChromList, logger) -> list[np.ndarray]:
+    """Reference FASTA as an array ordered by ref chrom index, with name/length
+    consistency checks (main.rs:24-62; exit DATAERR on mismatch)."""
+    genome = get_genome_ref_from_fasta(ref_filename)
+    out = []
+    error = False
+    for info in ref_chrom_list.data:
+        seq = genome.chroms.pop(info.label, None)
+        if seq is None:
+            logger.error(
+                f'Chromosome "{info.label}" specified in the assembly-to-ref '
+                "alignment file, but not in the reference fasta"
+            )
+            error = True
+        elif len(seq) != info.length:
+            logger.error(
+                f'Chromosome "{info.label}" specified with inconsistent length: '
+                f"{info.length} in the assembly-to-ref alignment file, and "
+                f"{len(seq)} in the reference fasta"
+            )
+            error = True
+        else:
+            out.append(seq)
+    if error:
+        logger.error("Exiting due to one or more reference consistency issues")
+        sys.exit(EX_DATAERR)
+    return out
+
+
+def make_engine(settings: Settings, reference, contig_list, all_contig_mapping_info):
+    """Select the compute path: device batch engine or host oracle (None)."""
+    if settings.device == "host":
+        return None
+    try:
+        from portello_tpu.models.pipeline_model import DeviceEngine
+
+        return DeviceEngine(
+            reference,
+            contig_list,
+            all_contig_mapping_info,
+            batch_size=settings.batch_size,
+            platform=None if settings.device == "auto" else settings.device,
+        )
+    except Exception as e:  # pragma: no cover - device-availability dependent
+        setup_logger().warning(
+            f"Device engine unavailable ({e}); using host compute path"
+        )
+        return None
+
+
+def run(settings: Settings) -> None:
+    logger = setup_logger()
+    cmdline = " ".join(sys.argv)
+    logger.info(f"Starting {PROGRAM_NAME} {PROGRAM_VERSION}")
+    logger.info(f"cmdline: {cmdline}")
+    logger.info(f"Running on {settings.thread_count} threads")
+    start = time.monotonic()
+
+    ref_chrom_list = ChromList.from_bam_filename(settings.assembly_to_ref_bam)
+    assembly_contig_list = ChromList.from_bam_filename(settings.read_to_assembly_bam)
+
+    target_region = None
+    if settings.target_region is not None:
+        target_region = GenomeSegment.from_region_str(
+            ref_chrom_list, settings.target_region
+        )
+
+    reference = get_chrom_array(settings.ref_filename, ref_chrom_list, logger)
+
+    all_contig_mapping_info = scan_contig_bam(
+        settings.assembly_to_ref_bam,
+        ref_chrom_list,
+        assembly_contig_list,
+        target_region,
+    )
+
+    engine = make_engine(
+        settings, reference, assembly_contig_list, all_contig_mapping_info
+    )
+
+    scan_and_remap_reads(
+        settings.read_to_assembly_bam,
+        settings.remapped_read_output,
+        settings.unassembled_read_output,
+        reference,
+        ref_chrom_list,
+        all_contig_mapping_info,
+        target_region is not None,
+        cmdline=cmdline,
+        engine=engine,
+    )
+
+    elapsed = time.monotonic() - start
+    hh = int(elapsed // 3600)
+    mm = int(elapsed % 3600 // 60)
+    ss = elapsed % 60
+    logger.info(
+        f"{PROGRAM_NAME} completed. Total Runtime: {hh:02d}:{mm:02d}:{ss:06.3f}"
+    )
+
+
+def main(argv=None) -> None:
+    settings = parse_settings(argv)
+    settings = validate_and_fix_settings(settings)
+    setup_logger()
+    try:
+        validate_settings_data(settings)
+        run(settings)
+    except Exception as err:
+        print(err, file=sys.stderr)
+        sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()
