@@ -1,0 +1,401 @@
+"""Device batch engine: the flagship jitted model of the framework.
+
+Collects phase-2 liftover work items — one per (read segment x contig segment)
+pair (reference read_alignment_scanner.rs:430-471) — into fixed-shape bucketed
+batches and evaluates them with the JAX kernels:
+
+    [left-shift (reverse-contig items)] -> liftover scan -> indel simplify
+
+as ONE jitted computation per (bucket, orientation) so a batch makes a single
+device round trip.  Items that exceed a bucket's static bounds, or whose
+windowed sequence passes saturate, are recomputed exactly on host with the
+``portello_tpu.ops`` oracle — device results are bit-identical to the oracle
+for all non-fallback items (enforced by tests/test_device_engine.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from portello_tpu.kernels.cigar_kernels import INT32_MAX, PAD, cigar_read_len
+from portello_tpu.kernels.liftover_kernel import _liftover_scan_single
+from portello_tpu.kernels.cigar_kernels import cleanup_and_compress
+from portello_tpu.kernels.shift_kernel import _left_shift_single
+from portello_tpu.kernels.simplify_kernel import _simplify_single
+from portello_tpu.models.batch import BucketConfig
+from portello_tpu.ops import cigar as cg
+from portello_tpu.ops.blockmap import NONE
+from portello_tpu.ops.seq import rev_comp
+from portello_tpu.pipeline.read_scan import (
+    finish_lifted_record,
+    finish_remapped_alignment_set,
+    get_contig_split_segments_from_read_mapping,
+    get_liftover_alignment_for_read_and_contig_segment,
+    process_read,
+)
+from portello_tpu.pipeline.split_read import get_seq_order_read_split_segments
+
+DEFAULT_BUCKETS = (
+    BucketConfig(max_ops=256, max_blocks=48, max_seq=1024, max_clusters=96, window=48),
+    BucketConfig(max_ops=2048, max_blocks=256, max_seq=32768, max_clusters=768, window=48),
+)
+
+
+def _lift_core(ops, lens, n_ops, pos, bk, bv, nb, *, max_out):
+    e_codes, e_lens, ref2_start = _liftover_scan_single(ops, lens, n_ops, pos, bk, bv, nb)
+    l_codes, l_lens, l_n, shift, overflow = cleanup_and_compress(e_codes, e_lens, max_out)
+    mapped = ref2_start >= 0
+    ref2_pos = jnp.where(mapped, ref2_start + shift, -1)
+    return l_codes, l_lens, l_n, ref2_pos, mapped, overflow
+
+
+def _fwd_item(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq,
+              *, max_out, max_clusters, window):
+    l_codes, l_lens, l_n, ref2_pos, mapped, overflow = _lift_core(
+        ops, lens, n_ops, pos, bk, bv, nb, max_out=max_out
+    )
+    read_len = cigar_read_len(l_codes, l_lens)
+    s_codes, s_lens, s_n, s_pos_rel, s_fb = _simplify_single(
+        l_codes, l_lens, ref2_pos - ref_base, ref_win, read_seq,
+        max_clusters=max_clusters, window=window, max_out=max_out,
+    )
+    return {
+        "codes": s_codes, "lens": s_lens, "n_out": s_n,
+        "ref2_pos": s_pos_rel + ref_base, "mapped": mapped,
+        "read_len": read_len,
+        "fallback": s_fb | overflow,
+    }
+
+
+def _rev_item(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
+              ref_win, ref_base, read_seq,
+              *, max_out, max_clusters, window):
+    # Left-shift indels against the reversed contig before lifting
+    # (read_alignment_scanner.rs:159-176, docs/methods.md:37-39).
+    sh_codes, sh_lens, sh_n, sh_pos, sh_fb = _left_shift_single(
+        ops, lens, pos - win_base, win_base, contig_win, read_seq,
+        max_clusters=max_clusters, window=window, max_out=max_out,
+    )
+    out = _fwd_item(
+        sh_codes, sh_lens, sh_n, sh_pos + win_base, bk, bv, nb,
+        ref_win, ref_base, read_seq,
+        max_out=max_out, max_clusters=max_clusters, window=window,
+    )
+    out["fallback"] = out["fallback"] | sh_fb
+    return out
+
+
+@partial(jax.jit, static_argnames=("max_out", "max_clusters", "window"))
+def fwd_batch(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq,
+              *, max_out, max_clusters, window):
+    return jax.vmap(
+        lambda *a: _fwd_item(*a, max_out=max_out, max_clusters=max_clusters, window=window)
+    )(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq)
+
+
+@partial(jax.jit, static_argnames=("max_out", "max_clusters", "window"))
+def rev_batch(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
+              ref_win, ref_base, read_seq, *, max_out, max_clusters, window):
+    return jax.vmap(
+        lambda *a: _rev_item(*a, max_out=max_out, max_clusters=max_clusters, window=window)
+    )(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb, ref_win, ref_base, read_seq)
+
+
+@dataclass
+class _Item:
+    """One (read segment x contig segment) liftover work item."""
+
+    read_key: int
+    seg_index: int          # index into the read's ordered splits
+    contig_segment_index: int
+    need_flip: bool
+    is_rev_contig: bool
+    host_fallback: bool = False
+    skip_unmapped: bool = False
+    # device inputs (None when host_fallback/skip)
+    dev: dict | None = None
+    bucket: int = -1
+    # result (filled by flush)
+    result: object = None
+
+
+class DeviceEngine:
+    """Batching executor for phase-2 liftover work.
+
+    ``submit(record, emit)`` queues a primary read; batches run when
+    ``batch_size`` items accumulate; ``flush(emit)`` drains.  Emission order
+    is deterministic per flush (the output contract is unsorted,
+    docs/user_guide.md:227-230).
+    """
+
+    def __init__(
+        self,
+        reference,
+        contig_list,
+        all_contig_mapping_info,
+        batch_size: int = 512,
+        buckets=DEFAULT_BUCKETS,
+        platform: str | None = None,
+        is_target_region: bool = False,
+    ):
+        self.reference = reference
+        self.contig_list = contig_list
+        self.info = all_contig_mapping_info
+        self.batch_size = batch_size
+        self.buckets = list(buckets)
+        self.is_target_region = is_target_region
+        self.stats = {"device_items": 0, "host_items": 0, "fallback_items": 0}
+        self._pending: list[tuple] = []  # (record, ordered_splits, [_Item])
+        self._n_items = 0
+        if platform == "cpu":
+            jax.config.update("jax_platforms", "cpu")
+        # platform == "tpu"/None: keep the default backend selection
+
+    # -- work item preparation (host side) --------------------------------
+    def _pick_bucket(self, n_ops: int, n_blocks: int, seq_len: int, ref_span: int):
+        for bi, b in enumerate(self.buckets):
+            if (
+                n_ops <= b.max_ops
+                and n_blocks <= b.max_blocks
+                and seq_len <= b.max_seq
+                and ref_span <= b.max_seq
+            ):
+                return bi
+        return -1
+
+    def _prep_item(self, record, read_segment, ci, seg_info, rev_contig_seq, read_key, seg_index):
+        seg = seg_info.seq_order_segment
+        contig_is_fwd = seg.is_fwd_strand
+        changes_strand = record.is_reverse() == read_segment.is_fwd_strand
+        need_flip = (not contig_is_fwd) ^ changes_strand
+        item = _Item(
+            read_key=read_key,
+            seg_index=seg_index,
+            contig_segment_index=ci,
+            need_flip=need_flip,
+            is_rev_contig=not contig_is_fwd,
+        )
+
+        bm = seg_info.contig_to_ref_map
+        if contig_is_fwd:
+            pos = read_segment.pos
+            cigar = read_segment.cigar
+        else:
+            contig_length = self.contig_list.data[read_segment.chrom_index].length
+            seg_end = read_segment.pos + cg.get_cigar_ref_offset(read_segment.cigar)
+            pos = contig_length - seg_end
+            cigar = cg.reverse_cigar(read_segment.cigar)
+
+        span = cg.get_cigar_ref_offset(cigar)
+        lo, hi = bm.range_indices(pos, pos + span)
+        keys = np.asarray(bm.keys[lo:hi])
+        vals = np.asarray(bm.vals[lo:hi])
+        valid = vals != NONE
+        if not valid.any():
+            # No mapped block overlaps the read span: liftover would only ever
+            # see gap blocks -> guaranteed unmapped.  Skip the device.
+            item.skip_unmapped = True
+            return item
+
+        # ref2 window covering every position the lifted alignment can touch
+        nxt = np.concatenate([keys[1:], [pos + span]])
+        ref_lo = int(vals[valid].min())
+        ref_hi = int((vals + np.minimum(nxt, pos + span) - keys)[valid].max())
+        ref_span = ref_hi - ref_lo
+
+        bucket = self._pick_bucket(
+            len(cigar), hi - lo, record.seq_len(), ref_span
+        )
+        if bucket < 0:
+            item.host_fallback = True
+            return item
+        bcfg = self.buckets[bucket]
+
+        read_seq = rev_comp(record.seq) if need_flip else record.seq
+        chrom_index = seg.chrom_index
+        ref_win = np.zeros(bcfg.max_seq, dtype=np.uint8)
+        win = self.reference[chrom_index][ref_lo:ref_hi]
+        ref_win[: len(win)] = win
+
+        dev = {
+            "cigar": cigar, "pos": pos, "keys": keys, "vals": vals,
+            "ref_win": ref_win, "ref_base": ref_lo, "read_seq": read_seq,
+        }
+        if not contig_is_fwd:
+            # reversed-contig window for the left shift
+            cwin = np.zeros(bcfg.max_seq, dtype=np.uint8)
+            src = rev_contig_seq[pos : pos + span]
+            if span > bcfg.max_seq:
+                item.host_fallback = True
+                return item
+            cwin[: len(src)] = src
+            dev["contig_win"] = cwin
+            dev["win_base"] = pos
+        item.dev = dev
+        item.bucket = bucket
+        return item
+
+    # -- public API --------------------------------------------------------
+    def submit(self, record, emit) -> None:
+        ordered_splits = get_seq_order_read_split_segments(self.contig_list, record)
+        items = []
+        for seg_index, read_segment in enumerate(ordered_splits):
+            contig_info = self.info[read_segment.chrom_index]
+            contig_segments = contig_info.ordered_contig_segment_info
+            for ci in get_contig_split_segments_from_read_mapping(
+                read_segment, contig_segments
+            ):
+                items.append(
+                    self._prep_item(
+                        record, read_segment, ci, contig_segments[ci],
+                        contig_info.rev_contig_seq, len(self._pending), seg_index,
+                    )
+                )
+        self._pending.append((record, ordered_splits, items))
+        self._n_items += sum(1 for it in items if it.dev is not None)
+        if self._n_items >= self.batch_size:
+            self.flush(emit)
+
+    def flush(self, emit) -> None:
+        if not self._pending:
+            return
+        self._run_batches()
+        for record, ordered_splits, items in self._pending:
+            remapped = []
+            for item in items:
+                rec = self._finish_item(record, ordered_splits, item)
+                if rec is not None:
+                    remapped.append(rec)
+            emit(
+                finish_remapped_alignment_set(
+                    self._ref_chrom_list_cache(), record, remapped,
+                    self.is_target_region,
+                )
+            )
+        self._pending.clear()
+        self._n_items = 0
+
+    _ref_chrom_list = None
+
+    def set_ref_chrom_list(self, ref_chrom_list):
+        self._ref_chrom_list = ref_chrom_list
+
+    def _ref_chrom_list_cache(self):
+        if self._ref_chrom_list is None:
+            raise RuntimeError("DeviceEngine.set_ref_chrom_list() not called")
+        return self._ref_chrom_list
+
+    # -- batch execution ---------------------------------------------------
+    def _run_batches(self) -> None:
+        by_group: dict[tuple[int, bool], list[_Item]] = {}
+        for _, _, items in self._pending:
+            for item in items:
+                if item.dev is not None:
+                    by_group.setdefault((item.bucket, item.is_rev_contig), []).append(item)
+        for (bucket, is_rev), items in by_group.items():
+            self._run_group(self.buckets[bucket], is_rev, items)
+
+    def _run_group(self, bcfg: BucketConfig, is_rev: bool, items: list[_Item]) -> None:
+        b = len(items)
+        max_out = bcfg.resolved_max_out()
+        ops = np.full((b, bcfg.max_ops), PAD, np.int32)
+        lens = np.zeros((b, bcfg.max_ops), np.int32)
+        n_ops = np.zeros(b, np.int32)
+        pos = np.zeros(b, np.int32)
+        bk = np.full((b, bcfg.max_blocks), INT32_MAX, np.int32)
+        bv = np.full((b, bcfg.max_blocks), -1, np.int32)
+        nb = np.zeros(b, np.int32)
+        ref_win = np.zeros((b, bcfg.max_seq), np.uint8)
+        ref_base = np.zeros(b, np.int32)
+        read_seq = np.zeros((b, bcfg.max_seq), np.uint8)
+        if is_rev:
+            contig_win = np.zeros((b, bcfg.max_seq), np.uint8)
+            win_base = np.zeros(b, np.int32)
+        for i, item in enumerate(items):
+            d = item.dev
+            n = len(d["cigar"])
+            ops[i, :n] = d["cigar"][:, 0]
+            lens[i, :n] = d["cigar"][:, 1]
+            n_ops[i] = n
+            pos[i] = d["pos"]
+            k = len(d["keys"])
+            bk[i, :k] = d["keys"]
+            bv[i, :k] = d["vals"]
+            nb[i] = k
+            ref_win[i] = d["ref_win"]
+            ref_base[i] = d["ref_base"]
+            read_seq[i, : len(d["read_seq"])] = d["read_seq"]
+            if is_rev:
+                contig_win[i] = d["contig_win"]
+                win_base[i] = d["win_base"]
+        kw = dict(max_out=max_out, max_clusters=bcfg.max_clusters, window=bcfg.window)
+        if is_rev:
+            out = rev_batch(
+                ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
+                ref_win, ref_base, read_seq, **kw,
+            )
+        else:
+            out = fwd_batch(
+                ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq, **kw
+            )
+        out = {k: np.asarray(v) for k, v in out.items()}
+        self.stats["device_items"] += b
+        for i, item in enumerate(items):
+            if out["fallback"][i]:
+                item.host_fallback = True
+                item.dev = None
+                self.stats["fallback_items"] += 1
+            elif not out["mapped"][i]:
+                item.skip_unmapped = True
+                item.dev = None
+            else:
+                n = int(out["n_out"][i])
+                cigar = np.empty((n, 2), dtype=np.int64)
+                cigar[:, 0] = out["codes"][i, :n]
+                cigar[:, 1] = out["lens"][i, :n]
+                item.result = (
+                    int(out["ref2_pos"][i]), cigar, int(out["read_len"][i])
+                )
+                item.dev = None
+
+    def _finish_item(self, record, ordered_splits, item: _Item):
+        read_segment = ordered_splits[item.seg_index]
+        contig_info = self.info[read_segment.chrom_index]
+        seg_info = contig_info.ordered_contig_segment_info[item.contig_segment_index]
+        if item.skip_unmapped:
+            return None
+        if item.host_fallback:
+            self.stats["host_items"] += 1
+            return get_liftover_alignment_for_read_and_contig_segment(
+                self.reference,
+                self.contig_list,
+                record,
+                read_segment,
+                item.contig_segment_index,
+                seg_info,
+                contig_info.rev_contig_seq,
+            )
+        ref2_pos, cigar, lifted_read_len = item.result
+        # Read-length invariant (read_alignment_scanner.rs:204-229).
+        if lifted_read_len != record.seq_len():
+            raise AssertionError(
+                f"Failed to remap qname: {record.qname.decode()}: seq len "
+                f"{record.seq_len()} != lifted cigar read len {lifted_read_len}"
+            )
+        return finish_lifted_record(
+            record,
+            self.contig_list,
+            read_segment,
+            item.contig_segment_index,
+            seg_info,
+            seg_info.seq_order_segment.chrom_index,
+            ref2_pos,
+            cigar,
+            item.need_flip,
+        )

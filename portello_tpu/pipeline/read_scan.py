@@ -308,6 +308,10 @@ def scan_and_remap_reads(
     contig_list = ChromList.from_bam_filename(read_to_assembly_bam)
     header = get_alignment_file_header(ref_chrom_list, cmdline)
 
+    if engine is not None:
+        engine.set_ref_chrom_list(ref_chrom_list)
+        engine.is_target_region = is_target_region
+
     if remapped_read_output == "-":
         remapped_writer = BamWriter(sys.stdout.buffer, header, level=0)
     else:
