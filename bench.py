@@ -1,0 +1,194 @@
+"""Benchmark: lifted reads/sec/chip for the batched liftover pipeline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Workload: HiFi-realistic synthetic batches (default 18 kb reads, ~0.25%
+read-to-contig error, ~1.2/kb contig-to-ref variants), run through the full
+device pipeline — left-shift (reverse-contig half) + liftover scan + indel
+simplification — at the production bucket shape.  Timing covers steady-state
+jitted device execution including host->device transfer of each fresh batch.
+
+Baseline note: the reference (Rust portello) publishes no numbers and no Rust
+toolchain exists in this image (BASELINE.md), so ``vs_baseline`` is measured
+against this repo's own exact host oracle (single-thread numpy/Python path,
+the same algorithm portello runs per read) on identical work items.
+
+Env knobs: PTPU_BENCH_BATCH (default 1024), PTPU_BENCH_ITERS (4),
+PTPU_BENCH_READLEN (18000), PTPU_BENCH_REV (1), PTPU_BENCH_CPU (force cpu).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def fast_item_arrays(rng, b, bcfg, read_len, rev, read_rate=0.0025, contig_rate=0.0012):
+    """Vectorized synthetic work items (shape-realistic; content random).
+
+    Kernel cost is data-independent given shapes (fixed scan lengths, fixed
+    compare windows), so random window content is timing-faithful.
+    """
+    from portello_tpu.kernels.cigar_kernels import INT32_MAX, PAD
+    from portello_tpu.ops import cigar as cg
+
+    margin = 64
+    span = read_len + 2 * margin
+
+    def sample_cigar(length, rate, max_ops):
+        """Alternating match-run / 1-3bp indel cigar with ~rate events/bp."""
+        n_ev = min(max(int(rng.poisson(length * rate)), 1), max_ops // 2 - 2)
+        cuts = np.sort(rng.integers(1, length, size=n_ev))
+        runs = np.diff(np.concatenate([[0], cuts, [length]]))
+        runs = runs[runs > 0]
+        codes = np.empty(2 * len(runs) - 1, dtype=np.int64)
+        lens_ = np.empty_like(codes)
+        codes[0::2] = cg.M
+        lens_[0::2] = runs
+        ev = rng.integers(0, 2, size=len(runs) - 1)  # 0=I 1=D
+        codes[1::2] = np.where(ev == 0, cg.I, cg.D)
+        lens_[1::2] = rng.integers(1, 4, size=len(runs) - 1)
+        return np.stack([codes, lens_], axis=1)
+
+    from portello_tpu.ops.blockmap import build_block_map
+
+    ops = np.full((b, bcfg.max_ops), PAD, np.int32)
+    lens = np.zeros((b, bcfg.max_ops), np.int32)
+    n_ops = np.zeros(b, np.int32)
+    pos = np.full(b, margin // 2, np.int32)
+    bk = np.full((b, bcfg.max_blocks), INT32_MAX, np.int32)
+    bv = np.full((b, bcfg.max_blocks), -1, np.int32)
+    nb = np.zeros(b, np.int32)
+    ref_base = np.zeros(b, np.int32)
+    ref_win = rng.integers(65, 85, size=(b, bcfg.max_seq), dtype=np.uint8)
+    read_seq = rng.integers(65, 85, size=(b, bcfg.max_seq), dtype=np.uint8)
+    win_base = np.zeros(b, np.int32)
+    contig_win = (
+        rng.integers(65, 85, size=(b, bcfg.max_seq), dtype=np.uint8) if rev else None
+    )
+    for i in range(b):
+        ccig = sample_cigar(span, contig_rate, bcfg.max_blocks)
+        bm = build_block_map(0, ccig, False)
+        k = min(len(bm), bcfg.max_blocks)
+        bk[i, :k] = bm.keys[:k]
+        bv[i, :k] = bm.vals[:k]
+        nb[i] = k
+        rcig = sample_cigar(read_len, read_rate, bcfg.max_ops)
+        n = min(len(rcig), bcfg.max_ops)
+        ops[i, :n] = rcig[:n, 0]
+        lens[i, :n] = rcig[:n, 1]
+        n_ops[i] = n
+    if rev:
+        return (
+            ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
+            ref_win, ref_base, read_seq,
+        )
+    return ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq
+
+
+def host_oracle_time(items_fwd, n_sample):
+    """Single-thread exact host path on the same work items (reads/sec)."""
+    from portello_tpu.ops import cigar as cg
+    from portello_tpu.ops.blockmap import BlockMap
+    from portello_tpu.ops.liftover import liftover_read_alignment
+    from portello_tpu.ops.simplify import simplify_alignment_indels
+
+    ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq = items_fwd
+    t0 = time.perf_counter()
+    for i in range(n_sample):
+        n = int(n_ops[i])
+        cig = np.stack([ops[i, :n], lens[i, :n]], axis=1).astype(np.int64)
+        k = int(nb[i])
+        bm = BlockMap(bk[i, :k].astype(np.int64), bv[i, :k].astype(np.int64))
+        lifted = liftover_read_alignment(bm, int(pos[i]), cig)
+        if lifted is not None:
+            p, c = lifted
+            simplify_alignment_indels(
+                p - int(ref_base[i]), c, ref_win[i], read_seq[i]
+            )
+    dt = time.perf_counter() - t0
+    return n_sample / dt
+
+
+def main():
+    batch = int(os.environ.get("PTPU_BENCH_BATCH", "1024"))
+    iters = int(os.environ.get("PTPU_BENCH_ITERS", "4"))
+    read_len = int(os.environ.get("PTPU_BENCH_READLEN", "18000"))
+    use_rev = os.environ.get("PTPU_BENCH_REV", "1") == "1"
+
+    import jax
+
+    if os.environ.get("PTPU_BENCH_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from portello_tpu.models.pipeline_model import fwd_batch, rev_batch
+    from portello_tpu.testutil.batchgen import HIFI_BUCKET
+
+    bcfg = HIFI_BUCKET
+    kw = dict(
+        max_out=bcfg.resolved_max_out(),
+        max_clusters=bcfg.max_clusters,
+        window=bcfg.window,
+    )
+    rng = np.random.default_rng(2026)
+    half = batch // 2 if use_rev else batch
+    fwd_items = fast_item_arrays(rng, half, bcfg, read_len, rev=False)
+    rev_items = fast_item_arrays(rng, batch - half, bcfg, read_len, rev=True) if use_rev else None
+
+    device = jax.devices()[0]
+    sys.stderr.write(f"[bench] device: {device}, batch={batch}, iters={iters}\n")
+
+    # Warmup/compile
+    out = fwd_batch(*fwd_items, **kw)
+    jax.block_until_ready(out)
+    if use_rev:
+        rout = rev_batch(*rev_items, **kw)
+        jax.block_until_ready(rout)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd_batch(*fwd_items, **kw)
+        if use_rev:
+            rout = rev_batch(*rev_items, **kw)
+        jax.block_until_ready(out)
+        if use_rev:
+            jax.block_until_ready(rout)
+    dt = time.perf_counter() - t0
+    reads_per_s = batch * iters / dt
+
+    host_rps = host_oracle_time(fwd_items, n_sample=min(24, half))
+    vs_baseline = reads_per_s / host_rps
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"lifted reads/sec/chip ({read_len//1000}kb HiFi-like, "
+                    f"{'fwd+rev' if use_rev else 'fwd'} pipeline)"
+                ),
+                "value": round(reads_per_s, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(vs_baseline, 2),
+                "note": (
+                    "baseline = this repo's exact single-thread host oracle "
+                    "(Rust reference not buildable in image; see BASELINE.md)"
+                ),
+                "device": str(device),
+                "host_oracle_reads_per_s": round(host_rps, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
