@@ -426,11 +426,24 @@ def _tag_to_sam(tag: bytes, ty: bytes, val) -> str:
 
 
 class BamReader:
-    """Sequential + indexed BAM reader (rust-htslib IndexedReader parity)."""
+    """Sequential + indexed BAM reader (rust-htslib IndexedReader parity).
 
-    def __init__(self, path: str, load_index: bool = False):
+    ``engine``: 'auto' prefers the C++ codec (bulk record scan, mmap'd
+    inflate) and falls back to the pure-Python codec; 'python'/'native' force.
+    """
+
+    def __init__(self, path: str, load_index: bool = False, engine: str = "auto"):
         self.path = path
-        self._bgzf = BgzfReader(path)
+        self._native = None
+        if engine in ("auto", "native"):
+            try:
+                from portello_tpu.io.native_codec import NativeBgzfReader
+
+                self._native = NativeBgzfReader(path)
+            except OSError:
+                if engine == "native":
+                    raise
+        self._bgzf = self._native if self._native is not None else BgzfReader(path)
         magic = self._bgzf.read(4)
         if magic != b"BAM\x01":
             raise BamFormatError(f"{path}: not a BAM file")
@@ -473,12 +486,29 @@ class BamReader:
             raise BamFormatError("truncated BAM record")
         return raw
 
+    def iter_raw(self, limit_voffset: int = 0):
+        """Yield raw record payloads from the current position (bulk-scanned
+        through the native codec when available)."""
+        if self._native is not None:
+            while True:
+                batch = self._native.read_records_bulk(
+                    limit_voffset=limit_voffset
+                )
+                if not batch:
+                    return
+                yield from batch
+        else:
+            while True:
+                if limit_voffset and self._bgzf.tell_voffset() >= limit_voffset:
+                    return
+                raw = self._read_record_raw()
+                if raw is None:
+                    return
+                yield raw
+
     def __iter__(self):
         self._bgzf.seek_voffset(self._data_voffset)
-        while True:
-            raw = self._read_record_raw()
-            if raw is None:
-                return
+        for raw in self.iter_raw():
             yield BamRecord.decode(raw)
 
     def fetch(self, tid: int, beg: int, end: int):
@@ -487,10 +517,7 @@ class BamReader:
         idx = self.load_index()
         for cb, ce in idx.query(tid, beg, end):
             self._bgzf.seek_voffset(cb)
-            while self._bgzf.tell_voffset() < ce:
-                raw = self._read_record_raw()
-                if raw is None:
-                    break
+            for raw in self.iter_raw(limit_voffset=ce):
                 rec = BamRecord.decode(raw)
                 if rec.tid != tid or rec.pos >= end:
                     if rec.tid > tid or (rec.tid == tid and rec.pos >= end):
@@ -507,10 +534,7 @@ class BamReader:
         if start == 0:
             start = self._data_voffset
         self._bgzf.seek_voffset(start)
-        while True:
-            raw = self._read_record_raw()
-            if raw is None:
-                return
+        for raw in self.iter_raw():
             yield BamRecord.decode(raw)
 
 
@@ -518,28 +542,59 @@ class BamWriter:
     """BAM writer (rust-htslib bam::Writer parity).
 
     ``level=0`` writes stored-deflate blocks, mirroring the uncompressed
-    stdout path (reference read_alignment_scanner.rs:67-71).
+    stdout path (reference read_alignment_scanner.rs:67-71).  With a path (or
+    '-') destination and the native codec available, BGZF deflate runs on a
+    C++ thread pool (``n_threads``), matching htslib's writer threads
+    (read_alignment_scanner.rs:589).
     """
 
-    def __init__(self, fileobj_or_path, header: BamHeader, level: int = 6):
-        if isinstance(fileobj_or_path, str):
-            self._own = open(fileobj_or_path, "wb")
+    def __init__(
+        self,
+        fileobj_or_path,
+        header: BamHeader,
+        level: int = 6,
+        n_threads: int = 1,
+        engine: str = "auto",
+    ):
+        self._own = None
+        self._native = None
+        if isinstance(fileobj_or_path, str) and engine in ("auto", "native"):
+            try:
+                from portello_tpu.io.native_codec import NativeBgzfWriter
+
+                self._native = NativeBgzfWriter(
+                    fileobj_or_path, level=level, n_threads=n_threads
+                )
+            except OSError:
+                if engine == "native":
+                    raise
+        if self._native is None:
+            if isinstance(fileobj_or_path, str):
+                self._own = open(fileobj_or_path, "wb")
+                fileobj = self._own
+            else:
+                fileobj = fileobj_or_path
+            self._bgzf = BgzfWriter(fileobj, level=level)
         else:
-            self._own = None
-        self._bgzf = BgzfWriter(
-            self._own if self._own is not None else fileobj_or_path, level=level
-        )
+            self._bgzf = self._native
         self.header = header
+        self._buf = bytearray()
         self._bgzf.write(header.encode())
 
     def write(self, rec: BamRecord) -> None:
-        raw = rec.encode()
-        self._bgzf.write(struct.pack("<i", len(raw)) + raw)
+        self.write_raw(rec.encode())
 
     def write_raw(self, raw: bytes) -> None:
-        self._bgzf.write(struct.pack("<i", len(raw)) + raw)
+        self._buf += struct.pack("<i", len(raw))
+        self._buf += raw
+        if len(self._buf) >= (1 << 20):
+            self._bgzf.write(bytes(self._buf))
+            self._buf.clear()
 
     def close(self) -> None:
+        if self._buf:
+            self._bgzf.write(bytes(self._buf))
+            self._buf.clear()
         self._bgzf.close()
         if self._own is not None:
             self._own.close()

@@ -1,0 +1,401 @@
+// ptio: native BGZF/BAM codec for portello-tpu.
+//
+// Replaces the role htslib (C) plays in the reference stack
+// (reference Cargo.toml:20 via rust-htslib): BGZF block inflate for indexed
+// BAM reads, bulk record scanning, and pool-threaded BGZF deflate for BAM
+// output (the reference gives htslib max(1, threads/2) compression threads,
+// read_alignment_scanner.rs:589).
+//
+// Exposed as a C ABI consumed by ctypes (portello_tpu/io/native_codec.py).
+// Build: g++ -O3 -std=c++17 -shared -fPIC ptio.cc -o ptio.so -lz -lpthread
+
+#include <zlib.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+constexpr uint8_t kEofMarker[28] = {
+    0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff,
+    0x06, 0x00, 0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
+    0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00};
+
+struct Reader {
+  int fd = -1;
+  const uint8_t* data = nullptr;
+  size_t size = 0;
+  // current virtual position
+  size_t coffset = 0;
+  uint32_t uoffset = 0;
+  // cached inflated block
+  size_t block_coffset = SIZE_MAX;
+  uint32_t block_csize = 0;
+  std::vector<uint8_t> block;
+  std::string error;
+};
+
+// Inflate one BGZF block at coffset; returns false on error.
+bool load_block(Reader* r, size_t coffset) {
+  if (coffset == r->block_coffset) return true;
+  if (coffset + 18 > r->size) {
+    r->error = "truncated BGZF block header";
+    return false;
+  }
+  const uint8_t* p = r->data + coffset;
+  if (p[0] != 0x1f || p[1] != 0x8b || p[2] != 8 || !(p[3] & 4)) {
+    r->error = "not a BGZF block";
+    return false;
+  }
+  uint16_t xlen;
+  std::memcpy(&xlen, p + 10, 2);
+  uint32_t bsize = 0;
+  size_t xs = 12, xend = 12 + xlen;
+  while (xs + 4 <= xend) {
+    uint16_t slen;
+    std::memcpy(&slen, p + xs + 2, 2);
+    if (p[xs] == 'B' && p[xs + 1] == 'C' && slen == 2) {
+      uint16_t bs;
+      std::memcpy(&bs, p + xs + 4, 2);
+      bsize = static_cast<uint32_t>(bs) + 1;
+    }
+    xs += 4 + slen;
+  }
+  if (bsize == 0 || coffset + bsize > r->size) {
+    r->error = "BGZF block missing/invalid BSIZE";
+    return false;
+  }
+  uint32_t isize;
+  std::memcpy(&isize, p + bsize - 4, 4);
+  r->block.resize(isize);
+  if (isize > 0) {
+    z_stream zs{};
+    zs.next_in = const_cast<Bytef*>(p + 12 + xlen);
+    zs.avail_in = bsize - 12 - xlen - 8;
+    zs.next_out = r->block.data();
+    zs.avail_out = isize;
+    if (inflateInit2(&zs, -15) != Z_OK) {
+      r->error = "inflateInit2 failed";
+      return false;
+    }
+    int ret = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    if (ret != Z_STREAM_END || zs.total_out != isize) {
+      r->error = "BGZF inflate failed";
+      return false;
+    }
+  }
+  r->block_coffset = coffset;
+  r->block_csize = bsize;
+  return true;
+}
+
+// Read exactly n bytes from the cursor; returns bytes read (short at EOF).
+size_t reader_read(Reader* r, uint8_t* out, size_t n) {
+  size_t got = 0;
+  while (n > 0) {
+    if (r->coffset >= r->size) break;
+    if (!load_block(r, r->coffset)) break;
+    if (r->uoffset >= r->block.size()) {
+      r->coffset += r->block_csize;
+      r->uoffset = 0;
+      continue;
+    }
+    size_t take = r->block.size() - r->uoffset;
+    if (take > n) take = n;
+    std::memcpy(out + got, r->block.data() + r->uoffset, take);
+    r->uoffset += static_cast<uint32_t>(take);
+    got += take;
+    n -= take;
+  }
+  return got;
+}
+
+// ---------------------------------------------------------------------------
+// Writer with pool-threaded block compression.
+// ---------------------------------------------------------------------------
+
+struct Job {
+  std::vector<uint8_t> raw;        // uncompressed payload (<= 0xff00)
+  std::vector<uint8_t> out;        // finished BGZF block
+  bool done = false;
+};
+
+struct Writer {
+  FILE* f = nullptr;
+  int level = 6;
+  int n_threads = 1;
+  std::vector<std::thread> pool;
+  std::mutex mu;
+  std::condition_variable cv_work, cv_done;
+  std::deque<Job*> todo;
+  std::deque<Job*> inflight;       // in write order
+  bool closing = false;
+  std::vector<uint8_t> pending;    // uncompressed tail < block size
+  std::string error;
+};
+
+void compress_block(int level, const std::vector<uint8_t>& raw,
+                    std::vector<uint8_t>* out) {
+  uLong bound = compressBound(raw.size()) + 64;
+  std::vector<uint8_t> cdata(bound);
+  z_stream zs{};
+  deflateInit2(&zs, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
+  zs.next_in = const_cast<Bytef*>(raw.data());
+  zs.avail_in = raw.size();
+  zs.next_out = cdata.data();
+  zs.avail_out = cdata.size();
+  deflate(&zs, Z_FINISH);
+  size_t clen = zs.total_out;
+  deflateEnd(&zs);
+  uint32_t bsize = static_cast<uint32_t>(clen) + 26;
+  out->resize(18 + clen + 8);
+  uint8_t* p = out->data();
+  const uint8_t hdr[12] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff, 6, 0};
+  std::memcpy(p, hdr, 12);
+  p[12] = 'B';
+  p[13] = 'C';
+  p[14] = 2;
+  p[15] = 0;
+  uint16_t bs16 = static_cast<uint16_t>(bsize - 1);
+  std::memcpy(p + 16, &bs16, 2);
+  std::memcpy(p + 18, cdata.data(), clen);
+  uint32_t crc = crc32(0, raw.data(), raw.size());
+  uint32_t isize = raw.size();
+  std::memcpy(p + 18 + clen, &crc, 4);
+  std::memcpy(p + 18 + clen + 4, &isize, 4);
+}
+
+void worker_main(Writer* w) {
+  for (;;) {
+    Job* job = nullptr;
+    {
+      std::unique_lock<std::mutex> lk(w->mu);
+      w->cv_work.wait(lk, [&] { return !w->todo.empty() || w->closing; });
+      if (w->todo.empty()) return;
+      job = w->todo.front();
+      w->todo.pop_front();
+    }
+    compress_block(w->level, job->raw, &job->out);
+    {
+      std::lock_guard<std::mutex> lk(w->mu);
+      job->done = true;
+    }
+    w->cv_done.notify_all();
+  }
+}
+
+// Drain finished jobs at the front of the in-flight queue to the file.
+void writer_drain(Writer* w, bool wait_all) {
+  std::unique_lock<std::mutex> lk(w->mu);
+  for (;;) {
+    while (!w->inflight.empty() && w->inflight.front()->done) {
+      Job* job = w->inflight.front();
+      w->inflight.pop_front();
+      lk.unlock();
+      if (fwrite(job->out.data(), 1, job->out.size(), w->f) != job->out.size())
+        w->error = "write failed";
+      delete job;
+      lk.lock();
+    }
+    if (!wait_all || w->inflight.empty()) break;
+    w->cv_done.wait(lk);
+  }
+}
+
+void writer_submit(Writer* w, std::vector<uint8_t>&& raw) {
+  Job* job = new Job();
+  job->raw = std::move(raw);
+  if (w->n_threads <= 1) {
+    compress_block(w->level, job->raw, &job->out);
+    if (fwrite(job->out.data(), 1, job->out.size(), w->f) != job->out.size())
+      w->error = "write failed";
+    delete job;
+    return;
+  }
+  {
+    std::lock_guard<std::mutex> lk(w->mu);
+    w->todo.push_back(job);
+    w->inflight.push_back(job);
+  }
+  w->cv_work.notify_one();
+  // Bound memory: keep at most 4x pool of blocks in flight.
+  std::unique_lock<std::mutex> lk(w->mu);
+  if (w->inflight.size() > static_cast<size_t>(4 * w->n_threads)) {
+    lk.unlock();
+    writer_drain(w, false);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// --- reader ---------------------------------------------------------------
+
+void* ptio_reader_open(const char* path) {
+  Reader* r = new Reader();
+  r->fd = open(path, O_RDONLY);
+  if (r->fd < 0) {
+    delete r;
+    return nullptr;
+  }
+  struct stat st;
+  fstat(r->fd, &st);
+  r->size = st.st_size;
+  if (r->size > 0) {
+    r->data = static_cast<const uint8_t*>(
+        mmap(nullptr, r->size, PROT_READ, MAP_PRIVATE, r->fd, 0));
+    if (r->data == MAP_FAILED) {
+      close(r->fd);
+      delete r;
+      return nullptr;
+    }
+  }
+  return r;
+}
+
+void ptio_reader_close(void* h) {
+  Reader* r = static_cast<Reader*>(h);
+  if (r->data && r->size) munmap(const_cast<uint8_t*>(r->data), r->size);
+  if (r->fd >= 0) close(r->fd);
+  delete r;
+}
+
+long long ptio_read(void* h, uint8_t* out, long long n) {
+  return reader_read(static_cast<Reader*>(h), out, n);
+}
+
+void ptio_seek_voffset(void* h, unsigned long long voffset) {
+  Reader* r = static_cast<Reader*>(h);
+  r->coffset = voffset >> 16;
+  r->uoffset = voffset & 0xffff;
+}
+
+unsigned long long ptio_tell_voffset(void* h) {
+  Reader* r = static_cast<Reader*>(h);
+  return (static_cast<unsigned long long>(r->coffset) << 16) | r->uoffset;
+}
+
+// Bulk record scan: fill out_buf with consecutive size-prefixed BAM records
+// ([i32 size][payload])...  Stops when the buffer is full, max_records is
+// reached, the virtual offset reaches limit_voffset (0 = none), or EOF.
+// Returns the number of records; *n_bytes gets the bytes written.
+long long ptio_read_records(void* h, uint8_t* out_buf, long long buf_cap,
+                            long long max_records,
+                            unsigned long long limit_voffset,
+                            long long* n_bytes) {
+  Reader* r = static_cast<Reader*>(h);
+  long long count = 0;
+  long long used = 0;
+  while (count < max_records) {
+    unsigned long long v = ptio_tell_voffset(h);
+    if (limit_voffset && v >= limit_voffset) break;
+    uint8_t szb[4];
+    // Peek: save position to rewind if the record doesn't fit.
+    size_t save_co = r->coffset;
+    uint32_t save_uo = r->uoffset;
+    if (reader_read(r, szb, 4) < 4) break;
+    int32_t bsz;
+    std::memcpy(&bsz, szb, 4);
+    if (bsz < 32 || used + 4 + bsz > buf_cap) {
+      r->coffset = save_co;
+      r->uoffset = save_uo;
+      break;
+    }
+    std::memcpy(out_buf + used, szb, 4);
+    if (reader_read(r, out_buf + used + 4, bsz) < static_cast<size_t>(bsz)) {
+      r->coffset = save_co;
+      r->uoffset = save_uo;
+      break;
+    }
+    used += 4 + bsz;
+    ++count;
+  }
+  *n_bytes = used;
+  return count;
+}
+
+int ptio_check_eof(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 0;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  if (sz < 28) {
+    fclose(f);
+    return 0;
+  }
+  uint8_t buf[28];
+  fseek(f, sz - 28, SEEK_SET);
+  size_t got = fread(buf, 1, 28, f);
+  fclose(f);
+  return got == 28 && std::memcmp(buf, kEofMarker, 28) == 0;
+}
+
+// --- writer ---------------------------------------------------------------
+
+void* ptio_writer_open(const char* path, int level, int n_threads) {
+  Writer* w = new Writer();
+  w->f = (std::strcmp(path, "-") == 0) ? stdout : fopen(path, "wb");
+  if (!w->f) {
+    delete w;
+    return nullptr;
+  }
+  w->level = level;
+  w->n_threads = n_threads < 1 ? 1 : n_threads;
+  if (w->n_threads > 1) {
+    for (int i = 0; i < w->n_threads; ++i)
+      w->pool.emplace_back(worker_main, w);
+  }
+  return w;
+}
+
+void ptio_write(void* h, const uint8_t* data, long long n) {
+  Writer* w = static_cast<Writer*>(h);
+  w->pending.insert(w->pending.end(), data, data + n);
+  constexpr size_t kBlock = 0xff00;
+  while (w->pending.size() >= kBlock) {
+    std::vector<uint8_t> raw(w->pending.begin(), w->pending.begin() + kBlock);
+    w->pending.erase(w->pending.begin(), w->pending.begin() + kBlock);
+    writer_submit(w, std::move(raw));
+  }
+}
+
+int ptio_writer_close(void* h) {
+  Writer* w = static_cast<Writer*>(h);
+  if (!w->pending.empty()) {
+    writer_submit(w, std::move(w->pending));
+    w->pending.clear();
+  }
+  if (w->n_threads > 1) {
+    writer_drain(w, true);
+    {
+      std::lock_guard<std::mutex> lk(w->mu);
+      w->closing = true;
+    }
+    w->cv_work.notify_all();
+    for (auto& t : w->pool) t.join();
+    writer_drain(w, true);
+  }
+  fwrite(kEofMarker, 1, 28, w->f);
+  fflush(w->f);
+  int ok = w->error.empty() ? 1 : 0;
+  if (w->f != stdout) fclose(w->f);
+  delete w;
+  return ok;
+}
+
+}  // extern "C"

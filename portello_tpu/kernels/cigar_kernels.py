@@ -8,6 +8,7 @@ vectors and returning padded outputs plus a valid-op count.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Op codes (must match portello_tpu.ops.cigar).
@@ -62,43 +63,42 @@ def clean_up_edge_indels(codes, lens):
 
 
 def compress(codes, lens, max_out: int):
-    """Vectorized compress_cigar (cigar/mod.rs:204-228).
+    """Vectorized compress_cigar (cigar/mod.rs:204-228), scatter-free.
 
-    Drops zero-length and PAD entries, then merges adjacent equal-code runs via
-    a scatter + segment-sum.  Returns (out_codes, out_lens, n_out, overflow);
-    ``overflow`` is True when the compressed cigar exceeds ``max_out`` ops.
+    Drops zero-length and PAD entries, then merges adjacent equal-code runs.
+    TPU scatters serialize, so the whole pass is built from prefix sums,
+    a packed running maximum (to find each element's previous kept code) and
+    binary-search gathers (to find each output run's span).  Returns
+    (out_codes, out_lens, n_out, overflow); ``overflow`` is True when the
+    compressed cigar exceeds ``max_out`` ops.
     """
     n = codes.shape[0]
     keep = (codes != PAD) & (lens != 0)
-    # Compact kept entries to the front with a scatter.
-    kidx = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    scatter_to = jnp.where(keep, kidx, n)
-    compact_codes = (
-        jnp.full(n + 1, PAD, dtype=codes.dtype).at[scatter_to].set(codes)[:n]
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    # Previous kept code per position: running max of (index << 4 | code)
+    # (codes are < 16), shifted to be exclusive.
+    packed = jnp.where(keep, (idx << 4) | codes.astype(jnp.int32), jnp.int32(-1))
+    prev_packed = jnp.concatenate(
+        [jnp.full(1, -1, jnp.int32), jax.lax.cummax(packed)[:-1]]
     )
-    compact_lens = (
-        jnp.zeros(n + 1, dtype=lens.dtype).at[scatter_to].set(lens)[:n]
-    )
-    n_kept = jnp.sum(keep.astype(jnp.int32))
-    pos = jnp.arange(n, dtype=jnp.int32)
-    in_compact = pos < n_kept
-    prev_code = jnp.concatenate([jnp.full(1, -1, compact_codes.dtype), compact_codes[:-1]])
-    new_run = in_compact & ((pos == 0) | (compact_codes != prev_code))
-    run_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+    prev_code = jnp.where(prev_packed >= 0, prev_packed & 0xF, jnp.int32(-1))
+    new_run = keep & (prev_code != codes.astype(jnp.int32))
     n_runs = jnp.sum(new_run.astype(jnp.int32))
     overflow = n_runs > max_out
-    safe_run = jnp.where(in_compact, jnp.minimum(run_id, max_out), max_out)
-    out_lens = (
-        jnp.zeros(max_out + 1, dtype=lens.dtype).at[safe_run].add(compact_lens)[:max_out]
+
+    # Run r spans input indices [starts[r], starts[r+1]); lengths come from a
+    # prefix sum over kept lens.
+    cs_runs = jnp.cumsum(new_run.astype(jnp.int32))
+    r = jnp.arange(max_out, dtype=jnp.int32)
+    starts = jnp.searchsorted(cs_runs, r + 1, side="left").astype(jnp.int32)
+    starts_next = jnp.searchsorted(cs_runs, r + 2, side="left").astype(jnp.int32)
+    ps = jnp.concatenate(
+        [jnp.zeros(1, lens.dtype), jnp.cumsum(jnp.where(keep, lens, 0))]
     )
-    first_writer = jnp.where(new_run, safe_run, max_out)
-    out_codes = (
-        jnp.full(max_out + 1, PAD, dtype=codes.dtype).at[first_writer].set(compact_codes)[:max_out]
-    )
-    # Mask any partial run beyond max_out.
-    out_valid = jnp.arange(max_out, dtype=jnp.int32) < jnp.minimum(n_runs, max_out)
-    out_codes = jnp.where(out_valid, out_codes, PAD)
-    out_lens = jnp.where(out_valid, out_lens, 0)
+    out_valid = r < jnp.minimum(n_runs, max_out)
+    out_lens = jnp.where(out_valid, ps[starts_next] - ps[starts], 0)
+    out_codes = jnp.where(out_valid, codes[jnp.clip(starts, 0, n - 1)], PAD)
     return out_codes, out_lens, jnp.minimum(n_runs, max_out), overflow
 
 

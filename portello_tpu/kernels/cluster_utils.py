@@ -53,17 +53,25 @@ def find_clusters(codes, lens, ref_pos, max_clusters: int):
     overflow = n_clusters > max_clusters
 
     ref_starts, read_starts = op_positions(codes, lens, ref_pos)
-    safe_cid = jnp.where(is_indel, jnp.minimum(cid, max_clusters), max_clusters)
-    start_writer = jnp.where(cluster_start, safe_cid, max_clusters)
 
-    c_ref = jnp.zeros(max_clusters + 1, jnp.int32).at[start_writer].set(
-        ref_starts.astype(jnp.int32))[:max_clusters]
-    c_read = jnp.zeros(max_clusters + 1, jnp.int32).at[start_writer].set(
-        read_starts.astype(jnp.int32))[:max_clusters]
+    # Scatter-free per-cluster reductions (TPU scatters serialize): cluster k
+    # starts at op index starts[k] (binary-search gather over the cluster-start
+    # prefix sum) and its I/D sums are prefix-sum differences over
+    # [starts[k], starts[k+1]) — trailing non-indel ops contribute zero.
+    cs = jnp.cumsum(cluster_start.astype(jnp.int32))
+    k = jnp.arange(max_clusters, dtype=jnp.int32)
+    starts = jnp.searchsorted(cs, k + 1, side="left").astype(jnp.int32)
+    starts_next = jnp.searchsorted(cs, k + 2, side="left").astype(jnp.int32)
+    cvalid = k < n_clusters
+    safe_starts = jnp.clip(starts, 0, n - 1)
+    c_ref = jnp.where(cvalid, ref_starts[safe_starts].astype(jnp.int32), 0)
+    c_read = jnp.where(cvalid, read_starts[safe_starts].astype(jnp.int32), 0)
     del_src = jnp.where((codes == D) & valid, lens, 0)
     ins_src = jnp.where((codes == I) & valid, lens, 0)
-    c_del = jnp.zeros(max_clusters + 1, jnp.int32).at[safe_cid].add(del_src)[:max_clusters]
-    c_ins = jnp.zeros(max_clusters + 1, jnp.int32).at[safe_cid].add(ins_src)[:max_clusters]
+    ps_del = jnp.concatenate([jnp.zeros(1, lens.dtype), jnp.cumsum(del_src)])
+    ps_ins = jnp.concatenate([jnp.zeros(1, lens.dtype), jnp.cumsum(ins_src)])
+    c_del = jnp.where(cvalid, (ps_del[starts_next] - ps_del[starts]).astype(jnp.int32), 0)
+    c_ins = jnp.where(cvalid, (ps_ins[starts_next] - ps_ins[starts]).astype(jnp.int32), 0)
 
     return {
         "ref_start": c_ref,

@@ -1,0 +1,158 @@
+"""Fully parallel liftover kernel: the speed-of-light formulation.
+
+The reference's nested walk (src/liftover_read_alignment.rs:137-223) — and the
+v1 ``lax.scan`` port in ``liftover_kernel`` — process one (op x block) update
+per step.  On TPU a sequential scan of ~2k steps with per-step lane gathers is
+latency-bound, so this module reformulates liftover as a **data-parallel
+interval join**:
+
+1. Every update call of the reference corresponds to one row of a static
+   "update grid" of size ``U = 2*max_ops + max_blocks`` (the same bound that
+   sized the scan).  Row -> (op, visit) indices come from a prefix sum of
+   per-op visit counts plus one vectorized ``searchsorted``.
+2. Per-row interval bounds, active map entry, and emissions are pure gathers
+   and elementwise ops.
+3. The only cross-row state in the reference — "has the output alignment
+   started" and "reference end of the previous mapped visit" (which gates and
+   sizes gap deletions) — are an argmax and an exclusive running maximum
+   (``lax.cummax``), both parallel primitives.
+
+The emission stream is bit-identical to the scan kernel's (verified by the
+shared conformance tests), so the cleanup/compress stage is reused unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from portello_tpu.kernels.cigar_kernels import (
+    D,
+    H,
+    I,
+    M,
+    N,
+    P,
+    PAD,
+    S,
+    consumes_ref,
+    is_align_match,
+)
+
+
+def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb):
+    """Single-read parallel liftover; same contract as
+    ``liftover_kernel._liftover_scan_single``: returns (emit_codes, emit_lens,
+    ref2_start) with 2 emission slots per update row."""
+    max_ops = ops.shape[0]
+    max_blocks = bk.shape[0]
+    U = 2 * max_ops + max_blocks
+
+    idx_ops = jnp.arange(max_ops, dtype=jnp.int32)
+    active = idx_ops < n_ops
+    codes = jnp.where(active, ops, PAD)
+    lens_ = jnp.where(active, lens, 0)
+
+    is_ro = (codes == I) | (codes == S) | (codes == H)
+    rc = consumes_ref(codes) & active
+
+    # Op ref1 intervals.
+    rl = jnp.where(rc, lens_, 0)
+    s = ref1_pos + jnp.cumsum(rl) - rl      # op start (ref1)
+    e = s + rl                              # op end
+
+    # Block entry range per rc op (get_ref_range floor semantics).
+    lo = jnp.searchsorted(bk, s, side="right").astype(jnp.int32) - 1
+    hi = jnp.minimum(jnp.searchsorted(bk, e, side="left").astype(jnp.int32), nb)
+    lo = jnp.clip(lo, 0, hi)
+
+    visits = jnp.where(rc, hi - lo + 1, jnp.where(is_ro & active, 1, 0))
+    off = jnp.cumsum(visits) - visits       # exclusive row offset per op
+    total_rows = jnp.sum(visits)
+
+    # Row -> (op, visit index)
+    r = jnp.arange(U, dtype=jnp.int32)
+    row_valid = r < total_rows
+    op_of = jnp.clip(
+        jnp.searchsorted(off + visits, r, side="right").astype(jnp.int32),
+        0,
+        max_ops - 1,
+    )
+    t = r - off[op_of]
+
+    code_r = codes[op_of]
+    len_r = lens_[op_of]
+    rc_r = rc[op_of] & row_valid
+    ro_r = is_ro[op_of] & row_valid
+    s_r = s[op_of]
+    e_r = e[op_of]
+    lo_r = lo[op_of]
+    hi_r = hi[op_of]
+    u_r = hi_r - lo_r + 1
+
+    is_final = t == u_r - 1
+    # this entry (only meaningful when not final)
+    this_idx = jnp.clip(lo_r + t, 0, max_blocks - 1)
+    this_key = bk[this_idx]
+    # last entry (meaningful when t >= 1)
+    last_idx = jnp.clip(lo_r + t - 1, 0, max_blocks - 1)
+    last_key = bk[last_idx]
+    last_val = bv[last_idx]
+    have_last = t >= 1
+
+    # Interval [B, E) processed by this update.
+    B = jnp.where(have_last, jnp.maximum(s_r, jnp.minimum(last_key, e_r)), s_r)
+    E = jnp.where(is_final, e_r, jnp.minimum(this_key, e_r))
+    L = E - B
+    do_upd = rc_r & (L > 0)
+
+    is_m = is_align_match(code_r)
+    mapped_last = do_upd & have_last & (last_val >= 0)
+    gap_last = do_upd & have_last & (last_val < 0)
+    no_last = do_upd & ~have_last
+
+    # --- alignment start: the first update with a mapped last + match op
+    # (liftover_read_alignment.rs:84-88)
+    start_mask = mapped_last & is_m
+    any_start = jnp.any(start_mask)
+    r_star = jnp.argmax(start_mask).astype(jnp.int32)
+    ref2_start = jnp.where(
+        any_start,
+        last_val[r_star] + (B[r_star] - last_key[r_star]),
+        jnp.int32(-1),
+    )
+    started = any_start & (r >= r_star)
+
+    # --- gap deletions: previous mapped visit's ref2 end vs this block's val
+    # (liftover_read_alignment.rs:91-100).  end2 is per-row local; the chain
+    # only needs "index of previous mapped row", an exclusive cummax.
+    end2 = last_val + (E - last_key)
+    midx = jnp.where(mapped_last, r, -1)
+    prev_midx = jnp.concatenate(
+        [jnp.full(1, -1, jnp.int32), jax.lax.cummax(midx)[:-1]]
+    )
+    have_end = mapped_last & (prev_midx >= 0)
+    prev_end2 = end2[jnp.clip(prev_midx, 0, U - 1)]
+    del_len = last_val - prev_end2
+    emit_del = have_end & (del_len > 0) & started
+
+    # --- emissions
+    seg_code = jnp.where(code_r == D, D, jnp.where(code_r == N, N, M))
+    emit_seg = mapped_last & (is_m | started)
+    emit_clip = no_last & is_m
+    emit_ins = gap_last & is_m
+
+    e0_code = jnp.where(emit_del, D, PAD)
+    e0_len = jnp.where(emit_del, del_len, 0)
+    e1_code = jnp.where(
+        ro_r,
+        code_r,
+        jnp.where(
+            emit_clip, S, jnp.where(emit_ins, I, jnp.where(emit_seg, seg_code, PAD))
+        ),
+    )
+    e1_len = jnp.where(ro_r, len_r, jnp.where(emit_clip | emit_ins | emit_seg, L, 0))
+
+    emit_codes = jnp.stack([e0_code, e1_code], axis=1).reshape(-1)
+    emit_lens = jnp.stack([e0_len, e1_len], axis=1).reshape(-1)
+    return emit_codes, emit_lens, ref2_start

@@ -118,6 +118,7 @@ def run(settings: Settings) -> None:
         target_region is not None,
         cmdline=cmdline,
         engine=engine,
+        thread_count=settings.thread_count,
     )
 
     elapsed = time.monotonic() - start

@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from portello_tpu.kernels.cigar_kernels import INT32_MAX, PAD, cigar_read_len
-from portello_tpu.kernels.liftover_kernel import _liftover_scan_single
 from portello_tpu.kernels.cigar_kernels import cleanup_and_compress
+from portello_tpu.kernels.liftover_parallel import _liftover_parallel_single
 from portello_tpu.kernels.shift_kernel import _left_shift_single
 from portello_tpu.kernels.simplify_kernel import _simplify_single
 from portello_tpu.models.batch import BucketConfig
@@ -48,7 +48,9 @@ DEFAULT_BUCKETS = (
 
 
 def _lift_core(ops, lens, n_ops, pos, bk, bv, nb, *, max_out):
-    e_codes, e_lens, ref2_start = _liftover_scan_single(ops, lens, n_ops, pos, bk, bv, nb)
+    e_codes, e_lens, ref2_start = _liftover_parallel_single(
+        ops, lens, n_ops, pos, bk, bv, nb
+    )
     l_codes, l_lens, l_n, shift, overflow = cleanup_and_compress(e_codes, e_lens, max_out)
     mapped = ref2_start >= 0
     ref2_pos = jnp.where(mapped, ref2_start + shift, -1)

@@ -295,6 +295,7 @@ def scan_and_remap_reads(
     is_target_region: bool,
     cmdline: str = "",
     engine=None,
+    thread_count: int = 1,
 ) -> None:
     """Stream the read-to-assembly BAM: copy unmapped reads to the unassembled
     output, lift everything else (read_alignment_scanner.rs:566-661).
@@ -312,11 +313,18 @@ def scan_and_remap_reads(
         engine.set_ref_chrom_list(ref_chrom_list)
         engine.is_target_region = is_target_region
 
+    # BGZF writer thread count mirrors the reference's max(1, threads/2)
+    # (read_alignment_scanner.rs:589); stdout output stays uncompressed.
+    writer_threads = max(1, thread_count // 2)
     if remapped_read_output == "-":
         remapped_writer = BamWriter(sys.stdout.buffer, header, level=0)
     else:
-        remapped_writer = BamWriter(remapped_read_output, header)
-    unassembled_writer = BamWriter(unassembled_read_output, header)
+        remapped_writer = BamWriter(
+            remapped_read_output, header, n_threads=writer_threads
+        )
+    unassembled_writer = BamWriter(
+        unassembled_read_output, header, n_threads=writer_threads
+    )
 
     def emit(records: list[BamRecord]) -> None:
         for rec in records:

@@ -15,19 +15,50 @@ from portello_tpu.ops.liftover import liftover_read_alignment
 
 jax = pytest.importorskip("jax")
 
-from portello_tpu.kernels.liftover_kernel import liftover_batch  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from portello_tpu.kernels.cigar_kernels import cleanup_and_compress  # noqa: E402
+from portello_tpu.kernels.liftover_kernel import (  # noqa: E402
+    _liftover_scan_single,
+    liftover_batch,
+)
+from portello_tpu.kernels.liftover_parallel import _liftover_parallel_single  # noqa: E402
 
 CFG = BucketConfig(max_ops=64, max_blocks=32, max_seq=1024)
 
+IMPLS = {
+    "scan": _liftover_scan_single,
+    "parallel": _liftover_parallel_single,
+}
 
-def run_batch(items, cfg=CFG):
+
+def run_batch(items, cfg=CFG, impl="scan"):
     arrs = build_liftover_batch(items, cfg)
-    out = liftover_batch(*[np.asarray(a) for a in arrs], max_out=cfg.resolved_max_out())
+    max_out = cfg.resolved_max_out()
+    if impl == "scan":
+        out = liftover_batch(*[np.asarray(a) for a in arrs], max_out=max_out)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    single = IMPLS[impl]
+
+    def item(ops, lens, n_ops, pos, bk, bv, nb):
+        e_codes, e_lens, ref2_start = single(ops, lens, n_ops, pos, bk, bv, nb)
+        o_codes, o_lens, n_out, shift, overflow = cleanup_and_compress(
+            e_codes, e_lens, max_out
+        )
+        mapped = ref2_start >= 0
+        return {
+            "ref2_pos": jnp.where(mapped, ref2_start + shift, -1),
+            "codes": o_codes, "lens": o_lens, "n_out": n_out,
+            "mapped": mapped, "overflow": overflow,
+        }
+
+    out = jax.jit(jax.vmap(item))(*[np.asarray(a) for a in arrs])
     return {k: np.asarray(v) for k, v in out.items()}
 
 
-def check_against_oracle(items, cfg=CFG):
-    out = run_batch(items, cfg)
+def check_against_oracle(items, cfg=CFG, impl="scan"):
+    out = run_batch(items, cfg, impl)
     for i, (cig, pos, bm) in enumerate(items):
         expected = liftover_read_alignment(bm, pos, cig)
         assert not out["overflow"][i], f"item {i} overflowed"
@@ -45,7 +76,8 @@ def check_against_oracle(items, cfg=CFG):
             )
 
 
-def test_reference_vectors():
+@pytest.mark.parametrize("impl", list(IMPLS))
+def test_reference_vectors(impl):
     read = cg.from_string("10M10D10M10I10M10S")
     items = [
         (read, 10, BlockMap()),
@@ -60,7 +92,7 @@ def test_reference_vectors():
         (cg.from_string("10M10D10M"), 55, build_block_map(1000, cg.from_string("70M30S"), False)),
         (cg.from_string("5H10M5H"), 10, build_block_map(1000, cg.from_string("100M"), False)),
     ]
-    check_against_oracle(items)
+    check_against_oracle(items, impl=impl)
 
 
 def random_cigar(rng, max_ops, read_only=False, allow_nx=True):
@@ -85,7 +117,8 @@ def random_cigar(rng, max_ops, read_only=False, allow_nx=True):
     return np.array(ops, dtype=np.int64)
 
 
-def test_fuzz_against_oracle():
+@pytest.mark.parametrize("impl", list(IMPLS))
+def test_fuzz_against_oracle(impl):
     rng = np.random.default_rng(20260816)
     items = []
     for _ in range(300):
@@ -101,7 +134,7 @@ def test_fuzz_against_oracle():
         read_pos = int(rng.integers(0, hi + 10))
         items.append((read_cigar, read_pos, bm))
     assert len(items) > 200
-    check_against_oracle(items)
+    check_against_oracle(items, impl=impl)
 
 
 def test_empty_cigar_batch():
