@@ -6,10 +6,15 @@ TPU-native reformulation of left_shift_indels
 - per-cluster homology lengths come from one bounded-window vectorized suffix
   compare (replacing get_indel_breakend_homology_info's base loop,
   indel_breakend_homology.rs:33-47);
-- the builder's sequential match-block accounting (each cluster moves
+- the builder's sequential match-block accounting — each cluster moves
   ``shift`` matched bases from before it to after it, so cluster i+1's budget
-  depends on cluster i's shift) is a cheap min-plus recurrence, evaluated by a
-  single ``lax.scan`` over ops with scalar state.
+  depends on cluster i's shift — is a **min-plus affine recurrence**
+  ``p' = min(b, a + p)``, which composes associatively:
+  ``(a1,b1)∘(a2,b2) = (a1+a2, min(b2, a2+b1))``.  One
+  ``jax.lax.associative_scan`` (log-depth, fully parallel) replaces the
+  per-op sequential scan.  Per-op transforms: match op ``(len, +inf)``
+  (accumulate), cluster end ``(0, homology_cap)`` (clamp), other op ``(0, 0)``
+  (flush/reset), everything else identity.
 
 Coordinates: the cigar is already in contig-reverse orientation; ``ref_pos`` is
 the alignment start relative to ``ref_win`` (a window of the reverse-complement
@@ -34,6 +39,15 @@ from portello_tpu.kernels.cigar_kernels import (
     is_align_match,
 )
 from portello_tpu.kernels.cluster_utils import find_clusters, match_run_right
+
+_INF = jnp.int32(jnp.iinfo(jnp.int32).max // 2)
+
+
+def _minplus_combine(x, y):
+    """Compose affine-min transforms applied left-to-right: y after x."""
+    ax, bx = x
+    ay, by = y
+    return ax + ay, jnp.minimum(by, ay + bx)
 
 
 def _left_shift_single(
@@ -61,62 +75,61 @@ def _left_shift_single(
     is_other = valid & ~is_indel & ~is_m
     cend = cl["cluster_end"]
     cid = jnp.clip(cl["cluster_id"], 0, max_clusters - 1)
+    cap_at_op = h_cap[cid]
 
-    # Sequential match-block recurrence (cigar_indel_shifter.rs:101-148):
-    # pending = match run accumulated since the last flush; at each cluster end
-    # shift s = min(homology cap, pending) splits the run around the indel.
-    def step(carry, xs):
-        pending, fallback = carry
-        code, ln, m_op, indel_end, other, c = xs
-        cap = h_cap[c]
-        s = jnp.minimum(cap, pending)
-        # homology window saturated AND the true budget could exceed it
-        fb = sat[c] & has_indel[c] & (jnp.minimum(max_left[c], pending) > window)
-        e_codes = jnp.where(
-            indel_end,
-            jnp.array([M, I, D], dtype=codes.dtype),
-            jnp.where(
-                other,
-                jnp.array([M, 0, PAD], dtype=codes.dtype).at[1].set(code),
-                jnp.full(3, PAD, dtype=codes.dtype),
-            ),
-        )
-        e_lens = jnp.where(
-            indel_end,
-            jnp.stack([pending - s, il[c], dl[c]]),
-            jnp.where(
-                other,
-                jnp.stack([pending, ln, jnp.int32(0)]),
-                jnp.zeros(3, dtype=lens.dtype),
-            ),
-        )
-        pending = jnp.where(
-            indel_end, s, jnp.where(other, 0, pending + jnp.where(m_op, ln, 0))
-        )
-        fallback = fallback | (indel_end & fb)
-        # The builder pushes only nonzero segments (cigar_indel_shifter.rs:87-99,
-        # :133-137); zero-length M would wrongly stop the edge cleanup walk.
-        # The "other" op itself (slot 1) is kept even when zero-length.
-        drop = (e_lens == 0) & ~(other & (jnp.arange(3) == 1))
-        e_codes = jnp.where(drop, PAD, e_codes)
-        return (pending, fallback), (e_codes, e_lens)
+    # Per-op min-plus transforms (see module docstring).
+    a = jnp.where(is_m, lens, 0)
+    b = jnp.where(cend, cap_at_op, jnp.where(is_other, 0, _INF))
 
-    (pending, fallback), (e_codes, e_lens) = jax.lax.scan(
-        step,
-        (jnp.int32(0), jnp.bool_(False)),
-        (codes, lens, is_m, cend, is_other, cid),
+    # Exclusive composite: pending BEFORE each op, starting from p0 = 0.
+    a_ext = jnp.concatenate([jnp.zeros(1, jnp.int32), a.astype(jnp.int32)])
+    b_ext = jnp.concatenate([_INF[None], b.astype(jnp.int32)])
+    A, B = jax.lax.associative_scan(_minplus_combine, (a_ext, b_ext))
+    pending_before = jnp.minimum(A[:n], B[:n])
+    pending_final = jnp.minimum(A[n], B[n])
+
+    # Emissions: at a cluster end, split the preceding match run around the
+    # shifted indel (nImD order, cigar_indel_shifter.rs:140-147); at an
+    # "other" op, flush the match run then copy the op.
+    s = jnp.minimum(cap_at_op, pending_before)
+    e_codes = jnp.stack(
+        [
+            jnp.where(cend | is_other, M, PAD),
+            jnp.where(cend, I, jnp.where(is_other, codes, PAD)),
+            jnp.where(cend, D, PAD),
+        ],
+        axis=1,
     )
+    e_lens = jnp.stack(
+        [
+            jnp.where(cend, pending_before - s, jnp.where(is_other, pending_before, 0)),
+            jnp.where(cend, il[cid], jnp.where(is_other, lens, 0)),
+            jnp.where(cend, dl[cid], 0),
+        ],
+        axis=1,
+    )
+    # The builder pushes only nonzero segments (cigar_indel_shifter.rs:87-99,
+    # :133-137); zero-length M would wrongly stop the edge cleanup walk.  The
+    # "other" op itself (slot 1) is kept even when zero-length.
+    keep_zero = is_other[:, None] & (jnp.arange(3) == 1)[None, :]
+    e_codes = jnp.where((e_lens == 0) & ~keep_zero, PAD, e_codes)
+
+    # Fallback: homology window saturated AND the true budget could exceed it.
+    fb = cend & sat[cid] & has_indel[cid] & (
+        jnp.minimum(max_left[cid], pending_before) > window
+    )
+    fallback = jnp.any(fb) | cl["overflow"]
 
     # Final flush of the trailing match run (cigar_indel_shifter.rs:155-160);
     # pushed only when nonzero.
-    tail_code = jnp.where(pending > 0, M, PAD).astype(codes.dtype)
+    tail_code = jnp.where(pending_final > 0, M, PAD).astype(codes.dtype)
     flat_codes = jnp.concatenate([e_codes.reshape(-1), tail_code[None]])
-    flat_lens = jnp.concatenate([e_lens.reshape(-1), pending[None]])
+    flat_lens = jnp.concatenate([e_lens.reshape(-1), pending_final[None]])
 
     f_codes, f_lens, n_out, shift, c_overflow = cleanup_and_compress(
         flat_codes, flat_lens, max_out
     )
-    fallback = fallback | cl["overflow"] | c_overflow
+    fallback = fallback | c_overflow
     return f_codes, f_lens, n_out, ref_pos + shift, fallback
 
 

@@ -17,9 +17,12 @@ from portello_tpu.ops import cigar as cg
 from portello_tpu.ops.blockmap import build_block_map
 from portello_tpu.testutil.simulate import apply_edits, rand_seq
 
-#: Production bucket sized for 24 kb HiFi reads (SURVEY.md section 3.3 profile)
+#: Production bucket sized for 24 kb HiFi reads (SURVEY.md section 3.3 profile):
+#: read-to-contig cigars carry only sequencing error (~0.25%/bp -> ~100-200 ops
+#: per 18 kb read); contig-to-ref blocks within the read span ~1.2/kb.  Reads
+#: exceeding a bound spill to the next bucket or the exact host path.
 HIFI_BUCKET = BucketConfig(
-    max_ops=768, max_blocks=160, max_seq=24576, max_clusters=256, window=48
+    max_ops=256, max_blocks=96, max_seq=24576, max_clusters=160, window=48
 )
 
 
