@@ -30,6 +30,9 @@ class Settings:
     thread_count: int
     device: str = "auto"
     batch_size: int = 512
+    num_hosts: int = 1
+    host_id: int = 0
+    coordinator: str | None = None
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -77,6 +80,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--batch-size", type=int, default=512,
         help="Reads per device batch",
+    )
+    p.add_argument(
+        "--num-hosts", type=int, default=1,
+        help="Total hosts in a multi-host run; each host lifts its owned "
+        "contig subset and writes an output shard (merge with "
+        "'python -m portello_tpu.tools.merge')",
+    )
+    p.add_argument(
+        "--host-id", type=int, default=0,
+        help="This host's index in [0, num-hosts)",
+    )
+    p.add_argument(
+        "--coordinator", default=None,
+        help="JAX distributed coordinator address (host:port) for multi-host "
+        "device meshes; omit for independent per-host runs",
     )
     return p
 

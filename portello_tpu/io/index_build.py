@@ -25,6 +25,7 @@ def build_bai(bam_path: str, out_path: str | None = None) -> str:
 
     bgzf = reader._bgzf
     bgzf.seek_voffset(reader._data_voffset)
+    last_key = (-1, -1)
     while True:
         v_start = bgzf.tell_voffset()
         raw = reader._read_record_raw()
@@ -36,6 +37,11 @@ def build_bai(bam_path: str, out_path: str | None = None) -> str:
         if tid < 0 or pos < 0:
             n_no_coor += 1
             continue
+        if (tid, pos) < last_key:
+            raise ValueError(
+                f"Cannot index '{bam_path}': records are not coordinate-sorted"
+            )
+        last_key = (tid, pos)
         # end position from the cigar ops
         n_cigar = struct.unpack_from("<H", raw, 12)[0]
         l_read_name = raw[8]

@@ -108,10 +108,40 @@ def run(settings: Settings) -> None:
         settings, reference, assembly_contig_list, all_contig_mapping_info
     )
 
+    shard_plan = None
+    remapped_out = settings.remapped_read_output
+    unassembled_out = settings.unassembled_read_output
+    if settings.num_hosts > 1:
+        from portello_tpu.parallel.distributed import (
+            init_distributed,
+            plan_host_shards,
+            shard_output_path,
+        )
+
+        init_distributed(
+            settings.coordinator, settings.num_hosts, settings.host_id
+        )
+        shard_plan = plan_host_shards(
+            [c.length for c in assembly_contig_list.data],
+            settings.num_hosts,
+            settings.host_id,
+        )
+        remapped_out = shard_output_path(
+            remapped_out, settings.host_id, settings.num_hosts
+        )
+        unassembled_out = shard_output_path(
+            unassembled_out, settings.host_id, settings.num_hosts
+        )
+        logger.info(
+            f"Host {settings.host_id}/{settings.num_hosts} owns "
+            f"{len(shard_plan.contig_indices)} contigs; output shard: "
+            f"{remapped_out}"
+        )
+
     scan_and_remap_reads(
         settings.read_to_assembly_bam,
-        settings.remapped_read_output,
-        settings.unassembled_read_output,
+        remapped_out,
+        unassembled_out,
         reference,
         ref_chrom_list,
         all_contig_mapping_info,
@@ -119,6 +149,7 @@ def run(settings: Settings) -> None:
         cmdline=cmdline,
         engine=engine,
         thread_count=settings.thread_count,
+        shard_plan=shard_plan,
     )
 
     elapsed = time.monotonic() - start

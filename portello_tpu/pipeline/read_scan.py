@@ -296,6 +296,7 @@ def scan_and_remap_reads(
     cmdline: str = "",
     engine=None,
     thread_count: int = 1,
+    shard_plan=None,
 ) -> None:
     """Stream the read-to-assembly BAM: copy unmapped reads to the unassembled
     output, lift everything else (read_alignment_scanner.rs:566-661).
@@ -330,14 +331,22 @@ def scan_and_remap_reads(
         for rec in records:
             remapped_writer.write(rec)
 
+    # Multi-host: this host lifts only reads whose primary alignment is on an
+    # owned contig; the unassembled pass-through runs on host 0 only
+    # (portello_tpu.parallel.distributed ownership plan).
+    emit_unmapped = shard_plan is None or shard_plan.host_id == 0
+
     with BamReader(read_to_assembly_bam) as reader:
         for record in reader:
             if record.is_unmapped():
                 # Unassembled reads pass through unmodified
                 # (read_alignment_scanner.rs:537-559).
-                unassembled_writer.write_raw(record.raw)
+                if emit_unmapped:
+                    unassembled_writer.write_raw(record.raw)
                 continue
             if record.is_supplementary():
+                continue
+            if shard_plan is not None and not shard_plan.owns(record.tid):
                 continue
             if engine is not None:
                 engine.submit(record, emit)

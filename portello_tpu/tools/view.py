@@ -1,0 +1,41 @@
+"""BAM -> SAM text dump (samtools view -h equivalent for inspection)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from portello_tpu.io.bam import BamReader
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="portello-tpu view")
+    p.add_argument("bam")
+    p.add_argument("--no-header", action="store_true")
+    p.add_argument("--region", default=None, help="chrom:start-end (requires index)")
+    args = p.parse_args(argv)
+    with BamReader(args.bam) as reader:
+        if not args.no_header:
+            sys.stdout.write(reader.header.text.decode())
+        if args.region:
+            from portello_tpu.utils.chrom_list import ChromList
+            from portello_tpu.utils.genome_segment import parse_samtools_region_string
+
+            cl = ChromList.from_pairs(reader.header.refs)
+            tid, beg, end = parse_samtools_region_string(cl, args.region)
+            records = reader.fetch(tid, beg, end)
+        else:
+            records = iter(reader)
+        for rec in records:
+            sys.stdout.write(rec.to_sam(reader.header) + "\n")
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except BrokenPipeError:
+        # downstream pipe (e.g. `| head`) closed early — normal CLI behavior
+        import os
+
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        sys.exit(0)

@@ -1,0 +1,68 @@
+"""Multi-host semantics: per-host contig-sharded runs + merge must reproduce
+the single-host output exactly (as sorted record sets)."""
+
+import numpy as np
+import pytest
+
+from portello_tpu.io.bam import BamReader
+from portello_tpu.main import main
+from portello_tpu.parallel.distributed import plan_host_shards, shard_output_path
+from portello_tpu.testutil.simulate import make_scenario
+from portello_tpu.tools.merge import merge_bams
+
+
+def content(path):
+    with BamReader(path) as r:
+        return sorted(rec.encode() for rec in r)
+
+
+def test_plan_host_shards():
+    lengths = [100, 900, 500, 300, 200]
+    plans = [plan_host_shards(lengths, 2, h) for h in range(2)]
+    owned = sorted(i for p in plans for i in p.contig_indices)
+    assert owned == list(range(5))
+    loads = [sum(lengths[i] for i in p.contig_indices) for p in plans]
+    assert max(loads) - min(loads) <= 900  # greedy balance
+
+
+def test_shard_output_path():
+    assert shard_output_path("out.bam", 1, 4) == "out.shard01of04.bam"
+    assert shard_output_path("out", 0, 2) == "out.shard00of02"
+    assert shard_output_path("-", 0, 2) == "-"
+    assert shard_output_path("x/y.bam", 3, 8) == "x/y.shard03of08.bam"
+
+
+def test_two_host_run_matches_single(tmp_path):
+    scn = make_scenario(str(tmp_path), rng=np.random.default_rng(11))
+
+    def run(tag, extra):
+        r = str(tmp_path / f"r_{tag}.bam")
+        u = str(tmp_path / f"u_{tag}.bam")
+        main(
+            [
+                "--assembly-to-ref", scn.contig_bam,
+                "--read-to-assembly", scn.read_bam,
+                "--remapped-read-output", r,
+                "--unassembled-read-output", u,
+                "--ref", scn.ref_fasta,
+                "--device", "host",
+                *extra,
+            ]
+        )
+        return r, u
+
+    r_single, u_single = run("single", [])
+    shards_r = []
+    shards_u = []
+    for host in range(2):
+        run(f"h{host}", ["--num-hosts", "2", "--host-id", str(host)])
+        shards_r.append(str(tmp_path / f"r_h{host}.shard{host:02d}of02.bam"))
+        shards_u.append(str(tmp_path / f"u_h{host}.shard{host:02d}of02.bam"))
+
+    merged_r = str(tmp_path / "merged_r.bam")
+    merged_u = str(tmp_path / "merged_u.bam")
+    merge_bams(merged_r, shards_r)
+    merge_bams(merged_u, shards_u)
+
+    assert content(merged_r) == content(r_single)
+    assert content(merged_u) == content(u_single)
