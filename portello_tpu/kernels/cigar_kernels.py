@@ -73,6 +73,10 @@ def compress(codes, lens, max_out: int):
     compressed cigar exceeds ``max_out`` ops.
     """
     n = codes.shape[0]
+    # The inputs often come from gather-built emission streams; a barrier here
+    # keeps those gathers from being fused into (and serializing) the prefix
+    # scans below (see scripts/profile_isolate.py).
+    codes, lens = jax.lax.optimization_barrier((codes, lens))
     keep = (codes != PAD) & (lens != 0)
     idx = jnp.arange(n, dtype=jnp.int32)
 

@@ -9,12 +9,13 @@ TPU-native reformulation of left_shift_indels
 - the builder's sequential match-block accounting — each cluster moves
   ``shift`` matched bases from before it to after it, so cluster i+1's budget
   depends on cluster i's shift — is a **min-plus affine recurrence**
-  ``p' = min(b, a + p)``, which composes associatively:
-  ``(a1,b1)∘(a2,b2) = (a1+a2, min(b2, a2+b1))``.  One
-  ``jax.lax.associative_scan`` (log-depth, fully parallel) replaces the
-  per-op sequential scan.  Per-op transforms: match op ``(len, +inf)``
-  (accumulate), cluster end ``(0, homology_cap)`` (clamp), other op ``(0, 0)``
-  (flush/reset), everything else identity.
+  ``p_i = min(b_i, a_i + p_{i-1})``.  Because the additive part is scalar it
+  has the closed form ``p_i = SA_i + min_{j<=i}(b_j - SA_j)`` with
+  ``SA = cumsum(a)``: one prefix sum plus one running minimum, both cheap
+  TPU-native primitives (an explicit ``associative_scan`` lowers poorly on
+  TPU at these sizes — measured 50x slower).  Per-op transform terms: match
+  op ``(a=len, b=+inf)`` (accumulate), cluster end ``(0, homology_cap)``
+  (clamp), other op ``(0, 0)`` (flush/reset), everything else identity.
 
 Coordinates: the cigar is already in contig-reverse orientation; ``ref_pos`` is
 the alignment start relative to ``ref_win`` (a window of the reverse-complement
@@ -43,18 +44,26 @@ from portello_tpu.kernels.cluster_utils import find_clusters, match_run_right
 _INF = jnp.int32(jnp.iinfo(jnp.int32).max // 2)
 
 
-def _minplus_combine(x, y):
-    """Compose affine-min transforms applied left-to-right: y after x."""
-    ax, bx = x
-    ay, by = y
-    return ax + ay, jnp.minimum(by, ay + bx)
+def _minplus_scan(a, b):
+    """Inclusive scan of p_i = min(b_i, a_i + p_{i-1}), p_{-1} = +inf.
+
+    Closed form: SA_i + cummin(b_j - SA_j) for j <= i, SA = inclusive cumsum.
+    """
+    sa = jnp.cumsum(a)
+    return sa + jax.lax.cummin(b - sa)
 
 
-def _left_shift_single(
-    codes, lens, ref_pos, win_base, ref_win, read_seq,
-    *, max_clusters, window, max_out,
+def _shift_stage_a(
+    codes, lens, ref_pos, win_base, ref_win, read_seq, *, max_clusters, window
 ):
-    n = codes.shape[0]
+    """Cluster detection + homology caps + per-op scan inputs.
+
+    Kept as a separate stage: when the homology gather chain and the prefix
+    scans of stage B compile into one XLA program, the gathers fuse into the
+    scans and serialize them (measured 100x slowdown,
+    scripts/profile_isolate.py); the engine runs A and B as separate device
+    calls with device-resident intermediates.
+    """
     cl = find_clusters(codes, lens, ref_pos, max_clusters)
     dl = cl["del_len"]
     il = cl["ins_len"]
@@ -80,18 +89,38 @@ def _left_shift_single(
     # Per-op min-plus transforms (see module docstring).
     a = jnp.where(is_m, lens, 0)
     b = jnp.where(cend, cap_at_op, jnp.where(is_other, 0, _INF))
+    fb_sat = sat[cid] & has_indel[cid]
+    ml_at_op = max_left[cid]
+    return {
+        "a": a, "b": b, "cend": cend, "is_other": is_other,
+        "ins_at_op": il[cid], "del_at_op": dl[cid],
+        "cap_at_op": cap_at_op, "fb_sat": fb_sat, "ml_at_op": ml_at_op,
+        "overflow": cl["overflow"],
+    }
 
-    # Exclusive composite: pending BEFORE each op, starting from p0 = 0.
+
+def _shift_stage_b(
+    codes, lens, ref_pos, st, *, window, max_out
+):
+    """Min-plus scan + emissions + cleanup/compress over stage-A outputs."""
+    n = codes.shape[0]
+    a = st["a"]
+    b = st["b"]
+    cend = st["cend"]
+    is_other = st["is_other"]
+
+    # Exclusive scan: pending BEFORE each op, starting from p0 = 0 (the
+    # leading (0, 0) element seeds min(b_0=0, ...) = 0).
     a_ext = jnp.concatenate([jnp.zeros(1, jnp.int32), a.astype(jnp.int32)])
-    b_ext = jnp.concatenate([_INF[None], b.astype(jnp.int32)])
-    A, B = jax.lax.associative_scan(_minplus_combine, (a_ext, b_ext))
-    pending_before = jnp.minimum(A[:n], B[:n])
-    pending_final = jnp.minimum(A[n], B[n])
+    b_ext = jnp.concatenate([jnp.zeros(1, jnp.int32), b.astype(jnp.int32)])
+    p = _minplus_scan(a_ext, b_ext)
+    pending_before = p[:n]
+    pending_final = p[n]
 
     # Emissions: at a cluster end, split the preceding match run around the
     # shifted indel (nImD order, cigar_indel_shifter.rs:140-147); at an
     # "other" op, flush the match run then copy the op.
-    s = jnp.minimum(cap_at_op, pending_before)
+    s = jnp.minimum(st["cap_at_op"], pending_before)
     e_codes = jnp.stack(
         [
             jnp.where(cend | is_other, M, PAD),
@@ -103,8 +132,8 @@ def _left_shift_single(
     e_lens = jnp.stack(
         [
             jnp.where(cend, pending_before - s, jnp.where(is_other, pending_before, 0)),
-            jnp.where(cend, il[cid], jnp.where(is_other, lens, 0)),
-            jnp.where(cend, dl[cid], 0),
+            jnp.where(cend, st["ins_at_op"], jnp.where(is_other, lens, 0)),
+            jnp.where(cend, st["del_at_op"], 0),
         ],
         axis=1,
     )
@@ -115,10 +144,10 @@ def _left_shift_single(
     e_codes = jnp.where((e_lens == 0) & ~keep_zero, PAD, e_codes)
 
     # Fallback: homology window saturated AND the true budget could exceed it.
-    fb = cend & sat[cid] & has_indel[cid] & (
-        jnp.minimum(max_left[cid], pending_before) > window
+    fb = cend & st["fb_sat"] & (
+        jnp.minimum(st["ml_at_op"], pending_before) > window
     )
-    fallback = jnp.any(fb) | cl["overflow"]
+    fallback = jnp.any(fb) | st["overflow"]
 
     # Final flush of the trailing match run (cigar_indel_shifter.rs:155-160);
     # pushed only when nonzero.
@@ -131,6 +160,36 @@ def _left_shift_single(
     )
     fallback = fallback | c_overflow
     return f_codes, f_lens, n_out, ref_pos + shift, fallback
+
+
+def _left_shift_single(
+    codes, lens, ref_pos, win_base, ref_win, read_seq,
+    *, max_clusters, window, max_out,
+):
+    """Single-graph composition of stages A and B (tests / dry runs; the
+    engine dispatches the stages separately, see shift_stage_a/b)."""
+    st = _shift_stage_a(
+        codes, lens, ref_pos, win_base, ref_win, read_seq,
+        max_clusters=max_clusters, window=window,
+    )
+    return _shift_stage_b(codes, lens, ref_pos, st, window=window, max_out=max_out)
+
+
+@partial(jax.jit, static_argnames=("max_clusters", "window"))
+def shift_stage_a_batch(codes, lens, ref_pos, win_base, ref_win, read_seq,
+                        *, max_clusters, window):
+    return jax.vmap(
+        lambda c, l, p, wb, rw, rq: _shift_stage_a(
+            c, l, p, wb, rw, rq, max_clusters=max_clusters, window=window
+        )
+    )(codes, lens, ref_pos, win_base, ref_win, read_seq)
+
+
+@partial(jax.jit, static_argnames=("window", "max_out"))
+def shift_stage_b_batch(codes, lens, ref_pos, st, *, window, max_out):
+    return jax.vmap(
+        lambda c, l, p, s: _shift_stage_b(c, l, p, s, window=window, max_out=max_out)
+    )(codes, lens, ref_pos, st)
 
 
 @partial(jax.jit, static_argnames=("max_clusters", "window", "max_out"))

@@ -86,6 +86,12 @@ def _rev_item(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
         ops, lens, pos - win_base, win_base, contig_win, read_seq,
         max_clusters=max_clusters, window=window, max_out=max_out,
     )
+    # Stage seam: keep the shift's gather-built outputs from fusing into the
+    # liftover's prefix scans (TPU serialization pathology; see
+    # scripts/profile_isolate.py).
+    sh_codes, sh_lens, sh_n, sh_pos = jax.lax.optimization_barrier(
+        (sh_codes, sh_lens, sh_n, sh_pos)
+    )
     out = _fwd_item(
         sh_codes, sh_lens, sh_n, sh_pos + win_base, bk, bv, nb,
         ref_win, ref_base, read_seq,
@@ -104,11 +110,46 @@ def fwd_batch(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq,
 
 
 @partial(jax.jit, static_argnames=("max_out", "max_clusters", "window"))
-def rev_batch(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
-              ref_win, ref_base, read_seq, *, max_out, max_clusters, window):
+def rev_batch_fused(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
+                    ref_win, ref_base, read_seq, *, max_out, max_clusters, window):
+    """Single-graph reverse pipeline (used by the sharded mesh step)."""
     return jax.vmap(
         lambda *a: _rev_item(*a, max_out=max_out, max_clusters=max_clusters, window=window)
     )(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb, ref_win, ref_base, read_seq)
+
+
+def rev_batch(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
+              ref_win, ref_base, read_seq, *, max_out, max_clusters, window):
+    """Reverse pipeline as a chain of separate device calls: shift stage A
+    (clusters + homology gathers), shift stage B (scan + emissions), then the
+    forward pipeline on the shifted cigars.
+
+    Compiling these into one XLA program triggers a fusion pathology on TPU
+    (gather-built intermediate streams fuse into the downstream prefix scans
+    and serialize them — measured ~7x wall-clock in scripts/devtime.py);
+    stage-separated programs each keep their fast lowering.  Intermediates
+    stay on device between calls.
+    """
+    from portello_tpu.kernels.shift_kernel import (
+        shift_stage_a_batch,
+        shift_stage_b_batch,
+    )
+
+    kw = dict(max_out=max_out, max_clusters=max_clusters, window=window)
+    rel_pos = pos - win_base
+    st = shift_stage_a_batch(
+        ops, lens, rel_pos, win_base, contig_win, read_seq,
+        max_clusters=max_clusters, window=window,
+    )
+    sh_codes, sh_lens, sh_n, sh_pos, sh_fb = shift_stage_b_batch(
+        ops, lens, rel_pos, st, window=window, max_out=max_out
+    )
+    out = fwd_batch(
+        sh_codes, sh_lens, sh_n, sh_pos + win_base, bk, bv, nb,
+        ref_win, ref_base, read_seq, **kw,
+    )
+    out["fallback"] = out["fallback"] | sh_fb
+    return out
 
 
 @dataclass

@@ -61,7 +61,7 @@ def make_sharded_rev_step(mesh: Mesh, *, max_out: int, max_clusters: int, window
         lambda *a: _rev_item(
             *a, max_out=max_out, max_clusters=max_clusters, window=window
         )
-    )
+    )  # fused single-graph variant: fine for compile validation dry runs
     sh = batch_sharding(mesh)
     in_sh = (sh,) * 12
     return jax.jit(fn, in_shardings=in_sh, out_shardings=sh)
