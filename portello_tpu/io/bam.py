@@ -606,6 +606,43 @@ class BamWriter:
         self.close()
 
 
+def filter_out_alignment_record(rec: BamRecord) -> bool:
+    """Standard variant-calling record filter: unmapped/secondary/qcfail/dup
+    (reference bam_record_utils.rs:10-15)."""
+    return bool(rec.flag & (FUNMAP | FSECONDARY | FQCFAIL | FDUP))
+
+
+def get_reverse_read_position(rec: BamRecord, read_pos: int) -> int:
+    """Read position in the reversed orientation (bam_record_utils.rs:31-40)."""
+    read_len = rec.seq_len()
+    if read_pos >= read_len:
+        raise ValueError(
+            f"Invalid read position {read_pos}, exceeds the read_length "
+            f"{read_len}, in read {rec.qname.decode()}"
+        )
+    return read_len - (read_pos + 1)
+
+
+def get_seq_order_read_position(rec: BamRecord, read_pos: int) -> int:
+    """Fwd-aligned read position -> sequencing-order position
+    (bam_record_utils.rs:45-51)."""
+    if rec.is_reverse():
+        return get_reverse_read_position(rec, read_pos)
+    return read_pos
+
+
+def get_sample_name(header: BamHeader, default_name: str) -> str:
+    """Sample name from the first @RG SM: field (reference bam_utils/util.rs:43-56)."""
+    for line in header.text.decode(errors="replace").split("\n"):
+        words = line.split("\t")
+        if not words or words[0] != "@RG":
+            continue
+        for word in words[1:]:
+            if word.startswith("SM:"):
+                return word[3:]
+    return default_name
+
+
 def assert_bam_eof(path: str) -> None:
     """Abort on truncated BAM (reference bam_reader_utils.rs:19-43)."""
     if not check_eof_marker(path):

@@ -41,7 +41,9 @@ from portello_tpu.kernels.cigar_kernels import (
 )
 from portello_tpu.kernels.cluster_utils import find_clusters, match_run_right
 
-_INF = jnp.int32(jnp.iinfo(jnp.int32).max // 2)
+# plain int: a jnp scalar here would instantiate a device array at import
+# time and lock in the backend before the CLI can select one
+_INF = (2**31 - 1) // 2
 
 
 def _minplus_scan(a, b):

@@ -62,6 +62,19 @@ def make_engine(settings: Settings, reference, contig_list, all_contig_mapping_i
     if settings.device == "host":
         return None
     try:
+        import jax
+
+        if settings.device == "cpu":
+            # Select the backend before anything touches jax devices.
+            jax.config.update("jax_platforms", "cpu")
+        # Persistent compilation cache: bucket shapes are stable, so repeat
+        # runs skip all XLA compiles.
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "portello_tpu", "xla"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         from portello_tpu.models.pipeline_model import DeviceEngine
 
         return DeviceEngine(

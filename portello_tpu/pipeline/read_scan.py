@@ -336,6 +336,17 @@ def scan_and_remap_reads(
     # (portello_tpu.parallel.distributed ownership plan).
     emit_unmapped = shard_plan is None or shard_plan.host_id == 0
 
+    # Progress in assembly-contig kb, matching the reference's reporter units
+    # (read_alignment_scanner.rs:613-624).
+    from portello_tpu.utils.progress import ProgressReporter
+
+    genome_kb = sum(c.length for c in contig_list.data) // 1000
+    progress = ProgressReporter(
+        genome_kb, "Remapped read alignments from", "assembly contig kb"
+    )
+    last_progress = [0, 0]  # (tid, pos) of last report
+
+    n_primary = 0
     with BamReader(read_to_assembly_bam) as reader:
         for record in reader:
             if record.is_unmapped():
@@ -346,8 +357,15 @@ def scan_and_remap_reads(
                 continue
             if record.is_supplementary():
                 continue
+            if record.tid != last_progress[0]:
+                done = sum(
+                    c.length for c in contig_list.data[: record.tid]
+                ) // 1000
+                progress.inc(max(done - progress.count, 0))
+                last_progress = [record.tid, record.pos]
             if shard_plan is not None and not shard_plan.owns(record.tid):
                 continue
+            n_primary += 1
             if engine is not None:
                 engine.submit(record, emit)
             else:
@@ -364,5 +382,15 @@ def scan_and_remap_reads(
         if engine is not None:
             engine.flush(emit)
 
+    progress.clear()
     remapped_writer.close()
     unassembled_writer.close()
+    if engine is not None:
+        s = engine.stats
+        logger.info(
+            f"Lifted {n_primary} primary reads: {s['device_items']} device "
+            f"work items, {s['host_items']} host items "
+            f"({s['fallback_items']} window/bucket fallbacks)"
+        )
+    else:
+        logger.info(f"Lifted {n_primary} primary reads on the host path")
