@@ -33,6 +33,7 @@ class Settings:
     num_hosts: int = 1
     host_id: int = 0
     coordinator: str | None = None
+    local_workers: int = 0
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -95,6 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--coordinator", default=None,
         help="JAX distributed coordinator address (host:port) for multi-host "
         "device meshes; omit for independent per-host runs",
+    )
+    p.add_argument(
+        "--local-workers", type=int, default=0,
+        help="Run phase 2 as N worker processes on this machine (contig-"
+        "sharded, like the reference's thread pool but across GILs) and merge "
+        "their output shards automatically",
     )
     return p
 

@@ -7,6 +7,7 @@ runtime.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -174,13 +175,64 @@ def run(settings: Settings) -> None:
     )
 
 
+def run_local_workers(settings: Settings, argv: list[str]) -> None:
+    """Fan phase 2 out over N worker processes on this machine.
+
+    Each worker is a full pipeline run over a contig shard (the process-level
+    analogue of the reference's rayon fan-out, SURVEY.md section 2d); shards
+    are merged into the final outputs afterwards.
+    """
+    import subprocess
+
+    from portello_tpu.parallel.distributed import shard_output_path
+    from portello_tpu.tools.merge import merge_bams
+
+    logger = setup_logger()
+    n = settings.local_workers
+    if settings.remapped_read_output == "-":
+        raise SystemExit("--local-workers does not support stdout output")
+    base_args = []
+    skip = False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a == "--local-workers":
+            skip = True
+            continue
+        if a.startswith("--local-workers="):
+            continue
+        base_args.append(a)
+    logger.info(f"Running phase 2 across {n} local worker processes")
+    procs = []
+    for w in range(n):
+        cmd = [
+            sys.executable, "-m", "portello_tpu.main", *base_args,
+            "--num-hosts", str(n), "--host-id", str(w),
+        ]
+        procs.append(subprocess.Popen(cmd))
+    failed = [w for w, p in enumerate(procs) if p.wait() != 0]
+    if failed:
+        raise SystemExit(f"worker processes failed: {failed}")
+
+    for output in (settings.remapped_read_output, settings.unassembled_read_output):
+        shards = [shard_output_path(output, w, n) for w in range(n)]
+        merge_bams(output, shards, n_threads=max(1, settings.thread_count // 2))
+        for s in shards:
+            os.remove(s)
+    logger.info(f"Merged {n} worker shards")
+
+
 def main(argv=None) -> None:
     settings = parse_settings(argv)
     settings = validate_and_fix_settings(settings)
     setup_logger()
     try:
         validate_settings_data(settings)
-        run(settings)
+        if settings.local_workers > 1:
+            run_local_workers(settings, list(argv if argv is not None else sys.argv[1:]))
+        else:
+            run(settings)
     except Exception as err:
         print(err, file=sys.stderr)
         sys.exit(2)
