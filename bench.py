@@ -98,31 +98,51 @@ def fast_item_arrays(rng, b, bcfg, read_len, rev, read_rate=0.0025, contig_rate=
 
 
 def sustained_batch_time(single_fn, args, reps, pos_index):
-    """Median time of one batch via in-jit repetition with an anti-hoist
-    data-dependence chain through one integer input."""
+    """True per-batch device time via in-jit repetition.
+
+    Protocol (dictated by this environment's relay semantics):
+    - the repetition loop lives inside one jit (``fori_loop``) so one dispatch
+      covers N executions;
+    - an anti-hoist chain perturbs one integer input per iteration AND the
+      loop carry sums EVERY output (otherwise XLA hoists or dead-code-
+      eliminates iteration bodies);
+    - completion is observed by FETCHING the scalar result to host
+      (block_until_ready does not reliably wait through the axon relay);
+    - the fixed dispatch/RTT cost cancels by differencing two rep counts.
+    """
     import jax
     import jax.numpy as jnp
 
     vf = jax.vmap(single_fn)
 
-    def run(*a):
-        def body(i, acc):
-            a2 = list(a)
-            a2[pos_index] = a2[pos_index] + (acc & 1).astype(a2[pos_index].dtype)
-            out = vf(*a2)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return leaf.reshape(-1)[0].astype(jnp.int32)
+    def make(n):
+        def run(*a):
+            def body(i, acc):
+                a2 = list(a)
+                a2[pos_index] = a2[pos_index] + (acc & 1).astype(a2[pos_index].dtype)
+                out = vf(*a2)
+                total = jnp.int32(0)
+                for leaf in jax.tree_util.tree_leaves(out):
+                    total = total + jnp.sum(leaf).astype(jnp.int32)
+                return total
 
-        return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
-    f = jax.jit(run)
-    jax.block_until_ready(f(*args))  # compile
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(*args))
-        times.append(time.perf_counter() - t0)
-    return min(times) / reps
+        return jax.jit(run)
+
+    lo, hi = max(reps // 4, 1), reps
+    f_lo, f_hi = make(lo), make(hi)
+    int(f_lo(*args))  # compile
+    int(f_hi(*args))
+    t_lo = min(_fetch_time(f_lo, args) for _ in range(3))
+    t_hi = min(_fetch_time(f_hi, args) for _ in range(3))
+    return max(t_hi - t_lo, 1e-9) / (hi - lo)
+
+
+def _fetch_time(f, args):
+    t0 = time.perf_counter()
+    int(f(*args))
+    return time.perf_counter() - t0
 
 
 def host_oracle_time(items_fwd, n_sample):
@@ -201,12 +221,14 @@ def main():
     st = shift_stage_a_batch(
         *dev_shift_args, max_clusters=bcfg.max_clusters, window=bcfg.window
     )
+    # anti-hoist chain must thread through arg 0 (codes): stage B's outputs do
+    # not depend on ref_pos, so perturbing it would let XLA hoist the loop
     t_shift_b = sustained_batch_time(
         lambda c, l, p, s: _shift_stage_b(
             c, l, p, s, window=bcfg.window, max_out=kw["max_out"]
         ),
         (dev_shift_args[0], dev_shift_args[1], dev_shift_args[2], st),
-        reps, 2,
+        reps, 0,
     )
     t_shift = t_shift_a + t_shift_b
     # 50/50 fwd/rev mix: rev = shift + fwd stages (two-call pipeline)

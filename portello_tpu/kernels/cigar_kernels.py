@@ -95,8 +95,8 @@ def compress(codes, lens, max_out: int):
     # prefix sum over kept lens.
     cs_runs = jnp.cumsum(new_run.astype(jnp.int32))
     r = jnp.arange(max_out, dtype=jnp.int32)
-    starts = jnp.searchsorted(cs_runs, r + 1, side="left").astype(jnp.int32)
-    starts_next = jnp.searchsorted(cs_runs, r + 2, side="left").astype(jnp.int32)
+    starts = jnp.searchsorted(cs_runs, r + 1, side="left", method="sort").astype(jnp.int32)
+    starts_next = jnp.searchsorted(cs_runs, r + 2, side="left", method="sort").astype(jnp.int32)
     ps = jnp.concatenate(
         [jnp.zeros(1, lens.dtype), jnp.cumsum(jnp.where(keep, lens, 0))]
     )

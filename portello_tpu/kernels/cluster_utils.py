@@ -60,8 +60,8 @@ def find_clusters(codes, lens, ref_pos, max_clusters: int):
     # [starts[k], starts[k+1]) — trailing non-indel ops contribute zero.
     cs = jnp.cumsum(cluster_start.astype(jnp.int32))
     k = jnp.arange(max_clusters, dtype=jnp.int32)
-    starts = jnp.searchsorted(cs, k + 1, side="left").astype(jnp.int32)
-    starts_next = jnp.searchsorted(cs, k + 2, side="left").astype(jnp.int32)
+    starts = jnp.searchsorted(cs, k + 1, side="left", method="sort").astype(jnp.int32)
+    starts_next = jnp.searchsorted(cs, k + 2, side="left", method="sort").astype(jnp.int32)
     cvalid = k < n_clusters
     safe_starts = jnp.clip(starts, 0, n - 1)
     c_ref = jnp.where(cvalid, ref_starts[safe_starts].astype(jnp.int32), 0)

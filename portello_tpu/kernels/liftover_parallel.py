@@ -62,8 +62,8 @@ def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb):
     e = s + rl                              # op end
 
     # Block entry range per rc op (get_ref_range floor semantics).
-    lo = jnp.searchsorted(bk, s, side="right").astype(jnp.int32) - 1
-    hi = jnp.minimum(jnp.searchsorted(bk, e, side="left").astype(jnp.int32), nb)
+    lo = jnp.searchsorted(bk, s, side="right", method="sort").astype(jnp.int32) - 1
+    hi = jnp.minimum(jnp.searchsorted(bk, e, side="left", method="sort").astype(jnp.int32), nb)
     lo = jnp.clip(lo, 0, hi)
 
     visits = jnp.where(rc, hi - lo + 1, jnp.where(is_ro & active, 1, 0))
@@ -74,7 +74,7 @@ def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb):
     r = jnp.arange(U, dtype=jnp.int32)
     row_valid = r < total_rows
     op_of = jnp.clip(
-        jnp.searchsorted(off + visits, r, side="right").astype(jnp.int32),
+        jnp.searchsorted(off + visits, r, side="right", method="sort").astype(jnp.int32),
         0,
         max_ops - 1,
     )

@@ -54,8 +54,11 @@ def repeat_in_jit(single_fn, args, reps):
             a2 = list(a)
             a2[3] = a2[3] + (acc & 1).astype(a2[3].dtype)  # data-dependent, unfoldable
             out = vf(*a2)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return leaf.reshape(-1)[0].astype(jnp.int32)
+            # carry must consume EVERY output or XLA DCEs the iteration body
+            total = jnp.int32(0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                total = total + jnp.sum(leaf).astype(jnp.int32)
+            return total
 
         return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
