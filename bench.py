@@ -167,7 +167,7 @@ def host_oracle_time(items_fwd, n_sample):
 
 def main():
     batch = int(os.environ.get("PTPU_BENCH_BATCH", "512"))
-    reps = int(os.environ.get("PTPU_BENCH_REPS", "20"))
+    reps = int(os.environ.get("PTPU_BENCH_REPS", "40"))
     read_len = int(os.environ.get("PTPU_BENCH_READLEN", "18000"))
 
     import jax

@@ -64,14 +64,27 @@ def find_clusters(codes, lens, ref_pos, max_clusters: int):
     starts_next = jnp.searchsorted(cs, k + 2, side="left", method="sort").astype(jnp.int32)
     cvalid = k < n_clusters
     safe_starts = jnp.clip(starts, 0, n - 1)
-    c_ref = jnp.where(cvalid, ref_starts[safe_starts].astype(jnp.int32), 0)
-    c_read = jnp.where(cvalid, read_starts[safe_starts].astype(jnp.int32), 0)
     del_src = jnp.where((codes == D) & valid, lens, 0)
     ins_src = jnp.where((codes == I) & valid, lens, 0)
     ps_del = jnp.concatenate([jnp.zeros(1, lens.dtype), jnp.cumsum(del_src)])
     ps_ins = jnp.concatenate([jnp.zeros(1, lens.dtype), jnp.cumsum(ins_src)])
-    c_del = jnp.where(cvalid, (ps_del[starts_next] - ps_del[starts]).astype(jnp.int32), 0)
-    c_ins = jnp.where(cvalid, (ps_ins[starts_next] - ps_ins[starts]).astype(jnp.int32), 0)
+    # Packed-row gathers (contiguous per-index slices are ~14x faster than
+    # separate gathers on TPU; PERF.md): one for the per-op start coords, one
+    # for the two prefix-sum tables at both boundary index sets.
+    start_table = jnp.stack(
+        [ref_starts.astype(jnp.int32), read_starts.astype(jnp.int32)], axis=1
+    )
+    sv = jnp.take_along_axis(start_table, safe_starts[:, None], axis=0)
+    c_ref = jnp.where(cvalid, sv[:, 0], 0)
+    c_read = jnp.where(cvalid, sv[:, 1], 0)
+    ps_table = jnp.stack(
+        [ps_del.astype(jnp.int32), ps_ins.astype(jnp.int32)], axis=1
+    )
+    pv = jnp.take_along_axis(
+        ps_table, jnp.concatenate([starts, starts_next])[:, None], axis=0
+    )
+    c_del = jnp.where(cvalid, pv[max_clusters:, 0] - pv[:max_clusters, 0], 0)
+    c_ins = jnp.where(cvalid, pv[max_clusters:, 1] - pv[:max_clusters, 1], 0)
 
     return {
         "ref_start": c_ref,

@@ -86,17 +86,29 @@ def _shift_stage_a(
     is_other = valid & ~is_indel & ~is_m
     cend = cl["cluster_end"]
     cid = jnp.clip(cl["cluster_id"], 0, max_clusters - 1)
-    cap_at_op = h_cap[cid]
+
+    # One packed gather for every per-cluster value consumed at op positions
+    # (PERF.md: contiguous per-index slices beat separate gathers ~14x).
+    c_table = jnp.stack(
+        [
+            h_cap.astype(jnp.int32),
+            (sat & has_indel).astype(jnp.int32),
+            max_left.astype(jnp.int32),
+            il.astype(jnp.int32),
+            dl.astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    cv = jnp.take_along_axis(c_table, cid[:, None], axis=0)
+    cap_at_op = cv[:, 0]
 
     # Per-op min-plus transforms (see module docstring).
     a = jnp.where(is_m, lens, 0)
     b = jnp.where(cend, cap_at_op, jnp.where(is_other, 0, _INF))
-    fb_sat = sat[cid] & has_indel[cid]
-    ml_at_op = max_left[cid]
     return {
         "a": a, "b": b, "cend": cend, "is_other": is_other,
-        "ins_at_op": il[cid], "del_at_op": dl[cid],
-        "cap_at_op": cap_at_op, "fb_sat": fb_sat, "ml_at_op": ml_at_op,
+        "ins_at_op": cv[:, 3], "del_at_op": cv[:, 4],
+        "cap_at_op": cap_at_op, "fb_sat": cv[:, 1] > 0, "ml_at_op": cv[:, 2],
         "overflow": cl["overflow"],
     }
 

@@ -98,8 +98,13 @@ def _simplify_single(
     out_lens = jnp.zeros((n, 4), dtype=lens.dtype)
     out_codes = out_codes.at[:, 0].set(jnp.where(valid & ~is_indel, codes, PAD))
     out_lens = out_lens.at[:, 0].set(jnp.where(valid & ~is_indel, lens, 0))
-    out_codes = jnp.where(cend[:, None], c_codes[cid], out_codes)
-    out_lens = jnp.where(cend[:, None], c_lens[cid], out_lens)
+    # one packed gather for the cluster replacement rows (codes+lens together)
+    c_packed = jnp.concatenate(
+        [c_codes.astype(jnp.int32), c_lens.astype(jnp.int32)], axis=1
+    )
+    cv = jnp.take_along_axis(c_packed, cid[:, None], axis=0)
+    out_codes = jnp.where(cend[:, None], cv[:, :4], out_codes)
+    out_lens = jnp.where(cend[:, None], cv[:, 4:], out_lens)
 
     flat_codes = out_codes.reshape(-1)
     flat_lens = out_lens.reshape(-1)
