@@ -11,6 +11,7 @@ per-read ``fallback`` flag; those reads are finished exactly on host by the
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from portello_tpu.kernels.cigar_kernels import (
@@ -98,6 +99,42 @@ def find_clusters(codes, lens, ref_pos, max_clusters: int):
     }
 
 
+def _window_bytes(seq, start, window: int, fill: int):
+    """Extract (C, window) byte windows starting at ``start``.
+
+    Gathers 4-byte WORDS instead of bytes (4x fewer gather elements — gather
+    throughput on TPU is per element, PERF.md) then re-aligns the sub-word
+    offset with a 4-way select.  ``seq`` length must be a multiple of 4.  The
+    sequence is padded with ``fill`` sentinel bytes on both sides so windows
+    reaching past either end stay lane-aligned (pass DIFFERENT fills for the
+    two compared sequences so out-of-data lanes always mismatch).
+    """
+    pad = window // 4 * 4 + 4  # even multiple of 4, >= window
+    padded = jnp.concatenate(
+        [
+            jnp.full(pad, fill, jnp.uint8), seq, jnp.full(pad, fill, jnp.uint8),
+        ]
+    )
+    np_ = padded.shape[0]
+    nw = window // 4 + 2
+    start = jnp.clip(start + pad, 0, np_ - window - 4)
+    words = jax.lax.bitcast_convert_type(
+        padded.reshape(np_ // 4, 4), jnp.uint32
+    )
+    w0 = start >> 2
+    widx = jnp.clip(w0[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :], 0, np_ // 4 - 1)
+    w = words[widx]                                   # (C, nw) uint32
+    by = jnp.stack(
+        [w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF, (w >> 24) & 0xFF],
+        axis=2,
+    ).reshape(start.shape[0], nw * 4).astype(jnp.uint8)  # (C, nw*4)
+    off = (start & 3)[:, None]                        # 0..3
+    out = by[:, 0:window]
+    for k in (1, 2, 3):
+        out = jnp.where(off == k, by[:, k : k + window], out)
+    return out
+
+
 def match_run_left(seq_a, idx_a, seq_b, idx_b, limit, window: int):
     """Length of the forward common run: how many t in [0, limit) satisfy
     ``seq_a[idx_a + t] == seq_b[idx_b + t]``, scanning at most ``window`` steps.
@@ -105,12 +142,14 @@ def match_run_left(seq_a, idx_a, seq_b, idx_b, limit, window: int):
     idx_* are (C,) int32 vectors (one per cluster); returns (run_len, saturated)
     where ``saturated`` means the window was exhausted while still matching with
     ``limit`` unreached (exact result unknown -> caller sets fallback).
+    Out-of-data lanes (index clamping) are only reachable at t >= limit, which
+    the mask excludes — callers guarantee in-data reads below ``limit``.
     """
     t = jnp.arange(window, dtype=jnp.int32)[None, :]
-    ia = jnp.clip(idx_a[:, None] + t, 0, seq_a.shape[0] - 1)
-    ib = jnp.clip(idx_b[:, None] + t, 0, seq_b.shape[0] - 1)
+    wa = _window_bytes(seq_a, idx_a, window, 0xFE)
+    wb = _window_bytes(seq_b, idx_b, window, 0xFD)
     within = t < limit[:, None]
-    eq = within & (seq_a[ia] == seq_b[ib])
+    eq = within & (wa == wb)
     run = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=1), axis=1)
     saturated = (run >= window) & (limit > window)
     return run, saturated
@@ -121,10 +160,11 @@ def match_run_right(seq_a, end_a, seq_b, end_b, limit, window: int):
     ``seq_a[end_a - 1 - t] == seq_b[end_b - 1 - t]`` (right-aligned suffix
     compare), scanning at most ``window`` steps."""
     t = jnp.arange(window, dtype=jnp.int32)[None, :]
-    ia = jnp.clip(end_a[:, None] - 1 - t, 0, seq_a.shape[0] - 1)
-    ib = jnp.clip(end_b[:, None] - 1 - t, 0, seq_b.shape[0] - 1)
+    # window covering [end-window, end), compared reversed (lane w <-> t=W-1-w)
+    wa = _window_bytes(seq_a, end_a - window, window, 0xFE)[:, ::-1]
+    wb = _window_bytes(seq_b, end_b - window, window, 0xFD)[:, ::-1]
     within = t < limit[:, None]
-    eq = within & (seq_a[ia] == seq_b[ib])
+    eq = within & (wa == wb)
     run = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=1), axis=1)
     saturated = (run >= window) & (limit > window)
     return run, saturated
