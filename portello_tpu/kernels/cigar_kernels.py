@@ -95,8 +95,13 @@ def compress(codes, lens, max_out: int):
     # prefix sum over kept lens.
     cs_runs = jnp.cumsum(new_run.astype(jnp.int32))
     r = jnp.arange(max_out, dtype=jnp.int32)
-    starts = jnp.searchsorted(cs_runs, r + 1, side="left", method="sort").astype(jnp.int32)
-    starts_next = jnp.searchsorted(cs_runs, r + 2, side="left", method="sort").astype(jnp.int32)
+    # one search serves both boundary sets: starts_next is starts shifted
+    sboth = jnp.searchsorted(
+        cs_runs, jnp.arange(1, max_out + 2, dtype=jnp.int32), side="left",
+        method="sort",
+    ).astype(jnp.int32)
+    starts = sboth[:-1]
+    starts_next = sboth[1:]
     ps = jnp.concatenate(
         [jnp.zeros(1, lens.dtype), jnp.cumsum(jnp.where(keep, lens, 0))]
     )

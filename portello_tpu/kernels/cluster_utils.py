@@ -61,8 +61,13 @@ def find_clusters(codes, lens, ref_pos, max_clusters: int):
     # [starts[k], starts[k+1]) — trailing non-indel ops contribute zero.
     cs = jnp.cumsum(cluster_start.astype(jnp.int32))
     k = jnp.arange(max_clusters, dtype=jnp.int32)
-    starts = jnp.searchsorted(cs, k + 1, side="left", method="sort").astype(jnp.int32)
-    starts_next = jnp.searchsorted(cs, k + 2, side="left", method="sort").astype(jnp.int32)
+    # one search serves both boundary sets: starts_next is starts shifted
+    sboth = jnp.searchsorted(
+        cs, jnp.arange(1, max_clusters + 2, dtype=jnp.int32), side="left",
+        method="sort",
+    ).astype(jnp.int32)
+    starts = sboth[:-1]
+    starts_next = sboth[1:]
     cvalid = k < n_clusters
     safe_starts = jnp.clip(starts, 0, n - 1)
     del_src = jnp.where((codes == D) & valid, lens, 0)
