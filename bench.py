@@ -189,10 +189,12 @@ def main():
     from portello_tpu.testutil.batchgen import HIFI_BUCKET
 
     bcfg = HIFI_BUCKET
+    mm = jax.default_backend() == "tpu"
     kw = dict(
         max_out=bcfg.resolved_max_out(),
         max_clusters=bcfg.max_clusters,
         window=bcfg.window,
+        mm=mm,
     )
     rng = np.random.default_rng(2026)
     fwd_items = fast_item_arrays(rng, batch, bcfg, read_len, rev=False)
@@ -214,18 +216,18 @@ def main():
     t_fwd = sustained_batch_time(lambda *a: _fwd_item(*a, **kw), dev_fwd, reps, 3)
     t_shift_a = sustained_batch_time(
         lambda *a: _shift_stage_a(
-            *a, max_clusters=bcfg.max_clusters, window=bcfg.window
+            *a, max_clusters=bcfg.max_clusters, window=bcfg.window, mm=mm
         ),
         dev_shift_args, reps, 2,
     )
     st = shift_stage_a_batch(
-        *dev_shift_args, max_clusters=bcfg.max_clusters, window=bcfg.window
+        *dev_shift_args, max_clusters=bcfg.max_clusters, window=bcfg.window, mm=mm
     )
     # anti-hoist chain must thread through arg 0 (codes): stage B's outputs do
     # not depend on ref_pos, so perturbing it would let XLA hoist the loop
     t_shift_b = sustained_batch_time(
         lambda c, l, p, s: _shift_stage_b(
-            c, l, p, s, window=bcfg.window, max_out=kw["max_out"]
+            c, l, p, s, window=bcfg.window, max_out=kw["max_out"], mm=mm
         ),
         (dev_shift_args[0], dev_shift_args[1], dev_shift_args[2], st),
         reps, 0,

@@ -62,16 +62,19 @@ def clean_up_edge_indels(codes, lens):
     return new_codes, new_lens, shift
 
 
-def compress(codes, lens, max_out: int):
+def compress(codes, lens, max_out: int, mm: bool = False):
     """Vectorized compress_cigar (cigar/mod.rs:204-228), scatter-free.
 
     Drops zero-length and PAD entries, then merges adjacent equal-code runs.
     TPU scatters serialize, so the whole pass is built from prefix sums,
     a packed running maximum (to find each element's previous kept code) and
-    binary-search gathers (to find each output run's span).  Returns
-    (out_codes, out_lens, n_out, overflow); ``overflow`` is True when the
-    compressed cigar exceeds ``max_out`` ops.
+    boundary searches + span gathers (count-compare + one-hot matmul when
+    ``mm``; searchsorted + take_along_axis otherwise — see kernels/expand.py).
+    Returns (out_codes, out_lens, n_out, overflow); ``overflow`` is True when
+    the compressed cigar exceeds ``max_out`` ops.
     """
+    from portello_tpu.kernels.expand import count_lt, expand_mask, onehot_eq
+
     n = codes.shape[0]
     # The inputs often come from gather-built emission streams; a barrier here
     # keeps those gathers from being fused into (and serializing) the prefix
@@ -96,37 +99,42 @@ def compress(codes, lens, max_out: int):
     cs_runs = jnp.cumsum(new_run.astype(jnp.int32))
     r = jnp.arange(max_out, dtype=jnp.int32)
     # one search serves both boundary sets: starts_next is starts shifted
-    sboth = jnp.searchsorted(
-        cs_runs, jnp.arange(1, max_out + 2, dtype=jnp.int32), side="left",
-        method="sort",
-    ).astype(jnp.int32)
+    boundary_q = jnp.arange(1, max_out + 2, dtype=jnp.int32)
+    if mm:
+        sboth = count_lt(cs_runs, boundary_q)
+    else:
+        sboth = jnp.searchsorted(
+            cs_runs, boundary_q, side="left", method="sort"
+        ).astype(jnp.int32)
     starts = sboth[:-1]
     starts_next = sboth[1:]
     ps = jnp.concatenate(
         [jnp.zeros(1, lens.dtype), jnp.cumsum(jnp.where(keep, lens, 0))]
     )
     out_valid = r < jnp.minimum(n_runs, max_out)
-    # One packed gather serves ps[starts], codes[starts] and ps[starts_next]
+    # One packed lookup serves ps[starts], codes[starts] and ps[starts_next]
     # (contiguous per-index slices: ~14x cheaper than separate gathers).
     table = jnp.stack(
         [ps.astype(jnp.int32),
          jnp.concatenate([codes.astype(jnp.int32), jnp.full(1, PAD, jnp.int32)])],
         axis=1,
     )
-    tv = jnp.take_along_axis(
-        table, jnp.concatenate([starts, starts_next])[:, None], axis=0
-    )
+    both_idx = jnp.concatenate([starts, starts_next])
+    if mm:
+        tv = expand_mask(onehot_eq(both_idx, n + 1), table)
+    else:
+        tv = jnp.take_along_axis(table, both_idx[:, None], axis=0)
     out_lens = jnp.where(out_valid, tv[max_out:, 0] - tv[:max_out, 0], 0)
     out_codes = jnp.where(out_valid, tv[:max_out, 1], PAD)
     return out_codes, out_lens, jnp.minimum(n_runs, max_out), overflow
 
 
-def cleanup_and_compress(codes, lens, max_out: int):
+def cleanup_and_compress(codes, lens, max_out: int, mm: bool = False):
     """clean_up_cigar_edge_indels followed by compress_cigar — the finishing pair
     applied by liftover (liftover_read_alignment.rs:218-222), simplify
     (simplify_alignment_indels.rs:153-155) and the shifters."""
     codes, lens, shift = clean_up_edge_indels(codes, lens)
-    out_codes, out_lens, n_out, overflow = compress(codes, lens, max_out)
+    out_codes, out_lens, n_out, overflow = compress(codes, lens, max_out, mm)
     return out_codes, out_lens, n_out, shift, overflow
 
 

@@ -33,7 +33,7 @@ def op_positions(codes, lens, ref_pos):
     return ref_starts, read_starts
 
 
-def find_clusters(codes, lens, ref_pos, max_clusters: int):
+def find_clusters(codes, lens, ref_pos, max_clusters: int, mm: bool = False):
     """Detect indel clusters and reduce their stats.
 
     Returns a dict of per-cluster arrays (length ``max_clusters``):
@@ -59,13 +59,18 @@ def find_clusters(codes, lens, ref_pos, max_clusters: int):
     # starts at op index starts[k] (binary-search gather over the cluster-start
     # prefix sum) and its I/D sums are prefix-sum differences over
     # [starts[k], starts[k+1]) — trailing non-indel ops contribute zero.
+    from portello_tpu.kernels.expand import count_lt, expand_mask, onehot_eq
+
     cs = jnp.cumsum(cluster_start.astype(jnp.int32))
     k = jnp.arange(max_clusters, dtype=jnp.int32)
     # one search serves both boundary sets: starts_next is starts shifted
-    sboth = jnp.searchsorted(
-        cs, jnp.arange(1, max_clusters + 2, dtype=jnp.int32), side="left",
-        method="sort",
-    ).astype(jnp.int32)
+    boundary_q = jnp.arange(1, max_clusters + 2, dtype=jnp.int32)
+    if mm:
+        sboth = count_lt(cs, boundary_q)
+    else:
+        sboth = jnp.searchsorted(
+            cs, boundary_q, side="left", method="sort"
+        ).astype(jnp.int32)
     starts = sboth[:-1]
     starts_next = sboth[1:]
     cvalid = k < n_clusters
@@ -74,21 +79,25 @@ def find_clusters(codes, lens, ref_pos, max_clusters: int):
     ins_src = jnp.where((codes == I) & valid, lens, 0)
     ps_del = jnp.concatenate([jnp.zeros(1, lens.dtype), jnp.cumsum(del_src)])
     ps_ins = jnp.concatenate([jnp.zeros(1, lens.dtype), jnp.cumsum(ins_src)])
-    # Packed-row gathers (contiguous per-index slices are ~14x faster than
-    # separate gathers on TPU; PERF.md): one for the per-op start coords, one
-    # for the two prefix-sum tables at both boundary index sets.
+    # Packed-row lookups (contiguous per-index slices are ~14x faster than
+    # separate gathers on TPU; PERF.md — and one-hot matmuls another ~10-100x,
+    # kernels/expand.py): one for the per-op start coords, one for the two
+    # prefix-sum tables at both boundary index sets.
     start_table = jnp.stack(
         [ref_starts.astype(jnp.int32), read_starts.astype(jnp.int32)], axis=1
     )
-    sv = jnp.take_along_axis(start_table, safe_starts[:, None], axis=0)
-    c_ref = jnp.where(cvalid, sv[:, 0], 0)
-    c_read = jnp.where(cvalid, sv[:, 1], 0)
     ps_table = jnp.stack(
         [ps_del.astype(jnp.int32), ps_ins.astype(jnp.int32)], axis=1
     )
-    pv = jnp.take_along_axis(
-        ps_table, jnp.concatenate([starts, starts_next])[:, None], axis=0
-    )
+    both_idx = jnp.concatenate([starts, starts_next])
+    if mm:
+        sv = expand_mask(onehot_eq(safe_starts, n), start_table)
+        pv = expand_mask(onehot_eq(both_idx, n + 1), ps_table)
+    else:
+        sv = jnp.take_along_axis(start_table, safe_starts[:, None], axis=0)
+        pv = jnp.take_along_axis(ps_table, both_idx[:, None], axis=0)
+    c_ref = jnp.where(cvalid, sv[:, 0], 0)
+    c_read = jnp.where(cvalid, sv[:, 1], 0)
     c_del = jnp.where(cvalid, pv[max_clusters:, 0] - pv[:max_clusters, 0], 0)
     c_ins = jnp.where(cvalid, pv[max_clusters:, 1] - pv[:max_clusters, 1], 0)
 
@@ -140,7 +149,57 @@ def _window_bytes(seq, start, window: int, fill: int):
     return out
 
 
-def match_run_left(seq_a, idx_a, seq_b, idx_b, limit, window: int):
+def _window_bytes_mm(seq, start, window: int, fill: int):
+    """Matmul formulation of :func:`_window_bytes` (bit-identical windows).
+
+    Level 1: the padded sequence is viewed as 64-byte superblocks; each
+    window's two covering superblocks (128 contiguous bytes) are fetched with
+    one one-hot matmul over the superblock axis (exact for bytes,
+    kernels/expand.py).  Level 2: the residual offset o in [0, 64) is removed
+    with a 16-way 4-byte-step select then a 4-way byte select — all VPU
+    elementwise.  Replaces a C*(window/4+2)-index gather (~95M idx/s on TPU)
+    with MXU+VPU work that is effectively free.
+
+    Caller contract (same as the gather path): ``start`` >= -window and
+    <= len(seq); out-of-data lanes are filled with ``fill`` so differing
+    per-sequence sentinels always mismatch.
+    """
+    from portello_tpu.kernels.expand import expand_bytes, onehot_eq
+
+    if window > 60:
+        raise ValueError("window must be <= 60 for the 128-byte span")
+    length = seq.shape[0]
+    pad_lo = 64
+    # high pad: 128-byte span from the last reachable superblock must stay
+    # in-table for start up to len(seq); also round len up to 64
+    pad_hi = 192 + (-length) % 64
+    padded = jnp.concatenate(
+        [
+            jnp.full(pad_lo, fill, jnp.uint8),
+            seq,
+            jnp.full(pad_hi, fill, jnp.uint8),
+        ]
+    )
+    nsb = padded.shape[0] // 64
+    table = padded.reshape(nsb, 64)
+    tbl2 = jnp.concatenate([table[:-1], table[1:]], axis=1)  # (nsb-1, 128)
+    p = start + pad_lo
+    sb = jnp.clip(p >> 6, 0, nsb - 2)
+    o = p - (sb << 6)
+    span = expand_bytes(onehot_eq(sb, nsb - 1), tbl2)  # (C, 128)
+    w4 = window + 4
+    s1 = span[:, 0:w4]
+    k = (o >> 2)[:, None]
+    for kk in range(1, 16):
+        s1 = jnp.where(k == kk, span[:, 4 * kk : 4 * kk + w4], s1)
+    out = s1[:, 0:window]
+    j = (o & 3)[:, None]
+    for jj in range(1, 4):
+        out = jnp.where(j == jj, s1[:, jj : jj + window], out)
+    return out
+
+
+def match_run_left(seq_a, idx_a, seq_b, idx_b, limit, window: int, mm: bool = False):
     """Length of the forward common run: how many t in [0, limit) satisfy
     ``seq_a[idx_a + t] == seq_b[idx_b + t]``, scanning at most ``window`` steps.
 
@@ -149,10 +208,13 @@ def match_run_left(seq_a, idx_a, seq_b, idx_b, limit, window: int):
     ``limit`` unreached (exact result unknown -> caller sets fallback).
     Out-of-data lanes (index clamping) are only reachable at t >= limit, which
     the mask excludes — callers guarantee in-data reads below ``limit``.
+    ``mm`` selects the superblock one-hot-matmul window fetch (bit-identical
+    for -window <= idx <= len(seq), which the cluster coordinates guarantee).
     """
+    wb_fn = _window_bytes_mm if mm else _window_bytes
     t = jnp.arange(window, dtype=jnp.int32)[None, :]
-    wa = _window_bytes(seq_a, idx_a, window, 0xFE)
-    wb = _window_bytes(seq_b, idx_b, window, 0xFD)
+    wa = wb_fn(seq_a, idx_a, window, 0xFE)
+    wb = wb_fn(seq_b, idx_b, window, 0xFD)
     within = t < limit[:, None]
     eq = within & (wa == wb)
     run = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=1), axis=1)
@@ -160,14 +222,15 @@ def match_run_left(seq_a, idx_a, seq_b, idx_b, limit, window: int):
     return run, saturated
 
 
-def match_run_right(seq_a, end_a, seq_b, end_b, limit, window: int):
+def match_run_right(seq_a, end_a, seq_b, end_b, limit, window: int, mm: bool = False):
     """Length of the backward common run: how many t in [0, limit) satisfy
     ``seq_a[end_a - 1 - t] == seq_b[end_b - 1 - t]`` (right-aligned suffix
     compare), scanning at most ``window`` steps."""
+    wb_fn = _window_bytes_mm if mm else _window_bytes
     t = jnp.arange(window, dtype=jnp.int32)[None, :]
     # window covering [end-window, end), compared reversed (lane w <-> t=W-1-w)
-    wa = _window_bytes(seq_a, end_a - window, window, 0xFE)[:, ::-1]
-    wb = _window_bytes(seq_b, end_b - window, window, 0xFD)[:, ::-1]
+    wa = wb_fn(seq_a, end_a - window, window, 0xFE)[:, ::-1]
+    wb = wb_fn(seq_b, end_b - window, window, 0xFD)[:, ::-1]
     within = t < limit[:, None]
     eq = within & (wa == wb)
     run = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=1), axis=1)

@@ -40,10 +40,23 @@ from portello_tpu.kernels.cigar_kernels import (
 )
 
 
-def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb):
+def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb, mm: bool = False):
     """Single-read parallel liftover; same contract as
     ``liftover_kernel._liftover_scan_single``: returns (emit_codes, emit_lens,
-    ref2_start) with 2 emission slots per update row."""
+    ref2_start) with 2 emission slots per update row.
+
+    ``mm`` selects the one-hot-matmul / count-compare formulation of the row
+    expansions and block searches (bit-identical; ~10-100x faster on TPU where
+    XLA serializes gathers — kernels/expand.py, PERF.md).
+    """
+    from portello_tpu.kernels.expand import (
+        count_le,
+        count_lt,
+        expand_mask,
+        onehot_eq,
+        onehot_interval,
+    )
+
     max_ops = ops.shape[0]
     max_blocks = bk.shape[0]
     U = 2 * max_ops + max_blocks
@@ -62,8 +75,14 @@ def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb):
     e = s + rl                              # op end
 
     # Block entry range per rc op (get_ref_range floor semantics).
-    lo = jnp.searchsorted(bk, s, side="right", method="sort").astype(jnp.int32) - 1
-    hi = jnp.minimum(jnp.searchsorted(bk, e, side="left", method="sort").astype(jnp.int32), nb)
+    if mm:
+        lo = count_le(bk, s) - 1
+        hi = jnp.minimum(count_lt(bk, e), nb)
+    else:
+        lo = jnp.searchsorted(bk, s, side="right", method="sort").astype(jnp.int32) - 1
+        hi = jnp.minimum(
+            jnp.searchsorted(bk, e, side="left", method="sort").astype(jnp.int32), nb
+        )
     lo = jnp.clip(lo, 0, hi)
 
     visits = jnp.where(rc, hi - lo + 1, jnp.where(is_ro & active, 1, 0))
@@ -73,15 +92,12 @@ def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb):
     # Row -> (op, visit index)
     r = jnp.arange(U, dtype=jnp.int32)
     row_valid = r < total_rows
-    op_of = jnp.clip(
-        jnp.searchsorted(off + visits, r, side="right", method="sort").astype(jnp.int32),
-        0,
-        max_ops - 1,
-    )
 
-    # One packed-row gather for all per-op values: contiguous multi-element
-    # slices per index are ~14x faster than separate gathers on TPU
-    # (PERF.md / scripts profiling).
+    # One packed-row expansion for all per-op values: contiguous multi-element
+    # slices per index are ~14x faster than separate gathers on TPU, and the
+    # one-hot interval-mask matmul another ~16x (PERF.md / scripts profiling).
+    # Rows past total_rows expand to zero in mm mode and to op max_ops-1's
+    # values in gather mode; every consumer below masks with row_valid.
     op_table = jnp.stack(
         [
             codes, lens_, rc.astype(jnp.int32), is_ro.astype(jnp.int32),
@@ -89,7 +105,17 @@ def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb):
         ],
         axis=1,
     )
-    row_vals = jnp.take_along_axis(op_table, op_of[:, None], axis=0)
+    if mm:
+        row_vals = expand_mask(onehot_interval(off, visits, U), op_table)
+    else:
+        op_of = jnp.clip(
+            jnp.searchsorted(
+                off + visits, r, side="right", method="sort"
+            ).astype(jnp.int32),
+            0,
+            max_ops - 1,
+        )
+        row_vals = jnp.take_along_axis(op_table, op_of[:, None], axis=0)
     code_r = row_vals[:, 0]
     len_r = row_vals[:, 1]
     rc_r = (row_vals[:, 2] > 0) & row_valid
@@ -101,16 +127,23 @@ def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb):
     u_r = row_vals[:, 7]
     is_final = t == u_r - 1
 
-    # this/last map entries via one packed gather each (keys+vals adjacent)
+    # this/last map entries, keys+vals packed per row
     bkv = jnp.stack([bk, bv], axis=1)
     this_idx = jnp.clip(lo_r + t, 0, max_blocks - 1)
     last_idx = jnp.clip(lo_r + t - 1, 0, max_blocks - 1)
-    both = jnp.take_along_axis(
-        bkv, jnp.concatenate([this_idx, last_idx])[:, None], axis=0
-    )
-    this_key = both[:U, 0]
-    last_key = both[U:, 0]
-    last_val = both[U:, 1]
+    if mm:
+        this_kv = expand_mask(onehot_eq(this_idx, max_blocks), bkv)
+        last_kv = expand_mask(onehot_eq(last_idx, max_blocks), bkv)
+        this_key = this_kv[:, 0]
+        last_key = last_kv[:, 0]
+        last_val = last_kv[:, 1]
+    else:
+        both = jnp.take_along_axis(
+            bkv, jnp.concatenate([this_idx, last_idx])[:, None], axis=0
+        )
+        this_key = both[:U, 0]
+        last_key = both[U:, 0]
+        last_val = both[U:, 1]
     have_last = t >= 1
 
     # Interval [B, E) processed by this update.
@@ -145,7 +178,11 @@ def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb):
         [jnp.full(1, -1, jnp.int32), jax.lax.cummax(midx)[:-1]]
     )
     have_end = mapped_last & (prev_midx >= 0)
-    prev_end2 = end2[jnp.clip(prev_midx, 0, U - 1)]
+    prev_safe = jnp.clip(prev_midx, 0, U - 1)
+    if mm:
+        prev_end2 = expand_mask(onehot_eq(prev_safe, U), end2[:, None])[:, 0]
+    else:
+        prev_end2 = end2[prev_safe]
     del_len = last_val - prev_end2
     emit_del = have_end & (del_len > 0) & started
 

@@ -56,7 +56,8 @@ def _minplus_scan(a, b):
 
 
 def _shift_stage_a(
-    codes, lens, ref_pos, win_base, ref_win, read_seq, *, max_clusters, window
+    codes, lens, ref_pos, win_base, ref_win, read_seq, *, max_clusters, window,
+    mm=False,
 ):
     """Cluster detection + homology caps + per-op scan inputs.
 
@@ -66,7 +67,9 @@ def _shift_stage_a(
     scripts/profile_isolate.py); the engine runs A and B as separate device
     calls with device-resident intermediates.
     """
-    cl = find_clusters(codes, lens, ref_pos, max_clusters)
+    from portello_tpu.kernels.expand import expand_mask, onehot_eq
+
+    cl = find_clusters(codes, lens, ref_pos, max_clusters, mm)
     dl = cl["del_len"]
     il = cl["ins_len"]
     bs = cl["ref_start"]       # window-relative
@@ -76,7 +79,7 @@ def _shift_stage_a(
     # suffixes ending at the indel's ref/read end, limited by the absolute
     # distance to either sequence start.
     max_left = jnp.minimum(win_base + bs, rs)
-    h_run, sat = match_run_right(ref_win, bs + dl, read_seq, rs + il, max_left, window)
+    h_run, sat = match_run_right(ref_win, bs + dl, read_seq, rs + il, max_left, window, mm)
     has_indel = (dl + il) > 0
     h_cap = jnp.minimum(h_run, max_left)
 
@@ -99,7 +102,10 @@ def _shift_stage_a(
         ],
         axis=1,
     )
-    cv = jnp.take_along_axis(c_table, cid[:, None], axis=0)
+    if mm:
+        cv = expand_mask(onehot_eq(cid, max_clusters), c_table)
+    else:
+        cv = jnp.take_along_axis(c_table, cid[:, None], axis=0)
     cap_at_op = cv[:, 0]
 
     # Per-op min-plus transforms (see module docstring).
@@ -114,7 +120,7 @@ def _shift_stage_a(
 
 
 def _shift_stage_b(
-    codes, lens, ref_pos, st, *, window, max_out
+    codes, lens, ref_pos, st, *, window, max_out, mm=False
 ):
     """Min-plus scan + emissions + cleanup/compress over stage-A outputs."""
     n = codes.shape[0]
@@ -170,7 +176,7 @@ def _shift_stage_b(
     flat_lens = jnp.concatenate([e_lens.reshape(-1), pending_final[None]])
 
     f_codes, f_lens, n_out, shift, c_overflow = cleanup_and_compress(
-        flat_codes, flat_lens, max_out
+        flat_codes, flat_lens, max_out, mm
     )
     fallback = fallback | c_overflow
     return f_codes, f_lens, n_out, ref_pos + shift, fallback
@@ -178,38 +184,42 @@ def _shift_stage_b(
 
 def _left_shift_single(
     codes, lens, ref_pos, win_base, ref_win, read_seq,
-    *, max_clusters, window, max_out,
+    *, max_clusters, window, max_out, mm=False,
 ):
     """Single-graph composition of stages A and B (tests / dry runs; the
     engine dispatches the stages separately, see shift_stage_a/b)."""
     st = _shift_stage_a(
         codes, lens, ref_pos, win_base, ref_win, read_seq,
-        max_clusters=max_clusters, window=window,
+        max_clusters=max_clusters, window=window, mm=mm,
     )
-    return _shift_stage_b(codes, lens, ref_pos, st, window=window, max_out=max_out)
+    return _shift_stage_b(
+        codes, lens, ref_pos, st, window=window, max_out=max_out, mm=mm
+    )
 
 
-@partial(jax.jit, static_argnames=("max_clusters", "window"))
+@partial(jax.jit, static_argnames=("max_clusters", "window", "mm"))
 def shift_stage_a_batch(codes, lens, ref_pos, win_base, ref_win, read_seq,
-                        *, max_clusters, window):
+                        *, max_clusters, window, mm=False):
     return jax.vmap(
         lambda c, l, p, wb, rw, rq: _shift_stage_a(
-            c, l, p, wb, rw, rq, max_clusters=max_clusters, window=window
+            c, l, p, wb, rw, rq, max_clusters=max_clusters, window=window, mm=mm
         )
     )(codes, lens, ref_pos, win_base, ref_win, read_seq)
 
 
-@partial(jax.jit, static_argnames=("window", "max_out"))
-def shift_stage_b_batch(codes, lens, ref_pos, st, *, window, max_out):
+@partial(jax.jit, static_argnames=("window", "max_out", "mm"))
+def shift_stage_b_batch(codes, lens, ref_pos, st, *, window, max_out, mm=False):
     return jax.vmap(
-        lambda c, l, p, s: _shift_stage_b(c, l, p, s, window=window, max_out=max_out)
+        lambda c, l, p, s: _shift_stage_b(
+            c, l, p, s, window=window, max_out=max_out, mm=mm
+        )
     )(codes, lens, ref_pos, st)
 
 
-@partial(jax.jit, static_argnames=("max_clusters", "window", "max_out"))
+@partial(jax.jit, static_argnames=("max_clusters", "window", "max_out", "mm"))
 def left_shift_batch(
     codes, lens, ref_pos, win_base, ref_win, read_seq,
-    *, max_clusters, window, max_out,
+    *, max_clusters, window, max_out, mm=False,
 ):
     """Vectorized left_shift_indels over a batch.
 
@@ -218,6 +228,6 @@ def left_shift_batch(
     return jax.vmap(
         lambda c, l, p, wb, rw, rq: _left_shift_single(
             c, l, p, wb, rw, rq,
-            max_clusters=max_clusters, window=window, max_out=max_out,
+            max_clusters=max_clusters, window=window, max_out=max_out, mm=mm,
         )
     )(codes, lens, ref_pos, win_base, ref_win, read_seq)

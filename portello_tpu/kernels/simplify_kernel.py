@@ -33,10 +33,13 @@ from portello_tpu.kernels.cluster_utils import (
 
 
 def _simplify_single(
-    codes, lens, ref_pos, ref_win, read_seq, *, max_clusters, window, max_out
+    codes, lens, ref_pos, ref_win, read_seq, *, max_clusters, window, max_out,
+    mm=False,
 ):
+    from portello_tpu.kernels.expand import expand_mask, onehot_eq
+
     n = codes.shape[0]
-    cl = find_clusters(codes, lens, ref_pos, max_clusters)
+    cl = find_clusters(codes, lens, ref_pos, max_clusters, mm)
     dl = cl["del_len"]
     il = cl["ins_len"]
     bs = cl["ref_start"]
@@ -45,11 +48,11 @@ def _simplify_single(
 
     # Right-edge greedy re-match (rs:54-68), then left-edge (rs:71-85).
     m0 = jnp.minimum(dl, il)
-    post, sat_post = match_run_right(ref_win, bs + dl, read_seq, rs + il, m0, window)
+    post, sat_post = match_run_right(ref_win, bs + dl, read_seq, rs + il, m0, window, mm)
     dl1 = dl - post
     il1 = il - post
     m1 = jnp.minimum(dl1, il1)
-    pre, sat_pre = match_run_left(ref_win, bs, read_seq, rs, m1, window)
+    pre, sat_pre = match_run_left(ref_win, bs, read_seq, rs, m1, window, mm)
     dl2 = dl1 - pre
     il2 = il1 - pre
     # Final SNP preference (rs:87-92).
@@ -98,18 +101,21 @@ def _simplify_single(
     out_lens = jnp.zeros((n, 4), dtype=lens.dtype)
     out_codes = out_codes.at[:, 0].set(jnp.where(valid & ~is_indel, codes, PAD))
     out_lens = out_lens.at[:, 0].set(jnp.where(valid & ~is_indel, lens, 0))
-    # one packed gather for the cluster replacement rows (codes+lens together)
+    # one packed lookup for the cluster replacement rows (codes+lens together)
     c_packed = jnp.concatenate(
         [c_codes.astype(jnp.int32), c_lens.astype(jnp.int32)], axis=1
     )
-    cv = jnp.take_along_axis(c_packed, cid[:, None], axis=0)
+    if mm:
+        cv = expand_mask(onehot_eq(cid, max_clusters), c_packed)
+    else:
+        cv = jnp.take_along_axis(c_packed, cid[:, None], axis=0)
     out_codes = jnp.where(cend[:, None], cv[:, :4], out_codes)
     out_lens = jnp.where(cend[:, None], cv[:, 4:], out_lens)
 
     flat_codes = out_codes.reshape(-1)
     flat_lens = out_lens.reshape(-1)
     f_codes, f_lens, n_out, shift, c_overflow = cleanup_and_compress(
-        flat_codes, flat_lens, max_out
+        flat_codes, flat_lens, max_out, mm
     )
     fallback = (
         jnp.any(mixed & (sat_post | sat_pre)) | cl["overflow"] | c_overflow
@@ -117,9 +123,10 @@ def _simplify_single(
     return f_codes, f_lens, n_out, ref_pos + shift, fallback
 
 
-@partial(jax.jit, static_argnames=("max_clusters", "window", "max_out"))
+@partial(jax.jit, static_argnames=("max_clusters", "window", "max_out", "mm"))
 def simplify_batch(
-    codes, lens, ref_pos, ref_win, read_seq, *, max_clusters, window, max_out
+    codes, lens, ref_pos, ref_win, read_seq, *, max_clusters, window, max_out,
+    mm=False,
 ):
     """Vectorized simplify_alignment_indels over a batch.
 
@@ -129,6 +136,6 @@ def simplify_batch(
     return jax.vmap(
         lambda c, l, p, rw, rq: _simplify_single(
             c, l, p, rw, rq,
-            max_clusters=max_clusters, window=window, max_out=max_out,
+            max_clusters=max_clusters, window=window, max_out=max_out, mm=mm,
         )
     )(codes, lens, ref_pos, ref_win, read_seq)

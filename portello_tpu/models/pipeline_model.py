@@ -49,25 +49,27 @@ DEFAULT_BUCKETS = (
 )
 
 
-def _lift_core(ops, lens, n_ops, pos, bk, bv, nb, *, max_out):
+def _lift_core(ops, lens, n_ops, pos, bk, bv, nb, *, max_out, mm=False):
     e_codes, e_lens, ref2_start = _liftover_parallel_single(
-        ops, lens, n_ops, pos, bk, bv, nb
+        ops, lens, n_ops, pos, bk, bv, nb, mm
     )
-    l_codes, l_lens, l_n, shift, overflow = cleanup_and_compress(e_codes, e_lens, max_out)
+    l_codes, l_lens, l_n, shift, overflow = cleanup_and_compress(
+        e_codes, e_lens, max_out, mm
+    )
     mapped = ref2_start >= 0
     ref2_pos = jnp.where(mapped, ref2_start + shift, -1)
     return l_codes, l_lens, l_n, ref2_pos, mapped, overflow
 
 
 def _fwd_item(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq,
-              *, max_out, max_clusters, window):
+              *, max_out, max_clusters, window, mm=False):
     l_codes, l_lens, l_n, ref2_pos, mapped, overflow = _lift_core(
-        ops, lens, n_ops, pos, bk, bv, nb, max_out=max_out
+        ops, lens, n_ops, pos, bk, bv, nb, max_out=max_out, mm=mm
     )
     read_len = cigar_read_len(l_codes, l_lens)
     s_codes, s_lens, s_n, s_pos_rel, s_fb = _simplify_single(
         l_codes, l_lens, ref2_pos - ref_base, ref_win, read_seq,
-        max_clusters=max_clusters, window=window, max_out=max_out,
+        max_clusters=max_clusters, window=window, max_out=max_out, mm=mm,
     )
     return {
         "codes": s_codes, "lens": s_lens, "n_out": s_n,
@@ -79,12 +81,12 @@ def _fwd_item(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq,
 
 def _rev_item(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
               ref_win, ref_base, read_seq,
-              *, max_out, max_clusters, window):
+              *, max_out, max_clusters, window, mm=False):
     # Left-shift indels against the reversed contig before lifting
     # (read_alignment_scanner.rs:159-176, docs/methods.md:37-39).
     sh_codes, sh_lens, sh_n, sh_pos, sh_fb = _left_shift_single(
         ops, lens, pos - win_base, win_base, contig_win, read_seq,
-        max_clusters=max_clusters, window=window, max_out=max_out,
+        max_clusters=max_clusters, window=window, max_out=max_out, mm=mm,
     )
     # Stage seam: keep the shift's gather-built outputs from fusing into the
     # liftover's prefix scans (TPU serialization pathology; see
@@ -95,31 +97,37 @@ def _rev_item(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
     out = _fwd_item(
         sh_codes, sh_lens, sh_n, sh_pos + win_base, bk, bv, nb,
         ref_win, ref_base, read_seq,
-        max_out=max_out, max_clusters=max_clusters, window=window,
+        max_out=max_out, max_clusters=max_clusters, window=window, mm=mm,
     )
     out["fallback"] = out["fallback"] | sh_fb
     return out
 
 
-@partial(jax.jit, static_argnames=("max_out", "max_clusters", "window"))
+@partial(jax.jit, static_argnames=("max_out", "max_clusters", "window", "mm"))
 def fwd_batch(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq,
-              *, max_out, max_clusters, window):
+              *, max_out, max_clusters, window, mm=False):
     return jax.vmap(
-        lambda *a: _fwd_item(*a, max_out=max_out, max_clusters=max_clusters, window=window)
+        lambda *a: _fwd_item(
+            *a, max_out=max_out, max_clusters=max_clusters, window=window, mm=mm
+        )
     )(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq)
 
 
-@partial(jax.jit, static_argnames=("max_out", "max_clusters", "window"))
+@partial(jax.jit, static_argnames=("max_out", "max_clusters", "window", "mm"))
 def rev_batch_fused(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
-                    ref_win, ref_base, read_seq, *, max_out, max_clusters, window):
+                    ref_win, ref_base, read_seq, *, max_out, max_clusters, window,
+                    mm=False):
     """Single-graph reverse pipeline (used by the sharded mesh step)."""
     return jax.vmap(
-        lambda *a: _rev_item(*a, max_out=max_out, max_clusters=max_clusters, window=window)
+        lambda *a: _rev_item(
+            *a, max_out=max_out, max_clusters=max_clusters, window=window, mm=mm
+        )
     )(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb, ref_win, ref_base, read_seq)
 
 
 def rev_batch(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
-              ref_win, ref_base, read_seq, *, max_out, max_clusters, window):
+              ref_win, ref_base, read_seq, *, max_out, max_clusters, window,
+              mm=False):
     """Reverse pipeline as a chain of separate device calls: shift stage A
     (clusters + homology gathers), shift stage B (scan + emissions), then the
     forward pipeline on the shifted cigars.
@@ -135,14 +143,14 @@ def rev_batch(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
         shift_stage_b_batch,
     )
 
-    kw = dict(max_out=max_out, max_clusters=max_clusters, window=window)
+    kw = dict(max_out=max_out, max_clusters=max_clusters, window=window, mm=mm)
     rel_pos = pos - win_base
     st = shift_stage_a_batch(
         ops, lens, rel_pos, win_base, contig_win, read_seq,
-        max_clusters=max_clusters, window=window,
+        max_clusters=max_clusters, window=window, mm=mm,
     )
     sh_codes, sh_lens, sh_n, sh_pos, sh_fb = shift_stage_b_batch(
-        ops, lens, rel_pos, st, window=window, max_out=max_out
+        ops, lens, rel_pos, st, window=window, max_out=max_out, mm=mm
     )
     out = fwd_batch(
         sh_codes, sh_lens, sh_n, sh_pos + win_base, bk, bv, nb,
@@ -188,6 +196,7 @@ class DeviceEngine:
         buckets=DEFAULT_BUCKETS,
         platform: str | None = None,
         is_target_region: bool = False,
+        use_mm: bool | None = None,
     ):
         self.reference = reference
         self.contig_list = contig_list
@@ -201,6 +210,11 @@ class DeviceEngine:
         if platform == "cpu":
             jax.config.update("jax_platforms", "cpu")
         # platform == "tpu"/None: keep the default backend selection
+        # mm = one-hot-matmul expansion formulation: ~10-100x on TPU where XLA
+        # serializes gathers; slower than native gathers on CPU (expand.py).
+        self.use_mm = (
+            use_mm if use_mm is not None else jax.default_backend() == "tpu"
+        )
 
     # -- work item preparation (host side) --------------------------------
     def _pick_bucket(self, n_ops: int, n_blocks: int, seq_len: int, ref_span: int):
@@ -379,7 +393,10 @@ class DeviceEngine:
             if is_rev:
                 contig_win[i] = d["contig_win"]
                 win_base[i] = d["win_base"]
-        kw = dict(max_out=max_out, max_clusters=bcfg.max_clusters, window=bcfg.window)
+        kw = dict(
+            max_out=max_out, max_clusters=bcfg.max_clusters, window=bcfg.window,
+            mm=self.use_mm,
+        )
         if is_rev:
             out = rev_batch(
                 ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
