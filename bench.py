@@ -165,6 +165,27 @@ def host_oracle_time(items_fwd, n_sample):
     return n_sample / (time.perf_counter() - t0)
 
 
+def native_baseline_time(items_fwd, max_out, n_threads):
+    """Native (C++) reference-exact inner loop on the same work items
+    (reads/sec).  This is the measured baseline proxy (BASELINE.md): no Rust
+    toolchain exists in the image, so a compiled multithreaded implementation
+    of the reference's per-read algorithm is the honest denominator.
+    Returns None when the native core can't build."""
+    from portello_tpu.ops import native_core
+
+    if native_core.get_lib() is None:
+        return None
+    ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq = items_fwd
+    args = (ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq)
+    native_core.lift_simplify_batch(*args, max_out, n_threads=n_threads)  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        native_core.lift_simplify_batch(*args, max_out, n_threads=n_threads)
+        best = min(best, time.perf_counter() - t0)
+    return len(n_ops) / best
+
+
 def main():
     batch = int(os.environ.get("PTPU_BENCH_BATCH", "512"))
     reps = int(os.environ.get("PTPU_BENCH_REPS", "40"))
@@ -244,7 +265,28 @@ def main():
     dispatch_overhead = time.perf_counter() - t0 - t_fwd
 
     host_rps = host_oracle_time(fwd_items, n_sample=min(24, batch))
-    vs_baseline = reads_per_s / host_rps
+
+    # Measured native baseline (C++ reference-exact inner loop; BASELINE.md):
+    # single thread and all hardware threads (the reference defaults to all
+    # logical CPUs, cli.rs:127).
+    from portello_tpu.ops import native_core
+
+    nthreads = max(native_core.hw_threads(), 1)
+    native_1 = native_baseline_time(fwd_items, kw["max_out"], 1)
+    native_n = native_baseline_time(fwd_items, kw["max_out"], nthreads)
+    if native_n:
+        vs_baseline = reads_per_s / native_n
+        note = (
+            f"baseline = native C++ reference-exact inner loop at "
+            f"{nthreads} threads on this host (Rust reference not buildable "
+            "in image; BASELINE.md); sustained on-chip time via in-jit repetition"
+        )
+    else:
+        vs_baseline = reads_per_s / host_rps
+        note = (
+            "baseline = exact single-thread Python host oracle (native core "
+            "unavailable); sustained on-chip time via in-jit repetition"
+        )
 
     print(
         json.dumps(
@@ -256,11 +298,7 @@ def main():
                 "value": round(reads_per_s, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(vs_baseline, 2),
-                "note": (
-                    "baseline = this repo's exact single-thread host oracle "
-                    "(Rust reference not buildable in image; see BASELINE.md); "
-                    "sustained on-chip time via in-jit repetition"
-                ),
+                "note": note,
                 "device": str(device),
                 "batch": batch,
                 "t_fwd_ms": round(t_fwd * 1e3, 3),
@@ -269,6 +307,9 @@ def main():
                 "t_shift_b_ms": round(t_shift_b * 1e3, 3),
                 "dispatch_overhead_ms": round(dispatch_overhead * 1e3, 1),
                 "host_oracle_reads_per_s": round(host_rps, 1),
+                "native_1t_reads_per_s": round(native_1, 1) if native_1 else None,
+                "native_nt_reads_per_s": round(native_n, 1) if native_n else None,
+                "native_threads": nthreads,
             }
         )
     )

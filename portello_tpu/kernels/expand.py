@@ -49,10 +49,15 @@ def count_lt(keys, queries):
 
 
 def _split_bytes(table):
-    """int32 (K, C) -> float32 (K, 4C) byte planes."""
+    """int32 (K, C) -> bfloat16 (K, 4C) byte planes.
+
+    bf16 is exact for integers <= 256, so byte planes and {0,1} masks lose
+    nothing, while halving the HBM traffic of the materialized mask (the
+    dominant cost of an expansion at these shapes).
+    """
     u = table.astype(jnp.uint32)
     return jnp.concatenate(
-        [((u >> (8 * i)) & 0xFF).astype(jnp.float32) for i in range(4)], axis=1
+        [((u >> (8 * i)) & 0xFF).astype(jnp.bfloat16) for i in range(4)], axis=1
     )
 
 
@@ -73,7 +78,7 @@ def expand_mask(mask, table):
     c = table.shape[1]
     planes = _split_bytes(table)
     out = jax.lax.dot(
-        mask.astype(jnp.float32), planes,
+        mask.astype(jnp.bfloat16), planes,
         precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32,
     )
@@ -87,7 +92,7 @@ def expand_bytes(mask, table_u8):
     <= 255 are exact in bf16 products; one nonzero per output).
     """
     out = jax.lax.dot(
-        mask.astype(jnp.float32), table_u8.astype(jnp.float32),
+        mask.astype(jnp.bfloat16), table_u8.astype(jnp.bfloat16),
         precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32,
     )
@@ -97,7 +102,7 @@ def expand_bytes(mask, table_u8):
 def onehot_eq(idx, k: int):
     """(R,) int32 indices -> (R, k) one-hot float mask (out-of-range -> zero row)."""
     j = jnp.arange(k, dtype=jnp.int32)[None, :]
-    return (idx[:, None] == j).astype(jnp.float32)
+    return (idx[:, None] == j).astype(jnp.bfloat16)
 
 
 def onehot_interval(off, visits, r: int):
@@ -107,7 +112,7 @@ def onehot_interval(off, visits, r: int):
     row outside all intervals.
     """
     x = jnp.arange(r, dtype=jnp.int32)[:, None]
-    return ((x >= off[None, :]) & (x < (off + visits)[None, :])).astype(jnp.float32)
+    return ((x >= off[None, :]) & (x < (off + visits)[None, :])).astype(jnp.bfloat16)
 
 
 def gather_rows(table, idx, mm: bool):
