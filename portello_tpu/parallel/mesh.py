@@ -6,11 +6,16 @@ all outputs likewise; XLA inserts no collectives on the hot path (the ideal
 case for ICI).  The same entry points serve single-host multi-chip (one mesh
 over local devices) and multi-host (jax.distributed + the same named sharding
 over the global mesh).
+
+The reverse-contig pipeline ships in two forms: the production **stage-split
+chain** (shift stage A, stage B, then the forward pipeline as separate
+dispatches with device-resident sharded intermediates — the form the engine
+runs, required to avoid the TPU gather-into-scan fusion pathology;
+models/pipeline_model.rev_batch) and the fused single-graph variant (kept for
+single-dispatch use).  ``make_sharded_rev_step`` shards the production chain.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import numpy as np
 
@@ -35,7 +40,9 @@ def shard_batch_arrays(mesh: Mesh, arrays: tuple) -> tuple:
     return tuple(jax.device_put(np.asarray(a), sh) for a in arrays)
 
 
-def make_sharded_fwd_step(mesh: Mesh, *, max_out: int, max_clusters: int, window: int):
+def make_sharded_fwd_step(
+    mesh: Mesh, *, max_out: int, max_clusters: int, window: int, mm: bool = False
+):
     """pjit-style sharded forward liftover step over the mesh.
 
     Batch dim must be divisible by the mesh size.  Inputs/outputs are sharded
@@ -45,7 +52,7 @@ def make_sharded_fwd_step(mesh: Mesh, *, max_out: int, max_clusters: int, window
 
     fn = jax.vmap(
         lambda *a: _fwd_item(
-            *a, max_out=max_out, max_clusters=max_clusters, window=window
+            *a, max_out=max_out, max_clusters=max_clusters, window=window, mm=mm
         )
     )
     sh = batch_sharding(mesh)
@@ -53,15 +60,78 @@ def make_sharded_fwd_step(mesh: Mesh, *, max_out: int, max_clusters: int, window
     return jax.jit(fn, in_shardings=in_sh, out_shardings=sh)
 
 
-def make_sharded_rev_step(mesh: Mesh, *, max_out: int, max_clusters: int, window: int):
-    """Sharded reverse-contig step: left-shift + liftover + simplify."""
+def make_sharded_rev_step(
+    mesh: Mesh, *, max_out: int, max_clusters: int, window: int, mm: bool = False
+):
+    """Sharded reverse-contig step: the PRODUCTION stage-split chain.
+
+    Three sharded dispatches — shift stage A (clusters + homology), shift
+    stage B (min-plus scan + emissions), forward pipeline — with
+    device-resident sharded intermediates, exactly mirroring
+    ``pipeline_model.rev_batch``.  Returns a callable over the 12 rev batch
+    arrays.
+    """
+    from portello_tpu.kernels.shift_kernel import _shift_stage_a, _shift_stage_b
+    from portello_tpu.models.pipeline_model import _fwd_item
+
+    sh = batch_sharding(mesh)
+
+    stage_a = jax.jit(
+        jax.vmap(
+            lambda c, l, p, wb, rw, rq: _shift_stage_a(
+                c, l, p, wb, rw, rq,
+                max_clusters=max_clusters, window=window, mm=mm,
+            )
+        ),
+        in_shardings=(sh,) * 6,
+        out_shardings=sh,
+    )
+    stage_b = jax.jit(
+        jax.vmap(
+            lambda c, l, p, s: _shift_stage_b(
+                c, l, p, s, window=window, max_out=max_out, mm=mm
+            )
+        ),
+        in_shardings=(sh, sh, sh, sh),
+        out_shardings=sh,
+    )
+    fwd = jax.jit(
+        jax.vmap(
+            lambda *a: _fwd_item(
+                *a, max_out=max_out, max_clusters=max_clusters, window=window,
+                mm=mm,
+            )
+        ),
+        in_shardings=(sh,) * 10,
+        out_shardings=sh,
+    )
+
+    def run(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
+            ref_win, ref_base, read_seq):
+        rel_pos = pos - win_base
+        st = stage_a(ops, lens, rel_pos, win_base, contig_win, read_seq)
+        sh_codes, sh_lens, sh_n, sh_pos, sh_fb = stage_b(ops, lens, rel_pos, st)
+        out = fwd(
+            sh_codes, sh_lens, sh_n, sh_pos + win_base, bk, bv, nb,
+            ref_win, ref_base, read_seq,
+        )
+        out["fallback"] = out["fallback"] | sh_fb
+        return out
+
+    return run
+
+
+def make_sharded_rev_step_fused(
+    mesh: Mesh, *, max_out: int, max_clusters: int, window: int, mm: bool = False
+):
+    """Fused single-graph reverse step (compile-validation / single-dispatch)."""
     from portello_tpu.models.pipeline_model import _rev_item
 
     fn = jax.vmap(
         lambda *a: _rev_item(
-            *a, max_out=max_out, max_clusters=max_clusters, window=window
+            *a, max_out=max_out, max_clusters=max_clusters, window=window, mm=mm
         )
-    )  # fused single-graph variant: fine for compile validation dry runs
+    )
     sh = batch_sharding(mesh)
     in_sh = (sh,) * 12
     return jax.jit(fn, in_shardings=in_sh, out_shardings=sh)
