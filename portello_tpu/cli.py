@@ -29,6 +29,7 @@ class Settings:
     target_region: str | None
     thread_count: int
     device: str = "auto"
+    feed: str = "auto"
     batch_size: int = 512
     num_hosts: int = 1
     host_id: int = 0
@@ -77,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--device", choices=["auto", "tpu", "cpu", "host"], default="auto",
         help="Compute path: TPU/CPU device kernels, or pure-host engine",
+    )
+    p.add_argument(
+        "--feed", choices=["auto", "native", "python"], default="auto",
+        help="Phase-2 host feed: native C++ scanner or Python (auto = native "
+        "when available and a device engine is in use)",
     )
     p.add_argument(
         "--batch-size", type=int, default=512,

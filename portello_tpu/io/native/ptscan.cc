@@ -1,0 +1,1461 @@
+// ptscan: native (C++) phase-2 read scanner for portello-tpu.
+//
+// The runtime around the JAX device engine: streams the read-to-assembly
+// BAM, parses split reads, preps padded device work-item batches, finishes
+// lifted records (tags, flags, SA regeneration, primary selection), and
+// writes the output BAMs — the role the reference runs across all CPU cores
+// (reference src/read_alignment_scanner.rs:369-661, worker_thread_data.rs)
+// and round 1 ran in Python at ~1k reads/s.
+//
+// Python (pipeline/native_feed.py) drives the batch loop:
+//     while ptscan_next_batch(h, &desc):  # C++ scans + preps until a batch fills
+//         results = jax_device_compute(desc)
+//         ptscan_post_results(h, results)  # C++ finishes + writes resolved reads
+//
+// Exact-semantics ports (conformance enforced by tests/test_native_feed.py
+// byte-comparing CLI output against the Python engine path):
+//   - split-read/SA parsing: pipeline/split_read.py (reference
+//     bam_utils/split_read.rs:56-155, sa_tag_parser.rs:25-59)
+//   - item prep: models/pipeline_model.DeviceEngine._prep_item
+//   - record finish: pipeline/read_scan.py finish_lifted_record /
+//     finish_remapped_alignment_set (reference read_alignment_scanner.rs:245-366)
+//   - host-fallback compute: ops/{liftover,simplify,shift,homology}.py via
+//     the included ptcore.cc (reference liftover_read_alignment.rs:35-223,
+//     simplify_alignment_indels.rs:4-156, shift_indels/, indel_breakend_homology.rs)
+//   - unmapped-record semantics: unplaced (tid < 0) records pass through to
+//     the unassembled output; placed-unmapped records are a hard error, the
+//     reference's assert (read_alignment_scanner.rs:396,537-559).
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC ptscan.cc -o ptscan.so -lz -lpthread
+
+#include "ptio.cc"
+#include "ptcore.cc"
+
+#include <deque>
+#include <map>
+#include <memory>
+#include <sstream>
+#include <stdexcept>
+
+namespace {
+
+using Cig = std::vector<Op>;  // Op from ptcore.cc: {int32 code, int64 len}
+
+constexpr int kFUNMAP = 0x4, kFREVERSE = 0x10, kFSUPPL = 0x800;
+
+// ---- sequence coding (io/bam.py SEQ_CHARS; ops/seq.py complement LUT) ----
+
+const char kSeqChars[17] = "=ACMGRSVTWYHKDBN";
+
+struct SeqLuts {
+  uint8_t comp[256];
+  uint8_t enc[256];
+  SeqLuts() {
+    for (int i = 0; i < 256; ++i) comp[i] = 'N';
+    const char* pairs = "ATCGGCTANN";
+    for (int i = 0; i < 5; ++i) {
+      uint8_t a = pairs[2 * i], b = pairs[2 * i + 1];
+      comp[a] = b;
+      comp[a + 32] = b + 32;  // lowercase preserves case
+    }
+    for (int i = 0; i < 256; ++i) enc[i] = 15;
+    for (int i = 0; i < 16; ++i) {
+      enc[(uint8_t)kSeqChars[i]] = i;
+      enc[(uint8_t)std::tolower(kSeqChars[i])] = i;
+    }
+  }
+};
+const SeqLuts kLut;
+
+// ---- cigar helpers (ops/cigar.py) ----
+
+int64_t cig_ref_span(const Cig& c) {
+  int64_t s = 0;
+  for (const Op& o : c)
+    if (consumes_ref(o.code)) s += o.len;
+  return s;
+}
+
+int64_t cig_read_len_hard(const Cig& c) {
+  int64_t s = 0;
+  for (const Op& o : c)
+    if (consumes_read_hard(o.code)) s += o.len;
+  return s;
+}
+
+bool cig_has_aligned(const Cig& c) {
+  for (const Op& o : c)
+    if (is_align_match(o.code)) return true;
+  return false;
+}
+
+// get_read_clip_positions(cig, ignore_hard_clip=False) (cigar/mod.rs:85-118)
+void cig_clip_positions(const Cig& c, int64_t* left, int64_t* right_start,
+                        int64_t* read_len) {
+  int64_t rl = cig_read_len_hard(c);
+  *read_len = rl;
+  if (c.empty()) {
+    *left = 0;
+    *right_start = 0;
+    return;
+  }
+  size_t first_nonclip = c.size();
+  for (size_t i = 0; i < c.size(); ++i) {
+    if (!(c[i].code == kS || c[i].code == kH)) {
+      first_nonclip = i;
+      break;
+    }
+  }
+  int64_t lc = 0, rc = 0;
+  for (size_t i = 0; i < c.size(); ++i) {
+    if (c[i].code == kS || c[i].code == kH) {
+      if (i < first_nonclip)
+        lc += c[i].len;
+      else
+        rc += c[i].len;
+    }
+  }
+  *left = lc;
+  *right_start = rl - rc;
+}
+
+std::string cig_to_string(const Cig& c) {
+  static const char* chars = "MIDNSHP=X";
+  std::string out;
+  if (c.empty()) return "*";
+  char buf[32];
+  for (const Op& o : c) {
+    int n = snprintf(buf, sizeof buf, "%lld%c", (long long)o.len,
+                     chars[o.code]);
+    out.append(buf, n);
+  }
+  return out;
+}
+
+// ---- homology + left shift (ops/homology.py, ops/shift.py; reference
+//      indel_breakend_homology.rs:24-73, shift_indels/) ----
+
+int64_t homology_left(const uint8_t* ref_seq, int64_t ref_len,
+                      const uint8_t* read_seq, int64_t read_len,
+                      int64_t ref_start, int64_t ref_end, int64_t read_start,
+                      int64_t read_end) {
+  (void)ref_len;
+  (void)read_len;
+  int64_t max_left = std::min(ref_start, read_start);
+  int64_t left = 0;
+  while (left < max_left &&
+         ref_seq[ref_end - left - 1] == read_seq[read_end - left - 1])
+    ++left;
+  return left;
+}
+
+// left_shift_indels (shift_indels/left_shift_indels.rs:17-39 +
+// cigar_indel_shifter.rs:10-165); returns shifted (pos, cigar) after the
+// cleanup+compress finishing pair.
+void left_shift_indels_native(int64_t ref_pos, const Cig& cig,
+                              const uint8_t* ref_seq, int64_t ref_len,
+                              const uint8_t* read_seq, int64_t read_len,
+                              int64_t* out_pos, Cig* out) {
+  int64_t match_block = 0;
+  bool in_indel = false;
+  int64_t i_ref = 0, i_read = 0, i_del = 0, i_ins = 0;
+  out->clear();
+
+  auto end_indel = [&]() {
+    if (!in_indel) return;
+    in_indel = false;
+    int64_t left = homology_left(ref_seq, ref_len, read_seq, read_len, i_ref,
+                                 i_ref + i_del, i_read, i_read + i_ins);
+    int64_t shift_len = left;  // LEFT direction: max(0, -(-left))
+    int64_t actual = std::min(match_block, shift_len);
+    int64_t remaining = match_block - actual;
+    if (remaining > 0) out->push_back({kM, remaining});
+    match_block = actual;
+    if (i_ins > 0) out->push_back({kI, i_ins});
+    if (i_del > 0) out->push_back({kD, i_del});
+    i_ins = i_del = 0;
+  };
+  auto add_other = [&](const Op* seg) {
+    end_indel();
+    if (match_block > 0) {
+      out->push_back({kM, match_block});
+      match_block = 0;
+    }
+    if (seg) out->push_back(*seg);
+  };
+
+  int64_t rp = ref_pos, dp = 0;
+  for (const Op& o : cig) {
+    if (o.code == kD) {
+      if (o.len > 0) {
+        if (!in_indel) {
+          i_ref = rp;
+          i_read = dp;
+          in_indel = true;
+        }
+        i_del += o.len;
+      }
+    } else if (o.code == kI) {
+      if (o.len > 0) {
+        if (!in_indel) {
+          i_ref = rp;
+          i_read = dp;
+          in_indel = true;
+        }
+        i_ins += o.len;
+      }
+    } else if (is_align_match(o.code)) {
+      end_indel();
+      match_block += o.len;
+    } else {
+      add_other(&o);
+    }
+    if (consumes_ref(o.code)) rp += o.len;
+    if (consumes_read_hard(o.code)) dp += o.len;
+  }
+  add_other(nullptr);
+  *out_pos = ref_pos + cleanup_and_compress(out);
+}
+
+// ---- raw BAM record view ----
+
+struct RecView {
+  int32_t tid, pos, mtid, mpos, tlen, l_seq;
+  uint16_t flag, n_cigar;
+  uint8_t mapq;
+  std::string qname;
+  Cig cigar;
+  size_t tags_off;  // into raw
+  const uint8_t* raw;
+  size_t raw_len;
+  bool cg_long = false;  // cigar came from a CG tag
+};
+
+// Walk one aux tag; returns offset past it (or raw_len on malformed end).
+size_t tag_skip(const uint8_t* p, size_t off, size_t end, std::string* err) {
+  if (off + 3 > end) {
+    *err = "truncated aux tag";
+    return end;
+  }
+  uint8_t ty = p[off + 2];
+  size_t o = off + 3;
+  auto scalar = [&](size_t n) { o += n; };
+  switch (ty) {
+    case 'A': case 'c': case 'C': scalar(1); break;
+    case 's': case 'S': scalar(2); break;
+    case 'i': case 'I': case 'f': scalar(4); break;
+    case 'Z': case 'H':
+      while (o < end && p[o]) ++o;
+      ++o;
+      break;
+    case 'B': {
+      if (o + 5 > end) {
+        *err = "truncated B tag";
+        return end;
+      }
+      uint8_t sub = p[o];
+      int32_t cnt;
+      std::memcpy(&cnt, p + o + 1, 4);
+      size_t esz = (sub == 'c' || sub == 'C') ? 1
+                   : (sub == 's' || sub == 'S') ? 2
+                                                : 4;
+      o += 5 + (size_t)cnt * esz;
+      break;
+    }
+    default:
+      *err = "unknown aux type";
+      return end;
+  }
+  return o;
+}
+
+bool find_tag(const uint8_t* p, size_t off, size_t end, const char* tag,
+              size_t* val_off, uint8_t* ty, std::string* err) {
+  while (off + 3 <= end) {
+    uint8_t t0 = p[off], t1 = p[off + 1];
+    size_t nxt = tag_skip(p, off, end, err);
+    if (!err->empty()) return false;
+    if (t0 == (uint8_t)tag[0] && t1 == (uint8_t)tag[1]) {
+      *val_off = off + 3;
+      *ty = p[off + 2];
+      return true;
+    }
+    off = nxt;
+  }
+  return false;
+}
+
+bool parse_record(const uint8_t* raw, size_t n, RecView* rv, std::string* err) {
+  if (n < 32) {
+    *err = "truncated BAM record";
+    return false;
+  }
+  std::memcpy(&rv->tid, raw + 0, 4);
+  std::memcpy(&rv->pos, raw + 4, 4);
+  uint8_t l_read_name = raw[8];
+  rv->mapq = raw[9];
+  std::memcpy(&rv->n_cigar, raw + 12, 2);
+  std::memcpy(&rv->flag, raw + 14, 2);
+  std::memcpy(&rv->l_seq, raw + 16, 4);
+  std::memcpy(&rv->mtid, raw + 20, 4);
+  std::memcpy(&rv->mpos, raw + 24, 4);
+  std::memcpy(&rv->tlen, raw + 28, 4);
+  size_t off = 32;
+  rv->qname.assign((const char*)raw + off, l_read_name ? l_read_name - 1 : 0);
+  off += l_read_name;
+  rv->cigar.clear();
+  rv->cigar.reserve(rv->n_cigar);
+  for (int i = 0; i < rv->n_cigar; ++i) {
+    uint32_t u;
+    std::memcpy(&u, raw + off + 4 * i, 4);
+    rv->cigar.push_back({(int32_t)(u & 0xF), (int64_t)(u >> 4)});
+  }
+  off += 4 * (size_t)rv->n_cigar;
+  off += (rv->l_seq + 1) / 2;  // packed seq
+  off += rv->l_seq;            // qual
+  rv->tags_off = off;
+  rv->raw = raw;
+  rv->raw_len = n;
+  rv->cg_long = false;
+  // Long-CIGAR placeholder kSmN + CG:B,I (SAM spec 4.2.2; io/bam.py decode)
+  if (rv->n_cigar == 2 && rv->cigar[0].code == kS &&
+      rv->cigar[0].len == rv->l_seq && rv->cigar[1].code == kN) {
+    size_t voff;
+    uint8_t ty;
+    std::string e2;
+    if (find_tag(raw, off, n, "CG", &voff, &ty, &e2) && ty == 'B' &&
+        raw[voff] == 'I') {
+      int32_t cnt;
+      std::memcpy(&cnt, raw + voff + 1, 4);
+      Cig real;
+      real.reserve(cnt);
+      for (int i = 0; i < cnt; ++i) {
+        uint32_t u;
+        std::memcpy(&u, raw + voff + 5 + 4 * (size_t)i, 4);
+        real.push_back({(int32_t)(u & 0xF), (int64_t)(u >> 4)});
+      }
+      rv->cigar = std::move(real);
+      rv->cg_long = true;
+    }
+  }
+  return true;
+}
+
+void decode_seq_ascii(const uint8_t* raw, const RecView& rv,
+                      std::vector<uint8_t>* out) {
+  size_t off = 32 + rv.qname.size() + 1 + 4 * (size_t)rv.n_cigar;
+  out->resize(rv.l_seq);
+  const uint8_t* packed = raw + off;
+  for (int32_t i = 0; i < rv.l_seq; ++i) {
+    uint8_t b = packed[i / 2];
+    (*out)[i] = kSeqChars[(i % 2) ? (b & 0xF) : (b >> 4)];
+  }
+}
+
+const uint8_t* qual_ptr(const uint8_t* raw, const RecView& rv) {
+  return raw + 32 + rv.qname.size() + 1 + 4 * (size_t)rv.n_cigar +
+         (rv.l_seq + 1) / 2;
+}
+
+// ---- split-read parsing (pipeline/split_read.py; split_read.rs:56-155) ----
+
+struct SegView {
+  int64_t so_start, so_end;
+  int32_t chrom;  // contig index
+  int64_t pos;
+  bool fwd;
+  int32_t mapq;
+  Cig cigar;
+};
+
+Cig cigar_from_string(const std::string& s, std::string* err) {
+  Cig out;
+  if (s == "*" || s.empty()) return out;
+  int64_t num = 0;
+  bool have = false;
+  for (char ch : s) {
+    if (ch >= '0' && ch <= '9') {
+      num = num * 10 + (ch - '0');
+      have = true;
+    } else {
+      int code = -1;
+      switch (ch) {
+        case 'M': code = kM; break;
+        case 'I': code = kI; break;
+        case 'D': code = kD; break;
+        case 'N': code = kN; break;
+        case 'S': code = kS; break;
+        case 'H': code = kH; break;
+        case 'P': code = kP; break;
+        case '=': code = kEq; break;
+        case 'X': code = kX; break;
+      }
+      if (code < 0 || !have) {
+        *err = "Malformed CIGAR string: '" + s + "'";
+        return out;
+      }
+      out.push_back({(int32_t)code, num});
+      num = 0;
+      have = false;
+    }
+  }
+  if (have) *err = "Malformed CIGAR string (trailing number): '" + s + "'";
+  return out;
+}
+
+// ---- scanner ----
+
+struct BucketCfg {
+  int64_t max_ops, max_blocks, max_seq;
+};
+
+struct Item {
+  int32_t seg_index;
+  int64_t contig_seg;        // global segment id
+  int32_t contig_seg_local;  // within contig (PS tag)
+  bool need_flip, is_rev_contig;
+  bool host_fallback = false, skip_unmapped = false;
+  bool resolved = false;
+  bool has_result = false;
+  int64_t ref2_pos = -1;
+  Cig result;
+};
+
+struct ReadState {
+  std::vector<uint8_t> raw;
+  RecView rv;
+  std::vector<uint8_t> seq_fwd, seq_rc;  // ASCII; rc lazily filled
+  std::vector<SegView> splits;
+  std::vector<Item> items;
+  int unresolved = 0;
+};
+
+struct PendingRef {
+  ReadState* read;
+  int item;
+};
+
+// One record can append several items after the batch-size check, so the
+// accumulator carries slack rows; batches are emitted at exactly batch_size
+// (fixed compiled shapes) and the tail is shifted down after post_results.
+constexpr int64_t kAccumSlack = 1024;
+
+struct Accum {
+  std::vector<int32_t> ops, lens, n_ops, pos, bk, bv, nb, ref_base, win_base;
+  std::vector<uint8_t> ref_win, read_seq, contig_win;
+  std::vector<PendingRef> refs;
+  int64_t count = 0;
+};
+
+struct Scanner {
+  Reader* reader = nullptr;
+  Writer* remapped = nullptr;
+  Writer* unassembled = nullptr;
+  std::string error;
+
+  // contig index (borrowed pointers; Python keeps them alive)
+  int64_t n_contigs = 0;
+  const int64_t* contig_len = nullptr;
+  const int64_t* seg_off = nullptr;
+  const int32_t* seg_chrom = nullptr;
+  const int64_t* seg_pos = nullptr;
+  const uint8_t* seg_fwd = nullptr;
+  const int32_t* seg_mapq = nullptr;
+  const int64_t* seg_so_start = nullptr;
+  const int64_t* seg_so_end = nullptr;
+  const int64_t* bm_off = nullptr;
+  const int64_t* bm_keys = nullptr;
+  const int64_t* bm_vals = nullptr;
+  const int64_t* rc_off = nullptr;
+  const uint8_t* rc_bytes = nullptr;
+  std::vector<std::string> contig_names, ref_names;
+  std::vector<const uint8_t*> ref_ptrs;
+  std::vector<int64_t> ref_lens;
+  const uint8_t* owned = nullptr;  // per-contig ownership bitmap (or null)
+  bool emit_unmapped = true;
+  bool is_target_region = false;
+
+  std::vector<BucketCfg> buckets;
+  int64_t batch_size = 512;
+
+  std::deque<std::unique_ptr<ReadState>> fifo;
+  std::vector<Accum> accums;  // n_buckets * 2 (fwd, rev)
+  bool eof = false;
+  // the batch currently handed to Python
+  int out_accum = -1;
+  int64_t out_count = 0;
+
+  long long n_primary = 0, device_items = 0, host_items = 0,
+            fallback_items = 0, n_unassembled = 0, cur_tid = -1;
+};
+
+int64_t upper_bound_i64(const int64_t* a, int64_t n, int64_t v) {
+  return std::upper_bound(a, a + n, v) - a;
+}
+
+void parse_splits(Scanner& sc, ReadState& rs,
+                  const std::map<std::string, int32_t>& contig_idx) {
+  const RecView& rv = rs.rv;
+  int64_t left, right_start, read_len;
+  cig_clip_positions(rv.cigar, &left, &right_start, &read_len);
+  bool fwd = !(rv.flag & kFREVERSE);
+  int64_t so_s = fwd ? left : read_len - right_start;
+  int64_t so_e = fwd ? right_start : read_len - left;
+  rs.splits.push_back(
+      {so_s, so_e, rv.tid, rv.pos, fwd, rv.mapq, rv.cigar});
+
+  size_t voff;
+  uint8_t ty;
+  std::string err;
+  if (find_tag(rv.raw, rv.tags_off, rv.raw_len, "SA", &voff, &ty, &err)) {
+    if (ty != 'Z' && ty != 'H')
+      throw std::runtime_error("Unexpected SA tag format in read " +
+                               rv.qname);
+    const char* s = (const char*)rv.raw + voff;
+    std::string sa(s);  // NUL-terminated Z string
+    size_t i0 = 0;
+    int seg_i = 0;
+    while (i0 < sa.size()) {
+      size_t semi = sa.find(';', i0);
+      if (semi == std::string::npos) semi = sa.size();
+      std::string seg = sa.substr(i0, semi - i0);
+      i0 = semi + 1;
+      if (seg.empty()) continue;
+      // 6 comma fields (sa_tag_parser.rs:25-46)
+      std::vector<std::string> f;
+      size_t p0 = 0;
+      while (true) {
+        size_t c = seg.find(',', p0);
+        if (c == std::string::npos) {
+          f.push_back(seg.substr(p0));
+          break;
+        }
+        f.push_back(seg.substr(p0, c - p0));
+        p0 = c + 1;
+      }
+      if (f.size() != 6)
+        throw std::runtime_error("Unexpected segment in bam SA tag: " + seg);
+      std::string cerr;
+      Cig sc_cig = cigar_from_string(f[3], &cerr);
+      if (!cerr.empty()) throw std::runtime_error(cerr);
+      if (!cig_has_aligned(sc_cig))
+        throw std::runtime_error(
+            "Bam record split segment id unaligned in read " + rv.qname);
+      int64_t l2, r2, rl2;
+      cig_clip_positions(sc_cig, &l2, &r2, &rl2);
+      if (rl2 != read_len)
+        throw std::runtime_error(
+            "Inconsistent split read sizes in read " + rv.qname + ": " +
+            std::to_string(rl2) + " != " + std::to_string(read_len));
+      auto it = contig_idx.find(f[0]);
+      if (it == contig_idx.end())
+        throw std::runtime_error(
+            "In read '" + rv.qname + "', the SA aux tag describes a split "
+            "read mapped to " + f[0] + ":" + std::to_string(std::stoll(f[1]) - 1) +
+            " (in segment " + std::to_string(seg_i) + "), which is not found "
+            "in the input reference fasta");
+      bool sfwd = f[2] == "+";
+      int64_t ss = sfwd ? l2 : rl2 - r2;
+      int64_t se = sfwd ? r2 : rl2 - l2;
+      rs.splits.push_back({ss, se, it->second, std::stoll(f[1]) - 1, sfwd,
+                           std::stoi(f[4]), std::move(sc_cig)});
+      ++seg_i;
+    }
+    std::stable_sort(rs.splits.begin(), rs.splits.end(),
+                     [](const SegView& a, const SegView& b) {
+                       return a.so_start < b.so_start;
+                     });
+  }
+  for (const SegView& s : rs.splits)
+    if (s.so_start >= s.so_end)
+      throw std::runtime_error(
+          "Can't parse consistent split read information from SA tag format "
+          "in read: " + rv.qname);
+}
+
+const std::vector<uint8_t>& read_seq_oriented(ReadState& rs, bool flip) {
+  if (!flip) return rs.seq_fwd;
+  if (rs.seq_rc.empty() && !rs.seq_fwd.empty()) {
+    rs.seq_rc.resize(rs.seq_fwd.size());
+    for (size_t i = 0; i < rs.seq_fwd.size(); ++i)
+      rs.seq_rc[i] = kLut.comp[rs.seq_fwd[rs.seq_fwd.size() - 1 - i]];
+  }
+  return rs.seq_rc;
+}
+
+// Host-exact lift of one item over the FULL block map
+// (read_scan.get_liftover_alignment_for_read_and_contig_segment).
+bool host_lift_item(Scanner& sc, ReadState& rs, Item& it, int64_t* out_pos,
+                    Cig* out_cig) {
+  const SegView& seg = rs.splits[it.seg_index];
+  int64_t g = it.contig_seg;
+  bool contig_is_fwd = sc.seg_fwd[g] != 0;
+  int64_t bm_lo = sc.bm_off[g], bm_n = sc.bm_off[g + 1] - bm_lo;
+  const uint8_t* chrom_ref = sc.ref_ptrs[sc.seg_chrom[g]];
+  int64_t chrom_len = sc.ref_lens[sc.seg_chrom[g]];
+
+  int64_t pos;
+  Cig cig;
+  const std::vector<uint8_t>& rseq = read_seq_oriented(rs, it.need_flip);
+  if (contig_is_fwd) {
+    pos = seg.pos;
+    cig = seg.cigar;
+  } else {
+    int64_t contig_length = sc.contig_len[seg.chrom];
+    int64_t seg_end = seg.pos + cig_ref_span(seg.cigar);
+    pos = contig_length - seg_end;
+    cig.assign(seg.cigar.rbegin(), seg.cigar.rend());
+    const uint8_t* rc = sc.rc_bytes + sc.rc_off[seg.chrom];
+    int64_t rc_len = sc.rc_off[seg.chrom + 1] - sc.rc_off[seg.chrom];
+    Cig shifted;
+    int64_t spos;
+    left_shift_indels_native(pos, cig, rc, rc_len, rseq.data(),
+                             (int64_t)rseq.size(), &spos, &shifted);
+    pos = spos;
+    cig = std::move(shifted);
+  }
+
+  // liftover over int64 block map: reuse liftover_one via int32? The full
+  // maps are int64; inline an int64 variant here.
+  // (ptcore's liftover_one is int32-typed for the padded batch layout.)
+  {
+    bool have_start = false, have_end = false;
+    int64_t ref2_start = 0, ref2_end = 0;
+    int64_t seg_start = pos;
+    const int64_t* bk = sc.bm_keys + bm_lo;
+    const int64_t* bv = sc.bm_vals + bm_lo;
+    Cig em;
+    for (const Op& op : cig) {
+      int code = op.code;
+      int64_t length = op.len;
+      if (code == kI || code == kS || code == kH) {
+        em.push_back({(int32_t)code, length});
+      } else if (code == kP) {
+      } else {
+        int64_t seg_end2 = seg_start + length;
+        bool match = is_align_match(code);
+        int64_t lo = upper_bound_i64(bk, bm_n, seg_start) - 1;
+        if (lo < 0) lo = 0;
+        int64_t hi = std::lower_bound(bk, bk + bm_n, seg_end2) - bk;
+        int64_t block_pos = seg_start;
+        bool have_last = false;
+        int64_t last_key = 0, last_val = 0;
+        for (int64_t i = lo; i <= hi; ++i) {
+          bool has_this = i < hi;
+          int64_t end = has_this ? std::min(bk[i], seg_end2) : seg_end2;
+          if (end > block_pos) {
+            int64_t seg_len = end - block_pos;
+            if (!have_last) {
+              if (match) em.push_back({kS, seg_len});
+            } else if (last_val < 0) {
+              if (match) em.push_back({kI, seg_len});
+            } else {
+              if (match && !have_start) {
+                have_start = true;
+                ref2_start = last_val + (block_pos - last_key);
+              }
+              if (have_end) {
+                int64_t dl = last_val - ref2_end;
+                if (dl > 0 && have_start) em.push_back({kD, dl});
+              }
+              ref2_end = last_val + (end - last_key);
+              have_end = true;
+              if (match || have_start) {
+                int c2 = code == kD ? kD : (code == kN ? kN : kM);
+                em.push_back({(int32_t)c2, seg_len});
+              }
+            }
+            block_pos = end;
+          }
+          if (has_this) {
+            have_last = true;
+            last_key = bk[i];
+            last_val = bv[i];
+          }
+        }
+      }
+      if (consumes_ref(code)) seg_start += length;
+    }
+    if (!have_start) return false;
+    int64_t lifted_pos = ref2_start + cleanup_and_compress(&em);
+
+    // read-length invariant (read_alignment_scanner.rs:204-229)
+    int64_t crl = cig_read_len_hard(em);
+    if (crl != (int64_t)rs.seq_fwd.size())
+      throw std::runtime_error(
+          "Failed to remap qname: " + rs.rv.qname + ": seq len " +
+          std::to_string(rs.seq_fwd.size()) + " != lifted cigar read len " +
+          std::to_string(crl));
+
+    Cig simp;
+    (void)chrom_len;  // simplify indexes the full chromosome absolutely
+    int64_t new_pos = simplify_one(lifted_pos, em, chrom_ref, rseq.data(), &simp);
+    *out_pos = new_pos;
+    *out_cig = std::move(simp);
+  }
+  return true;
+}
+
+// ---- output record building (read_scan.py finish_*; bam.py encode) ----
+
+// hts_reg2bin (io/bai.py:27-40)
+int bam_reg2bin(int64_t beg, int64_t end) {
+  --end;
+  int l = 5, s = 14, t = ((1 << 15) - 1) / 7;
+  while (l > 0) {
+    if ((beg >> s) == (end >> s)) return t + (int)(beg >> s);
+    --l;
+    s += 3;
+    t -= 1 << (l * 3);
+  }
+  return 0;
+}
+
+struct OutRecord {
+  uint16_t flag;
+  int32_t tid;
+  int64_t pos;
+  uint8_t mapq;
+  Cig cigar;
+  bool flipped;     // seq/qual emitted reverse-complemented
+  std::string ps;   // PS tag (empty = none)
+  bool has_zm = false;
+  uint8_t zm = 0;
+  std::string sa;   // SA tag (empty = none)
+};
+
+void append_tags_filtered(const ReadState& rs, std::vector<uint8_t>* out) {
+  // clone_record semantics: drop NM/SA/PS/ZM (+ CG when the input cigar was
+  // CG-decoded, matching io/bam.py decode which strips it)
+  const uint8_t* p = rs.rv.raw;
+  size_t off = rs.rv.tags_off, end = rs.rv.raw_len;
+  std::string err;
+  while (off + 3 <= end) {
+    size_t nxt = tag_skip(p, off, end, &err);
+    if (!err.empty()) break;
+    uint8_t a = p[off], b = p[off + 1];
+    bool drop = (a == 'N' && b == 'M') || (a == 'S' && b == 'A') ||
+                (a == 'P' && b == 'S') || (a == 'Z' && b == 'M') ||
+                (rs.rv.cg_long && a == 'C' && b == 'G');
+    if (!drop) out->insert(out->end(), p + off, p + nxt);
+    off = nxt;
+  }
+}
+
+void encode_record(const ReadState& rs, const OutRecord& r,
+                   std::vector<uint8_t>* out) {
+  const RecView& rv = rs.rv;
+  Cig cigar = r.cigar;
+  std::vector<uint8_t> extra_tags;
+  int64_t l_seq = rs.seq_fwd.size();
+  if (cigar.size() > 0xFFFF) {
+    // long-cigar CG spill (io/bam.py encode)
+    int64_t rspan = cig_ref_span(cigar);
+    extra_tags.push_back('C');
+    extra_tags.push_back('G');
+    extra_tags.push_back('B');
+    extra_tags.push_back('I');
+    int32_t cnt = cigar.size();
+    size_t base = extra_tags.size();
+    extra_tags.resize(base + 4 + 4 * (size_t)cnt);
+    std::memcpy(extra_tags.data() + base, &cnt, 4);
+    for (int32_t i = 0; i < cnt; ++i) {
+      uint32_t u = ((uint32_t)cigar[i].len << 4) | (uint32_t)cigar[i].code;
+      std::memcpy(extra_tags.data() + base + 4 + 4 * (size_t)i, &u, 4);
+    }
+    cigar = {{kS, l_seq}, {kN, rspan}};
+  }
+  int rbin;
+  if ((r.flag & kFUNMAP) || cigar.empty())
+    rbin = bam_reg2bin(std::max<int64_t>(r.pos, 0),
+                       std::max<int64_t>(r.pos, 0) + 1);
+  else
+    rbin = bam_reg2bin(r.pos, r.pos + cig_ref_span(cigar));
+
+  size_t qn = rv.qname.size() + 1;
+  out->clear();
+  out->reserve(36 + qn + 4 * cigar.size() + (l_seq + 1) / 2 + l_seq + 256);
+  out->resize(36);
+  uint8_t* h = out->data() + 4;  // [0:4] = block size, filled last
+  std::memcpy(h + 0, &r.tid, 4);
+  int32_t pos32 = (int32_t)r.pos;
+  std::memcpy(h + 4, &pos32, 4);
+  h[8] = (uint8_t)qn;
+  h[9] = r.mapq;
+  uint16_t bin16 = (uint16_t)rbin, ncig = (uint16_t)cigar.size();
+  std::memcpy(h + 10, &bin16, 2);
+  std::memcpy(h + 12, &ncig, 2);
+  std::memcpy(h + 14, &r.flag, 2);
+  int32_t ls32 = (int32_t)l_seq;
+  std::memcpy(h + 16, &ls32, 4);
+  std::memcpy(h + 20, &rv.mtid, 4);
+  std::memcpy(h + 24, &rv.mpos, 4);
+  std::memcpy(h + 28, &rv.tlen, 4);
+  out->insert(out->end(), rv.qname.begin(), rv.qname.end());
+  out->push_back(0);
+  for (const Op& o : cigar) {
+    uint32_t u = ((uint32_t)o.len << 4) | (uint32_t)o.code;
+    size_t b = out->size();
+    out->resize(b + 4);
+    std::memcpy(out->data() + b, &u, 4);
+  }
+  // seq (possibly revcomp) 4-bit packed
+  {
+    const std::vector<uint8_t>& fwd = rs.seq_fwd;
+    size_t b = out->size();
+    out->resize(b + (l_seq + 1) / 2, 0);
+    uint8_t* dst = out->data() + b;
+    for (int64_t i = 0; i < l_seq; ++i) {
+      uint8_t base =
+          r.flipped ? kLut.comp[fwd[l_seq - 1 - i]] : fwd[i];
+      uint8_t code = kLut.enc[base];
+      if (i % 2)
+        dst[i / 2] |= code;
+      else
+        dst[i / 2] = code << 4;
+    }
+  }
+  // qual (possibly reversed)
+  {
+    const uint8_t* q = qual_ptr(rv.raw, rv);
+    size_t b = out->size();
+    out->resize(b + l_seq);
+    uint8_t* dst = out->data() + b;
+    for (int64_t i = 0; i < l_seq; ++i)
+      dst[i] = r.flipped ? q[l_seq - 1 - i] : q[i];
+  }
+  append_tags_filtered(rs, out);
+  if (!r.ps.empty()) {
+    out->push_back('P');
+    out->push_back('S');
+    out->push_back('Z');
+    out->insert(out->end(), r.ps.begin(), r.ps.end());
+    out->push_back(0);
+  }
+  if (r.has_zm) {
+    out->push_back('Z');
+    out->push_back('M');
+    out->push_back('C');
+    out->push_back(r.zm);
+  }
+  if (!r.sa.empty()) {
+    out->push_back('S');
+    out->push_back('A');
+    out->push_back('Z');
+    out->insert(out->end(), r.sa.begin(), r.sa.end());
+    out->push_back(0);
+  }
+  out->insert(out->end(), extra_tags.begin(), extra_tags.end());
+  int32_t bsz = (int32_t)(out->size() - 4);
+  std::memcpy(out->data(), &bsz, 4);
+}
+
+void write_record_bytes(Writer* w, const std::vector<uint8_t>& rec) {
+  ptio_write(w, rec.data(), rec.size());
+}
+
+// finish_remapped_alignment_set (read_scan.py:215-251;
+// read_alignment_scanner.rs:310-366)
+void finish_read(Scanner& sc, ReadState& rs) {
+  std::vector<OutRecord> recs;
+  for (Item& it : rs.items) {
+    if (!it.has_result) continue;
+    const SegView& seg = rs.splits[it.seg_index];
+    int64_t g = it.contig_seg;
+    bool contig_is_fwd = sc.seg_fwd[g] != 0;
+    OutRecord r;
+    r.tid = sc.seg_chrom[g];
+    r.pos = it.ref2_pos;
+    r.cigar = std::move(it.result);
+    r.mapq = (uint8_t)sc.seg_mapq[g];
+    r.ps = sc.contig_names[seg.chrom] + "_split" +
+           std::to_string(it.contig_seg_local) + (contig_is_fwd ? "+" : "-");
+    r.has_zm = true;
+    r.zm = rs.rv.mapq;
+    r.flag = rs.rv.flag;
+    r.flipped = false;
+    if (it.need_flip) {
+      r.flag ^= kFREVERSE;
+      r.flipped = true;
+    }
+    r.flag |= kFSUPPL;
+    recs.push_back(std::move(r));
+  }
+  std::vector<uint8_t> buf;
+  if (recs.empty()) {
+    if (sc.is_target_region) return;
+    OutRecord r;
+    r.flag = rs.rv.flag | kFUNMAP;
+    r.flag &= ~kFSUPPL;
+    r.tid = -1;
+    r.pos = -1;
+    r.mapq = 255;
+    r.flipped = false;
+    if (r.flag & kFREVERSE) {
+      r.flag ^= kFREVERSE;
+      r.flipped = true;
+    }
+    encode_record(rs, r, &buf);
+    write_record_bytes(sc.remapped, buf);
+    return;
+  }
+  size_t primary = 0;
+  for (size_t i = 1; i < recs.size(); ++i)
+    if (recs[primary].mapq < recs[i].mapq) primary = i;
+  recs[primary].flag &= ~kFSUPPL;
+  if (recs.size() > 1) {
+    std::vector<std::string> parts;
+    for (const OutRecord& r : recs) {
+      // get_sa_tag_segment (read_scan.py:205-212); NM hardcoded 0
+      bool rev = (r.flag & kFREVERSE) != 0;
+      parts.push_back(sc.ref_names[r.tid] + "," +
+                      std::to_string(r.pos + 1) + "," + (rev ? "-" : "+") +
+                      "," + cig_to_string(r.cigar) + "," +
+                      std::to_string((int)r.mapq) + ",0;");
+    }
+    for (size_t i = 0; i < recs.size(); ++i) {
+      std::string aux;
+      for (size_t j = 0; j < parts.size(); ++j)
+        if (j != i) aux += parts[j];
+      if (!aux.empty()) recs[i].sa = aux;
+    }
+  }
+  for (const OutRecord& r : recs) {
+    encode_record(rs, r, &buf);
+    write_record_bytes(sc.remapped, buf);
+  }
+}
+
+void drain_fifo(Scanner& sc) {
+  while (!sc.fifo.empty() && sc.fifo.front()->unresolved == 0) {
+    finish_read(sc, *sc.fifo.front());
+    sc.fifo.pop_front();
+  }
+}
+
+// DeviceEngine._prep_item semantics (models/pipeline_model.py:217-287)
+void prep_item(Scanner& sc, ReadState& rs, int seg_index, int64_t g,
+               int32_t local) {
+  const SegView& seg = rs.splits[seg_index];
+  bool contig_is_fwd = sc.seg_fwd[g] != 0;
+  bool rec_rev = (rs.rv.flag & kFREVERSE) != 0;
+  const SegView& rseg = rs.splits[seg_index];
+  bool changes_strand = rec_rev == rseg.fwd;
+  bool need_flip = (!contig_is_fwd) != changes_strand;  // XOR
+
+  Item it;
+  it.seg_index = seg_index;
+  it.contig_seg = g;
+  it.contig_seg_local = local;
+  it.need_flip = need_flip;
+  it.is_rev_contig = !contig_is_fwd;
+
+  int64_t pos;
+  Cig cig;
+  if (contig_is_fwd) {
+    pos = rseg.pos;
+    cig = rseg.cigar;
+  } else {
+    int64_t contig_length = sc.contig_len[rseg.chrom];
+    int64_t seg_end = rseg.pos + cig_ref_span(rseg.cigar);
+    pos = contig_length - seg_end;
+    cig.assign(rseg.cigar.rbegin(), rseg.cigar.rend());
+  }
+  int64_t span = cig_ref_span(cig);
+  int64_t bm_o = sc.bm_off[g], bm_n = sc.bm_off[g + 1] - bm_o;
+  const int64_t* bk = sc.bm_keys + bm_o;
+  const int64_t* bv = sc.bm_vals + bm_o;
+  int64_t lo = upper_bound_i64(bk, bm_n, pos) - 1;
+  if (lo < 0) lo = 0;
+  int64_t hi = std::lower_bound(bk, bk + bm_n, pos + span) - bk;
+
+  bool any_valid = false;
+  int64_t ref_lo = 0, ref_hi = 0;
+  for (int64_t i = lo; i < hi; ++i) {
+    if (bv[i] < 0) continue;
+    // nxt = next key in the slice, or pos+span for the last entry
+    // (_prep_item: np.concatenate([keys[1:], [pos + span]]))
+    int64_t nxt = (i + 1 < hi) ? bk[i + 1] : pos + span;
+    int64_t end_v = bv[i] + std::min(nxt, pos + span) - bk[i];
+    if (!any_valid) {
+      ref_lo = bv[i];
+      ref_hi = end_v;
+      any_valid = true;
+    } else {
+      ref_lo = std::min(ref_lo, bv[i]);
+      ref_hi = std::max(ref_hi, end_v);
+    }
+  }
+  if (!any_valid) {
+    it.skip_unmapped = true;
+    it.resolved = true;
+    rs.items.push_back(std::move(it));
+    return;
+  }
+  int64_t ref_span = ref_hi - ref_lo;
+  int64_t n_cig = (int64_t)cig.size();
+  int64_t seq_len = (int64_t)rs.seq_fwd.size();
+
+  int bucket = -1;
+  for (size_t b = 0; b < sc.buckets.size(); ++b) {
+    const BucketCfg& c = sc.buckets[b];
+    if (n_cig <= c.max_ops && (hi - lo) <= c.max_blocks &&
+        seq_len <= c.max_seq && ref_span <= c.max_seq) {
+      bucket = (int)b;
+      break;
+    }
+  }
+  if (bucket >= 0 && !contig_is_fwd && span > sc.buckets[bucket].max_seq)
+    bucket = -1;
+
+  if (bucket < 0) {
+    // exact host path, natively (engine marks host_fallback; resolve now)
+    it.host_fallback = true;
+    it.resolved = true;
+    sc.host_items += 1;
+    int64_t opos;
+    Cig ocig;
+    if (host_lift_item(sc, rs, it, &opos, &ocig)) {
+      it.has_result = true;
+      it.ref2_pos = opos;
+      it.result = std::move(ocig);
+    }
+    rs.items.push_back(std::move(it));
+    return;
+  }
+
+  // fill the bucket accumulator
+  const BucketCfg& c = sc.buckets[bucket];
+  bool rev = !contig_is_fwd;
+  Accum& ac = sc.accums[bucket * 2 + (rev ? 1 : 0)];
+  int64_t rows = sc.batch_size + kAccumSlack;
+  if (ac.ops.empty()) {
+    ac.ops.assign(rows * c.max_ops, 9 /*PAD*/);
+    ac.lens.assign(rows * c.max_ops, 0);
+    ac.n_ops.assign(rows, 0);
+    ac.pos.assign(rows, 0);
+    ac.bk.assign(rows * c.max_blocks, INT32_MAX);
+    ac.bv.assign(rows * c.max_blocks, -1);
+    ac.nb.assign(rows, 0);
+    ac.ref_win.assign(rows * c.max_seq, 0);
+    ac.ref_base.assign(rows, 0);
+    ac.read_seq.assign(rows * c.max_seq, 0);
+    if (rev) {
+      ac.contig_win.assign(rows * c.max_seq, 0);
+      ac.win_base.assign(rows, 0);
+    }
+  }
+  if (ac.count >= rows)
+    throw std::runtime_error("work-item accumulator overflow (one record "
+                             "produced too many items)");
+  int64_t i = ac.count;
+  // reset the row (tail rows may hold stale data from a shifted batch)
+  std::fill_n(&ac.ops[i * c.max_ops], c.max_ops, 9);
+  std::fill_n(&ac.lens[i * c.max_ops], c.max_ops, 0);
+  std::fill_n(&ac.bk[i * c.max_blocks], c.max_blocks, INT32_MAX);
+  std::fill_n(&ac.bv[i * c.max_blocks], c.max_blocks, -1);
+  std::fill_n(&ac.ref_win[i * c.max_seq], c.max_seq, (uint8_t)0);
+  std::fill_n(&ac.read_seq[i * c.max_seq], c.max_seq, (uint8_t)0);
+  if (rev) std::fill_n(&ac.contig_win[i * c.max_seq], c.max_seq, (uint8_t)0);
+  for (int64_t j = 0; j < n_cig; ++j) {
+    ac.ops[i * c.max_ops + j] = cig[j].code;
+    ac.lens[i * c.max_ops + j] = (int32_t)cig[j].len;
+  }
+  ac.n_ops[i] = (int32_t)n_cig;
+  ac.pos[i] = (int32_t)pos;
+  for (int64_t j = 0; j < hi - lo; ++j) {
+    ac.bk[i * c.max_blocks + j] = (int32_t)bk[lo + j];
+    ac.bv[i * c.max_blocks + j] = (int32_t)bv[lo + j];
+  }
+  ac.nb[i] = (int32_t)(hi - lo);
+  {
+    const uint8_t* chrom_ref = sc.ref_ptrs[sc.seg_chrom[g]];
+    int64_t chrom_len = sc.ref_lens[sc.seg_chrom[g]];
+    int64_t w_end = std::min(ref_hi, chrom_len);
+    int64_t w_len = std::max<int64_t>(w_end - ref_lo, 0);
+    w_len = std::min(w_len, c.max_seq);
+    std::memcpy(&ac.ref_win[i * c.max_seq], chrom_ref + ref_lo, w_len);
+    if (w_len < c.max_seq)
+      std::memset(&ac.ref_win[i * c.max_seq + w_len], 0, c.max_seq - w_len);
+  }
+  ac.ref_base[i] = (int32_t)ref_lo;
+  {
+    const std::vector<uint8_t>& rseq = read_seq_oriented(rs, need_flip);
+    std::memcpy(&ac.read_seq[i * c.max_seq], rseq.data(), rseq.size());
+  }
+  if (rev) {
+    const uint8_t* rc = sc.rc_bytes + sc.rc_off[rseg.chrom];
+    int64_t rc_len = sc.rc_off[rseg.chrom + 1] - sc.rc_off[rseg.chrom];
+    int64_t w_len = std::min(span, std::max<int64_t>(rc_len - pos, 0));
+    std::memcpy(&ac.contig_win[i * c.max_seq], rc + pos, w_len);
+    ac.win_base[i] = (int32_t)pos;
+  }
+  it.resolved = false;
+  rs.items.push_back(std::move(it));
+  rs.unresolved += 1;
+  ac.refs.push_back({&rs, (int)rs.items.size() - 1});
+  ac.count += 1;
+  sc.device_items += 1;
+}
+
+// process one mapped primary record into pending state
+void submit_record(Scanner& sc, std::vector<uint8_t>&& raw,
+                   const std::map<std::string, int32_t>& contig_idx) {
+  auto rs = std::make_unique<ReadState>();
+  rs->raw = std::move(raw);
+  std::string err;
+  if (!parse_record(rs->raw.data(), rs->raw.size(), &rs->rv, &err))
+    throw std::runtime_error(err);
+  decode_seq_ascii(rs->raw.data(), rs->rv, &rs->seq_fwd);
+  parse_splits(sc, *rs, contig_idx);
+
+  // per read split segment x intersecting contig segment
+  // (read_scan.get_contig_split_segments_from_read_mapping)
+  for (size_t si = 0; si < rs->splits.size(); ++si) {
+    const SegView& rseg = rs->splits[si];
+    int64_t r_lo = rseg.pos;
+    int64_t r_hi = rseg.pos + cig_ref_span(rseg.cigar);
+    int64_t s0 = sc.seg_off[rseg.chrom], s1 = sc.seg_off[rseg.chrom + 1];
+    for (int64_t g = s0; g < s1; ++g) {
+      int64_t c_lo = sc.seg_so_start[g], c_hi = sc.seg_so_end[g];
+      // IntRange.intersect_range: half-open overlap
+      if (std::max(r_lo, c_lo) < std::min(r_hi, c_hi))
+        prep_item(sc, *rs, (int)si, g, (int32_t)(g - s0));
+    }
+  }
+  sc.fifo.push_back(std::move(rs));
+}
+
+}  // namespace
+
+extern "C" {
+
+typedef struct {
+  long long bucket, is_rev, count;
+  int32_t* ops;
+  int32_t* lens;
+  int32_t* n_ops;
+  int32_t* pos;
+  int32_t* bk;
+  int32_t* bv;
+  int32_t* nb;
+  uint8_t* ref_win;
+  int32_t* ref_base;
+  uint8_t* read_seq;
+  uint8_t* contig_win;
+  int32_t* win_base;
+} PtscanBatchDesc;
+
+struct ScannerHandle {
+  Scanner sc;
+  std::map<std::string, int32_t> contig_idx;
+};
+
+void* ptscan_create(
+    const char* bam_path, const char* remapped_path,
+    const char* unassembled_path, const uint8_t* header_bytes,
+    long long header_len, int compression_level, int writer_threads,
+    long long n_contigs, const int64_t* contig_len,
+    const char* contig_names_concat, const int64_t* contig_name_off,
+    long long n_ref, const char* ref_names_concat,
+    const int64_t* ref_name_off, const uint8_t* const* ref_ptrs,
+    const int64_t* ref_lens_arr, const int64_t* seg_off,
+    const int32_t* seg_chrom, const int64_t* seg_pos, const uint8_t* seg_fwd,
+    const int32_t* seg_mapq, const int64_t* seg_so_start,
+    const int64_t* seg_so_end, const int64_t* bm_off, const int64_t* bm_keys,
+    const int64_t* bm_vals, const int64_t* rc_off, const uint8_t* rc_bytes,
+    long long n_buckets, const int64_t* bucket_dims /*3 per bucket*/,
+    long long batch_size, int is_target_region, const uint8_t* owned,
+    int emit_unmapped) {
+  auto* h = new ScannerHandle();
+  Scanner& sc = h->sc;
+  sc.reader = static_cast<Reader*>(ptio_reader_open(bam_path));
+  if (!sc.reader) {
+    delete h;
+    return nullptr;
+  }
+  // skip the BAM header: magic, l_text, text, n_ref, per-ref entries
+  {
+    uint8_t b4[4];
+    reader_read(sc.reader, b4, 4);  // "BAM\1"
+    int32_t l_text;
+    reader_read(sc.reader, (uint8_t*)&l_text, 4);
+    std::vector<uint8_t> skip(l_text);
+    reader_read(sc.reader, skip.data(), l_text);
+    int32_t nref;
+    reader_read(sc.reader, (uint8_t*)&nref, 4);
+    for (int32_t i = 0; i < nref; ++i) {
+      int32_t l_name;
+      reader_read(sc.reader, (uint8_t*)&l_name, 4);
+      skip.resize(l_name + 4);
+      reader_read(sc.reader, skip.data(), l_name + 4);
+    }
+  }
+  sc.remapped = static_cast<Writer*>(
+      ptio_writer_open(remapped_path, compression_level, writer_threads));
+  sc.unassembled = static_cast<Writer*>(
+      ptio_writer_open(unassembled_path, 6, writer_threads));
+  if (!sc.remapped || !sc.unassembled) {
+    delete h;
+    return nullptr;
+  }
+  ptio_write(sc.remapped, header_bytes, header_len);
+  ptio_write(sc.unassembled, header_bytes, header_len);
+
+  sc.n_contigs = n_contigs;
+  sc.contig_len = contig_len;
+  sc.seg_off = seg_off;
+  sc.seg_chrom = seg_chrom;
+  sc.seg_pos = seg_pos;
+  sc.seg_fwd = seg_fwd;
+  sc.seg_mapq = seg_mapq;
+  sc.seg_so_start = seg_so_start;
+  sc.seg_so_end = seg_so_end;
+  sc.bm_off = bm_off;
+  sc.bm_keys = bm_keys;
+  sc.bm_vals = bm_vals;
+  sc.rc_off = rc_off;
+  sc.rc_bytes = rc_bytes;
+  for (long long i = 0; i < n_contigs; ++i) {
+    std::string name(contig_names_concat + contig_name_off[i],
+                     contig_names_concat + contig_name_off[i + 1]);
+    sc.contig_names.push_back(name);
+    h->contig_idx[name] = (int32_t)i;
+  }
+  for (long long i = 0; i < n_ref; ++i) {
+    sc.ref_names.emplace_back(ref_names_concat + ref_name_off[i],
+                              ref_names_concat + ref_name_off[i + 1]);
+    sc.ref_ptrs.push_back(ref_ptrs[i]);
+    sc.ref_lens.push_back(ref_lens_arr[i]);
+  }
+  for (long long b = 0; b < n_buckets; ++b)
+    sc.buckets.push_back({bucket_dims[3 * b], bucket_dims[3 * b + 1],
+                          bucket_dims[3 * b + 2]});
+  sc.batch_size = batch_size;
+  sc.accums.resize(n_buckets * 2);
+  sc.is_target_region = is_target_region != 0;
+  sc.owned = owned;
+  sc.emit_unmapped = emit_unmapped != 0;
+  return h;
+}
+
+const char* ptscan_error(void* hv) {
+  return static_cast<ScannerHandle*>(hv)->sc.error.c_str();
+}
+
+// 1 = batch ready, 0 = done, -1 = error
+int ptscan_next_batch(void* hv, PtscanBatchDesc* out) {
+  auto* h = static_cast<ScannerHandle*>(hv);
+  Scanner& sc = h->sc;
+  try {
+    auto emit_ready = [&](int ai) {
+      Accum& ac = sc.accums[ai];
+      out->bucket = ai / 2;
+      out->is_rev = ai % 2;
+      out->count = std::min(ac.count, sc.batch_size);
+      out->ops = ac.ops.data();
+      out->lens = ac.lens.data();
+      out->n_ops = ac.n_ops.data();
+      out->pos = ac.pos.data();
+      out->bk = ac.bk.data();
+      out->bv = ac.bv.data();
+      out->nb = ac.nb.data();
+      out->ref_win = ac.ref_win.data();
+      out->ref_base = ac.ref_base.data();
+      out->read_seq = ac.read_seq.data();
+      out->contig_win = (ai % 2) ? ac.contig_win.data() : nullptr;
+      out->win_base = (ai % 2) ? ac.win_base.data() : nullptr;
+      sc.out_accum = ai;
+      sc.out_count = out->count;
+      return 1;
+    };
+
+    // an accumulator may already be at/over batch size (multi-item records)
+    for (size_t ai = 0; ai < sc.accums.size(); ++ai)
+      if (sc.accums[ai].count >= sc.batch_size) return emit_ready((int)ai);
+
+    while (!sc.eof) {
+      // scan records until an accumulator fills
+      uint8_t szb[4];
+      if (reader_read(sc.reader, szb, 4) < 4) {
+        sc.eof = true;
+        break;
+      }
+      int32_t bsz;
+      std::memcpy(&bsz, szb, 4);
+      if (bsz < 32) throw std::runtime_error("invalid BAM record size");
+      std::vector<uint8_t> raw(bsz);
+      if (reader_read(sc.reader, raw.data(), bsz) < (size_t)bsz)
+        throw std::runtime_error("truncated BAM record");
+      uint16_t flag;
+      int32_t tid;
+      std::memcpy(&tid, raw.data() + 0, 4);
+      std::memcpy(&flag, raw.data() + 14, 2);
+      if (flag & kFUNMAP) {
+        // reference semantics: unplaced section passes through
+        // (FetchDefinition::Unmapped, read_alignment_scanner.rs:537-559);
+        // a placed unmapped record would fail the scan's assert (:396).
+        if (tid >= 0) {
+          uint8_t l_read_name = raw[8];
+          std::string qn((const char*)raw.data() + 32,
+                         l_read_name ? l_read_name - 1 : 0);
+          throw std::runtime_error(
+              "unexpected placed unmapped record in read: " + qn);
+        }
+        if (sc.emit_unmapped) {
+          uint8_t frame[4];
+          std::memcpy(frame, &bsz, 4);
+          ptio_write(sc.unassembled, frame, 4);
+          ptio_write(sc.unassembled, raw.data(), bsz);
+          sc.n_unassembled += 1;
+        }
+        continue;
+      }
+      if (flag & kFSUPPL) continue;
+      sc.cur_tid = tid;
+      if (sc.owned && !sc.owned[tid]) continue;
+      sc.n_primary += 1;
+      submit_record(sc, std::move(raw), h->contig_idx);
+      drain_fifo(sc);
+      for (size_t ai = 0; ai < sc.accums.size(); ++ai)
+        if (sc.accums[ai].count >= sc.batch_size) return emit_ready((int)ai);
+    }
+    // EOF: flush non-empty accumulators one at a time
+    for (size_t ai = 0; ai < sc.accums.size(); ++ai)
+      if (sc.accums[ai].count > 0) return emit_ready((int)ai);
+    drain_fifo(sc);
+    if (!sc.fifo.empty())
+      throw std::runtime_error("internal: unresolved reads at EOF");
+    return 0;
+  } catch (const std::exception& e) {
+    sc.error = e.what();
+    return -1;
+  }
+}
+
+int ptscan_post_results(void* hv, const int32_t* codes, const int32_t* lens,
+                        const int32_t* n_out, const int32_t* res_pos,
+                        const uint8_t* mapped, const uint8_t* fallback,
+                        const int64_t* read_len, long long max_out) {
+  auto* h = static_cast<ScannerHandle*>(hv);
+  Scanner& sc = h->sc;
+  try {
+    if (sc.out_accum < 0)
+      throw std::runtime_error("post_results without pending batch");
+    Accum& ac = sc.accums[sc.out_accum];
+    int64_t emitted = sc.out_count;
+    for (int64_t i = 0; i < emitted; ++i) {
+      ReadState& rs = *ac.refs[i].read;
+      Item& it = rs.items[ac.refs[i].item];
+      if (fallback[i]) {
+        sc.fallback_items += 1;
+        sc.host_items += 1;
+        int64_t opos;
+        Cig ocig;
+        if (host_lift_item(sc, rs, it, &opos, &ocig)) {
+          it.has_result = true;
+          it.ref2_pos = opos;
+          it.result = std::move(ocig);
+        }
+      } else if (mapped[i]) {
+        // read-length invariant (read_alignment_scanner.rs:204-229)
+        if (read_len[i] != (int64_t)rs.seq_fwd.size())
+          throw std::runtime_error(
+              "Failed to remap qname: " + rs.rv.qname + ": seq len " +
+              std::to_string(rs.seq_fwd.size()) +
+              " != lifted cigar read len " + std::to_string(read_len[i]));
+        it.has_result = true;
+        it.ref2_pos = res_pos[i];
+        int32_t n = n_out[i];
+        it.result.clear();
+        it.result.reserve(n);
+        for (int32_t j = 0; j < n; ++j)
+          it.result.push_back(
+              {codes[i * max_out + j], (int64_t)lens[i * max_out + j]});
+      }
+      it.resolved = true;
+      rs.unresolved -= 1;
+    }
+    // shift any tail rows (items past the emitted batch) down to row 0
+    int64_t tail = ac.count - emitted;
+    if (tail > 0) {
+      const BucketCfg& c = sc.buckets[sc.out_accum / 2];
+      bool rev = sc.out_accum % 2;
+      auto shift32 = [&](std::vector<int32_t>& v, int64_t stride) {
+        std::memmove(v.data(), v.data() + emitted * stride,
+                     tail * stride * sizeof(int32_t));
+      };
+      auto shift8 = [&](std::vector<uint8_t>& v, int64_t stride) {
+        std::memmove(v.data(), v.data() + emitted * stride, tail * stride);
+      };
+      shift32(ac.ops, c.max_ops);
+      shift32(ac.lens, c.max_ops);
+      shift32(ac.n_ops, 1);
+      shift32(ac.pos, 1);
+      shift32(ac.bk, c.max_blocks);
+      shift32(ac.bv, c.max_blocks);
+      shift32(ac.nb, 1);
+      shift8(ac.ref_win, c.max_seq);
+      shift32(ac.ref_base, 1);
+      shift8(ac.read_seq, c.max_seq);
+      if (rev) {
+        shift8(ac.contig_win, c.max_seq);
+        shift32(ac.win_base, 1);
+      }
+      ac.refs.erase(ac.refs.begin(), ac.refs.begin() + emitted);
+    } else {
+      ac.refs.clear();
+    }
+    ac.count = tail;
+    sc.out_accum = -1;
+    drain_fifo(sc);
+    return 0;
+  } catch (const std::exception& e) {
+    sc.error = e.what();
+    return -1;
+  }
+}
+
+int ptscan_finish(void* hv) {
+  auto* h = static_cast<ScannerHandle*>(hv);
+  Scanner& sc = h->sc;
+  try {
+    drain_fifo(sc);
+    if (!sc.fifo.empty())
+      throw std::runtime_error("finish with unresolved reads");
+    if (!ptio_writer_close(sc.remapped)) {
+      sc.remapped = nullptr;
+      throw std::runtime_error("remapped writer failed");
+    }
+    sc.remapped = nullptr;
+    if (!ptio_writer_close(sc.unassembled)) {
+      sc.unassembled = nullptr;
+      throw std::runtime_error("unassembled writer failed");
+    }
+    sc.unassembled = nullptr;
+    return 0;
+  } catch (const std::exception& e) {
+    sc.error = e.what();
+    return -1;
+  }
+}
+
+void ptscan_stats(void* hv, long long* out6) {
+  Scanner& sc = static_cast<ScannerHandle*>(hv)->sc;
+  out6[0] = sc.n_primary;
+  out6[1] = sc.device_items;
+  out6[2] = sc.host_items;
+  out6[3] = sc.fallback_items;
+  out6[4] = sc.n_unassembled;
+  out6[5] = sc.cur_tid;
+}
+
+void ptscan_destroy(void* hv) {
+  auto* h = static_cast<ScannerHandle*>(hv);
+  if (h->sc.reader) ptio_reader_close(h->sc.reader);
+  if (h->sc.remapped) ptio_writer_close(h->sc.remapped);
+  if (h->sc.unassembled) ptio_writer_close(h->sc.unassembled);
+  delete h;
+}
+
+}  // extern "C"

@@ -182,11 +182,15 @@ def _window_bytes_mm(seq, start, window: int, fill: int):
     )
     nsb = padded.shape[0] // 64
     table = padded.reshape(nsb, 64)
-    tbl2 = jnp.concatenate([table[:-1], table[1:]], axis=1)  # (nsb-1, 128)
     p = start + pad_lo
     sb = jnp.clip(p >> 6, 0, nsb - 2)
     o = p - (sb << 6)
-    span = expand_bytes(onehot_eq(sb, nsb - 1), tbl2)  # (C, 128)
+    # Two matmuls against the raw 64-byte-superblock table beat one against a
+    # 128-wide adjacent-pair table 2.1x (scripts/profile_window.py: the
+    # concat forces a strided matmul operand).
+    span_lo = expand_bytes(onehot_eq(sb, nsb), table)
+    span_hi = expand_bytes(onehot_eq(sb + 1, nsb), table)
+    span = jnp.concatenate([span_lo, span_hi], axis=1)  # (C, 128)
     w4 = window + 4
     s1 = span[:, 0:w4]
     k = (o >> 2)[:, None]

@@ -152,19 +152,46 @@ def run(settings: Settings) -> None:
             f"{remapped_out}"
         )
 
-    scan_and_remap_reads(
-        settings.read_to_assembly_bam,
-        remapped_out,
-        unassembled_out,
-        reference,
-        ref_chrom_list,
-        all_contig_mapping_info,
-        target_region is not None,
-        cmdline=cmdline,
-        engine=engine,
-        thread_count=settings.thread_count,
-        shard_plan=shard_plan,
-    )
+    use_native_feed = False
+    if engine is not None and settings.feed in ("auto", "native"):
+        from portello_tpu.pipeline.native_feed import get_lib as _feed_lib
+
+        if _feed_lib() is not None:
+            use_native_feed = True
+        elif settings.feed == "native":
+            raise SystemExit("--feed native requested but ptscan unavailable")
+
+    if use_native_feed:
+        from portello_tpu.pipeline.native_feed import scan_and_remap_reads_native
+
+        scan_and_remap_reads_native(
+            settings.read_to_assembly_bam,
+            remapped_out,
+            unassembled_out,
+            reference,
+            ref_chrom_list,
+            all_contig_mapping_info,
+            target_region is not None,
+            cmdline=cmdline,
+            batch_size=settings.batch_size,
+            thread_count=settings.thread_count,
+            shard_plan=shard_plan,
+            use_mm=engine.use_mm,
+        )
+    else:
+        scan_and_remap_reads(
+            settings.read_to_assembly_bam,
+            remapped_out,
+            unassembled_out,
+            reference,
+            ref_chrom_list,
+            all_contig_mapping_info,
+            target_region is not None,
+            cmdline=cmdline,
+            engine=engine,
+            thread_count=settings.thread_count,
+            shard_plan=shard_plan,
+        )
 
     elapsed = time.monotonic() - start
     hh = int(elapsed // 3600)

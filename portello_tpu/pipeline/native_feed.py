@@ -1,0 +1,399 @@
+"""Native phase-2 feed: the C++ read scanner (ptscan.cc) driving the JAX
+device engine.
+
+The reference devotes all CPU cores to record decode + split parsing + record
+re-encode (reference src/read_alignment_scanner.rs:495-535); round 1 ran this
+path in Python at ~1k reads/s, starving the chip.  Here the whole per-record
+runtime — BGZF decode, field/SA parsing, work-item prep, result finishing,
+primary selection, SA regeneration, BAM encode + write — runs natively, and
+Python only moves padded batches through the jitted kernels:
+
+    while ptscan_next_batch(h, desc):    # C++ scans + preps one full batch
+        out = fwd_batch/rev_batch(desc)  # device round trip (fixed shapes)
+        ptscan_post_results(h, out)      # C++ finishes + writes ready reads
+
+Batches are emitted at exactly ``batch_size`` rows (the C++ side carries
+slack and shifts the tail), so each bucket compiles exactly two programs
+(fwd/rev) for the whole run.  Output is record-identical to the Python
+engine path (tests/test_native_feed.py compares CLI outputs byte-for-byte
+after sorting).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import sys
+import threading
+
+import numpy as np
+
+from portello_tpu.pipeline.read_scan import get_alignment_file_header
+
+logger = logging.getLogger("portello-tpu")
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "..", "io", "native", "ptscan.cc")
+_SO = os.path.join(_HERE, "..", "io", "native", "_build", "ptscan.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_error: str | None = None
+
+
+class _BatchDesc(ctypes.Structure):
+    _fields_ = [
+        ("bucket", ctypes.c_longlong),
+        ("is_rev", ctypes.c_longlong),
+        ("count", ctypes.c_longlong),
+        ("ops", ctypes.POINTER(ctypes.c_int32)),
+        ("lens", ctypes.POINTER(ctypes.c_int32)),
+        ("n_ops", ctypes.POINTER(ctypes.c_int32)),
+        ("pos", ctypes.POINTER(ctypes.c_int32)),
+        ("bk", ctypes.POINTER(ctypes.c_int32)),
+        ("bv", ctypes.POINTER(ctypes.c_int32)),
+        ("nb", ctypes.POINTER(ctypes.c_int32)),
+        ("ref_win", ctypes.POINTER(ctypes.c_uint8)),
+        ("ref_base", ctypes.POINTER(ctypes.c_int32)),
+        ("read_seq", ctypes.POINTER(ctypes.c_uint8)),
+        ("contig_win", ctypes.POINTER(ctypes.c_uint8)),
+        ("win_base", ctypes.POINTER(ctypes.c_int32)),
+    ]
+
+
+def _build() -> str | None:
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
+        "-o", _SO, "-lz", "-lpthread",
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    return proc.stderr[-2000:] if proc.returncode != 0 else None
+
+
+def get_lib():
+    global _lib, _build_error
+    with _lib_lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        deps = [_SRC,
+                os.path.join(os.path.dirname(_SRC), "ptio.cc"),
+                os.path.join(os.path.dirname(_SRC), "ptcore.cc")]
+        if not os.path.exists(_SO) or any(
+            os.path.getmtime(d) > os.path.getmtime(_SO) for d in deps
+        ):
+            err = _build()
+            if err is not None:
+                _build_error = err
+                return None
+        lib = ctypes.CDLL(_SO)
+        lib.ptscan_create.restype = ctypes.c_void_p
+        lib.ptscan_next_batch.restype = ctypes.c_int
+        lib.ptscan_next_batch.argtypes = [ctypes.c_void_p, ctypes.POINTER(_BatchDesc)]
+        lib.ptscan_post_results.restype = ctypes.c_int
+        lib.ptscan_error.restype = ctypes.c_char_p
+        lib.ptscan_error.argtypes = [ctypes.c_void_p]
+        lib.ptscan_finish.restype = ctypes.c_int
+        lib.ptscan_finish.argtypes = [ctypes.c_void_p]
+        lib.ptscan_stats.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong)]
+        lib.ptscan_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def build_error() -> str | None:
+    return _build_error
+
+
+def _flat_index(contig_list, all_info):
+    """Flatten the phase-1 contig index into the ptscan struct-of-arrays."""
+    n = len(contig_list.data)
+    contig_len = np.array([c.length for c in contig_list.data], np.int64)
+    names = [c.label for c in contig_list.data]
+    name_cat = "".join(names).encode()
+    name_off = np.zeros(n + 1, np.int64)
+    np.cumsum([len(x) for x in names], out=name_off[1:])
+
+    seg_off = np.zeros(n + 1, np.int64)
+    seg_chrom, seg_pos, seg_fwd, seg_mapq = [], [], [], []
+    so_start, so_end = [], []
+    bm_lens = []
+    bm_keys_parts, bm_vals_parts = [], []
+    rc_off = np.zeros(n + 1, np.int64)
+    rc_parts = []
+    for ci in range(n):
+        info = all_info[ci]
+        segs = info.ordered_contig_segment_info
+        seg_off[ci + 1] = seg_off[ci] + len(segs)
+        for si in segs:
+            seg = si.seq_order_segment
+            seg_chrom.append(seg.chrom_index)
+            seg_pos.append(seg.pos)
+            seg_fwd.append(1 if seg.is_fwd_strand else 0)
+            seg_mapq.append(seg.mapq)
+            so_start.append(seg.seq_order_read_start)
+            so_end.append(seg.seq_order_read_end)
+            bm = si.contig_to_ref_map
+            bm_lens.append(len(bm))
+            bm_keys_parts.append(np.asarray(bm.keys, np.int64))
+            bm_vals_parts.append(np.asarray(bm.vals, np.int64))
+        rc = info.rev_contig_seq
+        rc_parts.append(
+            np.asarray(rc, np.uint8) if rc is not None else np.zeros(0, np.uint8)
+        )
+        rc_off[ci + 1] = rc_off[ci] + len(rc_parts[-1])
+
+    s_total = int(seg_off[-1])
+    bm_off = np.zeros(s_total + 1, np.int64)
+    np.cumsum(bm_lens, out=bm_off[1:])
+    return {
+        "n": n,
+        "contig_len": contig_len,
+        "name_cat": name_cat,
+        "name_off": name_off,
+        "seg_off": seg_off,
+        "seg_chrom": np.array(seg_chrom, np.int32),
+        "seg_pos": np.array(seg_pos, np.int64),
+        "seg_fwd": np.array(seg_fwd, np.uint8),
+        "seg_mapq": np.array(seg_mapq, np.int32),
+        "so_start": np.array(so_start, np.int64),
+        "so_end": np.array(so_end, np.int64),
+        "bm_off": bm_off,
+        "bm_keys": (
+            np.concatenate(bm_keys_parts) if bm_keys_parts else np.zeros(0, np.int64)
+        ),
+        "bm_vals": (
+            np.concatenate(bm_vals_parts) if bm_vals_parts else np.zeros(0, np.int64)
+        ),
+        "rc_off": rc_off,
+        "rc_bytes": (
+            np.concatenate(rc_parts) if rc_parts else np.zeros(0, np.uint8)
+        ),
+    }
+
+
+def _as_np(ptr, shape, dtype):
+    return np.ctypeslib.as_array(
+        ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8)),
+        shape=(int(np.prod(shape)) * np.dtype(dtype).itemsize,),
+    ).view(dtype).reshape(shape)
+
+
+def scan_and_remap_reads_native(
+    read_to_assembly_bam: str,
+    remapped_read_output: str,
+    unassembled_read_output: str,
+    reference,
+    ref_chrom_list,
+    all_contig_mapping_info,
+    is_target_region: bool,
+    cmdline: str = "",
+    batch_size: int = 512,
+    buckets=None,
+    thread_count: int = 1,
+    shard_plan=None,
+    use_mm: bool | None = None,
+) -> dict:
+    """Native-feed phase 2; returns the stats dict.  Raises RuntimeError when
+    the native library can't build (caller falls back to the Python path)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"ptscan unavailable: {build_error()}")
+
+    import jax
+
+    from portello_tpu.models.pipeline_model import (
+        DEFAULT_BUCKETS,
+        fwd_batch,
+        rev_batch,
+    )
+    from portello_tpu.utils.chrom_list import ChromList
+    from portello_tpu.utils.progress import ProgressReporter
+
+    logger.info(
+        f"Processing read-to-contig alignment file '{read_to_assembly_bam}' "
+        "(native feed)"
+    )
+    contig_list = ChromList.from_bam_filename(read_to_assembly_bam)
+    buckets = list(buckets if buckets is not None else DEFAULT_BUCKETS)
+    mm = use_mm if use_mm is not None else jax.default_backend() == "tpu"
+
+    header = get_alignment_file_header(ref_chrom_list, cmdline).encode()
+    idx = _flat_index(contig_list, all_contig_mapping_info)
+
+    ref_names = [c.label for c in ref_chrom_list.data]
+    ref_name_cat = "".join(ref_names).encode()
+    ref_name_off = np.zeros(len(ref_names) + 1, np.int64)
+    np.cumsum([len(x) for x in ref_names], out=ref_name_off[1:])
+    ref_arrays = [np.ascontiguousarray(r, dtype=np.uint8) for r in reference]
+    ref_ptrs = (ctypes.c_void_p * len(ref_arrays))(
+        *[r.ctypes.data_as(ctypes.c_void_p).value for r in ref_arrays]
+    )
+    ref_lens = np.array([len(r) for r in ref_arrays], np.int64)
+
+    bucket_dims = np.array(
+        [[b.max_ops, b.max_blocks, b.max_seq] for b in buckets], np.int64
+    ).ravel()
+
+    owned = None
+    owned_ptr = None
+    emit_unmapped = 1
+    if shard_plan is not None:
+        owned = np.array(
+            [1 if shard_plan.owns(t) else 0 for t in range(len(contig_list.data))],
+            np.uint8,
+        )
+        owned_ptr = owned.ctypes.data_as(ctypes.c_void_p)
+        emit_unmapped = 1 if shard_plan.host_id == 0 else 0
+
+    writer_threads = max(1, thread_count // 2)
+    level = 0 if remapped_read_output == "-" else 6
+
+    c = ctypes.c_void_p
+    i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
+    u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))  # noqa: E731
+
+    lib.ptscan_create.argtypes = []  # bypass strict typing; pass explicit ctypes
+    h = lib.ptscan_create(
+        read_to_assembly_bam.encode(), remapped_read_output.encode(),
+        unassembled_read_output.encode(),
+        ctypes.cast(ctypes.c_char_p(header), ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_longlong(len(header)),
+        ctypes.c_int(level), ctypes.c_int(writer_threads),
+        ctypes.c_longlong(idx["n"]), i64p(idx["contig_len"]),
+        ctypes.c_char_p(idx["name_cat"]), i64p(idx["name_off"]),
+        ctypes.c_longlong(len(ref_names)), ctypes.c_char_p(ref_name_cat),
+        i64p(ref_name_off), ref_ptrs, i64p(ref_lens),
+        i64p(idx["seg_off"]), i32p(idx["seg_chrom"]), i64p(idx["seg_pos"]),
+        u8p(idx["seg_fwd"]), i32p(idx["seg_mapq"]), i64p(idx["so_start"]),
+        i64p(idx["so_end"]), i64p(idx["bm_off"]), i64p(idx["bm_keys"]),
+        i64p(idx["bm_vals"]), i64p(idx["rc_off"]), u8p(idx["rc_bytes"]),
+        ctypes.c_longlong(len(buckets)), i64p(bucket_dims),
+        ctypes.c_longlong(batch_size), ctypes.c_int(1 if is_target_region else 0),
+        owned_ptr if owned_ptr is not None else ctypes.c_void_p(None),
+        ctypes.c_int(emit_unmapped),
+    )
+    h = c(h)
+    if not h:
+        raise RuntimeError("ptscan_create failed")
+
+    genome_kb = sum(ci.length for ci in contig_list.data) // 1000
+    progress = ProgressReporter(
+        genome_kb, "Remapped read alignments from", "assembly contig kb"
+    )
+    stats_buf = (ctypes.c_longlong * 6)()
+
+    desc = _BatchDesc()
+    try:
+        while True:
+            rc = lib.ptscan_next_batch(h, ctypes.byref(desc))
+            if rc < 0:
+                raise RuntimeError(lib.ptscan_error(h).decode())
+            if rc == 0:
+                break
+            b = int(desc.bucket)
+            bcfg = buckets[b]
+            is_rev = bool(desc.is_rev)
+            n = int(desc.count)
+            bs = batch_size  # fixed compiled shape; C++ emits <= batch_size
+
+            def grab2(ptr, cols, dtype=np.int32):
+                a = _as_np(ptr, (bs, cols), dtype) if n == bs else None
+                if a is not None:
+                    return a
+                full = _as_np(ptr, (n, cols), dtype)
+                out = np.zeros((bs, cols), dtype)
+                out[:n] = full
+                return out
+
+            def grab1(ptr, dtype=np.int32):
+                if n == bs:
+                    return _as_np(ptr, (bs,), dtype)
+                out = np.zeros(bs, dtype)
+                out[:n] = _as_np(ptr, (n,), dtype)
+                return out
+
+            ops = grab2(desc.ops, bcfg.max_ops)
+            lens = grab2(desc.lens, bcfg.max_ops)
+            n_ops = grab1(desc.n_ops)
+            pos = grab1(desc.pos)
+            bk = grab2(desc.bk, bcfg.max_blocks)
+            bv = grab2(desc.bv, bcfg.max_blocks)
+            nb = grab1(desc.nb)
+            ref_win = grab2(desc.ref_win, bcfg.max_seq, np.uint8)
+            ref_base = grab1(desc.ref_base)
+            read_seq = grab2(desc.read_seq, bcfg.max_seq, np.uint8)
+            if n < bs:
+                # padding rows: empty cigars lift to unmapped and are ignored
+                bk[n:] = np.iinfo(np.int32).max
+                bv[n:] = -1
+                ops[n:] = 9  # PAD
+
+            kw = dict(
+                max_out=bcfg.resolved_max_out(),
+                max_clusters=bcfg.max_clusters,
+                window=bcfg.window,
+                mm=mm,
+            )
+            if is_rev:
+                contig_win = grab2(desc.contig_win, bcfg.max_seq, np.uint8)
+                win_base = grab1(desc.win_base)
+                out = rev_batch(
+                    ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
+                    ref_win, ref_base, read_seq, **kw,
+                )
+            else:
+                out = fwd_batch(
+                    ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base,
+                    read_seq, **kw,
+                )
+            codes = np.ascontiguousarray(np.asarray(out["codes"], np.int32))
+            olens = np.ascontiguousarray(np.asarray(out["lens"], np.int32))
+            n_out = np.ascontiguousarray(np.asarray(out["n_out"], np.int32))
+            opos = np.ascontiguousarray(np.asarray(out["ref2_pos"], np.int32))
+            mapped = np.ascontiguousarray(
+                np.asarray(out["mapped"], bool).astype(np.uint8)
+            )
+            fallback = np.ascontiguousarray(
+                np.asarray(out["fallback"], bool).astype(np.uint8)
+            )
+            read_len = np.ascontiguousarray(
+                np.asarray(out["read_len"], np.int64)
+            )
+            rc = lib.ptscan_post_results(
+                h, i32p(codes), i32p(olens), i32p(n_out), i32p(opos),
+                u8p(mapped), u8p(fallback), i64p(read_len),
+                ctypes.c_longlong(codes.shape[1]),
+            )
+            if rc < 0:
+                raise RuntimeError(lib.ptscan_error(h).decode())
+            lib.ptscan_stats(h, stats_buf)
+            tid = int(stats_buf[5])
+            if tid > 0:
+                done = sum(ci.length for ci in contig_list.data[:tid]) // 1000
+                progress.inc(max(done - progress.count, 0))
+
+        if lib.ptscan_finish(h) < 0:
+            raise RuntimeError(lib.ptscan_error(h).decode())
+        lib.ptscan_stats(h, stats_buf)
+    finally:
+        progress.clear()
+        lib.ptscan_destroy(h)
+
+    stats = {
+        "n_primary": int(stats_buf[0]),
+        "device_items": int(stats_buf[1]),
+        "host_items": int(stats_buf[2]),
+        "fallback_items": int(stats_buf[3]),
+        "n_unassembled": int(stats_buf[4]),
+    }
+    logger.info(
+        f"Lifted {stats['n_primary']} primary reads: "
+        f"{stats['device_items']} device work items, "
+        f"{stats['host_items']} host items "
+        f"({stats['fallback_items']} window/bucket fallbacks)"
+    )
+    return stats

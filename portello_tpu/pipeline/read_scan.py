@@ -350,8 +350,15 @@ def scan_and_remap_reads(
     with BamReader(read_to_assembly_bam) as reader:
         for record in reader:
             if record.is_unmapped():
-                # Unassembled reads pass through unmodified
-                # (read_alignment_scanner.rs:537-559).
+                # Reference semantics: only the UNPLACED unmapped section is
+                # copied through (FetchDefinition::Unmapped,
+                # read_alignment_scanner.rs:537-559); a placed unmapped record
+                # would fail the scan's assert (:396).
+                if record.tid >= 0:
+                    raise AssertionError(
+                        "unexpected placed unmapped record in read: "
+                        f"{record.qname.decode()}"
+                    )
                 if emit_unmapped:
                     unassembled_writer.write_raw(record.raw)
                 continue

@@ -198,3 +198,49 @@ def test_lifted_length_invariant():
         get_liftover_alignment_for_read_and_contig_segment(
             reference, contigs, rec, seg, 0, info, None
         )
+
+
+def test_placed_unmapped_record_errors(tmp_path):
+    """Placed-unmapped (FUNMAP with a valid tid) records fail the scan on
+    both feeds — the reference's assert (read_alignment_scanner.rs:396);
+    only the unplaced section passes through (:537-559)."""
+    import numpy as np
+
+    from portello_tpu.io.bam import (
+        BamReader, BamRecord, BamWriter, FUNMAP,
+    )
+    from portello_tpu.io.index_build import build_bai
+    from portello_tpu.testutil.simulate import make_scenario
+
+    make_scenario(str(tmp_path), rng=np.random.default_rng(21))
+    src = str(tmp_path / "read_to_asm.bam")
+    bad = str(tmp_path / "read_to_asm_bad.bam")
+    with BamReader(src) as r:
+        recs = list(r)
+        header = r.header
+    placed = BamRecord(
+        qname=b"placed_unmapped", flag=FUNMAP, tid=0, pos=100, mapq=0,
+        seq=np.frombuffer(b"ACGT", np.uint8).copy(),
+        qual=np.full(4, 30, np.uint8),
+    )
+    with BamWriter(bad, header) as w:
+        w.write(placed)
+        for rec in recs:
+            w.write(rec)
+    build_bai(bad)
+
+    import pytest
+
+    from portello_tpu.main import main
+
+    for feed in ("python", "native"):
+        with pytest.raises(SystemExit):
+            main([
+                "--assembly-to-ref", str(tmp_path / "asm_to_ref.bam"),
+                "--read-to-assembly", bad,
+                "--remapped-read-output", str(tmp_path / f"r_{feed}.bam"),
+                "--unassembled-read-output", str(tmp_path / f"u_{feed}.bam"),
+                "--ref", str(tmp_path / "ref.fa"),
+                "--device", "cpu" if feed == "native" else "host",
+                "--feed", feed,
+            ])

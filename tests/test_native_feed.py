@@ -1,0 +1,66 @@
+"""Native C++ feed (ptscan) conformance: CLI output must be record-identical
+to the Python engine path (and therefore to the host oracle, which the
+engine path is conformance-tested against)."""
+
+import numpy as np
+import pytest
+
+from portello_tpu.pipeline import native_feed
+from portello_tpu.testutil.simulate import make_scenario
+
+pytestmark = pytest.mark.skipif(
+    native_feed.get_lib() is None,
+    reason=f"ptscan unavailable: {native_feed.build_error()}",
+)
+
+
+def _run_cli(tmp_path, tag, feed, extra=()):
+    from portello_tpu.main import main
+
+    out = tmp_path / f"remapped_{tag}.bam"
+    un = tmp_path / f"un_{tag}.bam"
+    main([
+        "--assembly-to-ref", str(tmp_path / "asm_to_ref.bam"),
+        "--read-to-assembly", str(tmp_path / "read_to_asm.bam"),
+        "--remapped-read-output", str(out),
+        "--unassembled-read-output", str(un),
+        "--ref", str(tmp_path / "ref.fa"),
+        "--device", "cpu", "--feed", feed, "--batch-size", "32",
+        *extra,
+    ])
+    return out, un
+
+
+def _records(path):
+    from portello_tpu.io.bam import BamReader
+
+    with BamReader(str(path)) as r:
+        return sorted(rec.to_sam(r.header) for rec in r)
+
+
+def test_native_feed_matches_python_engine(tmp_path):
+    rng = np.random.default_rng(11)
+    make_scenario(str(tmp_path), rng=rng, n_reads_per_contig=60, read_len=400)
+    out_n, un_n = _run_cli(tmp_path, "native", "native")
+    out_p, un_p = _run_cli(tmp_path, "python", "python")
+    assert _records(out_n) == _records(out_p)
+    assert _records(un_n) == _records(un_p)
+    assert len(_records(out_n)) > 0
+
+
+def test_native_feed_target_region(tmp_path):
+    rng = np.random.default_rng(12)
+    make_scenario(str(tmp_path), rng=rng, n_reads_per_contig=40, read_len=300)
+    extra = ("--target-region", "chr1:1-20000")
+    out_n, _ = _run_cli(tmp_path, "native_t", "native", extra)
+    out_p, _ = _run_cli(tmp_path, "python_t", "python", extra)
+    assert _records(out_n) == _records(out_p)
+
+
+def test_native_feed_small_batch_flush(tmp_path):
+    """Partial final batches (count < batch_size) must resolve exactly."""
+    rng = np.random.default_rng(13)
+    make_scenario(str(tmp_path), rng=rng, n_reads_per_contig=5, read_len=300)
+    out_n, _ = _run_cli(tmp_path, "native_s", "native")
+    out_p, _ = _run_cli(tmp_path, "python_s", "python")
+    assert _records(out_n) == _records(out_p)
