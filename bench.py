@@ -186,6 +186,82 @@ def native_baseline_time(items_fwd, max_out, n_threads):
     return len(n_ops) / best
 
 
+def e2e_main():
+    """End-to-end CLI benchmark (PTPU_BENCH_E2E=1): runs the full tool with
+    the native feed on a cached simulated HiFi-like scenario and reports
+    wall-clock reads/s plus the feed/device time split.
+
+    On the axon relay every device dispatch pays a large RTT, so the TPU
+    end-to-end number here is relay-bound; the feed-side throughput
+    (prep+finish) is the production-relevant host-side capacity number
+    (PERF.md).  Env: PTPU_BENCH_E2E_READS (default 1200),
+    PTPU_BENCH_E2E_READLEN (default 18000), PTPU_BENCH_CPU.
+    """
+    import shutil
+    import tempfile
+
+    n_reads = int(os.environ.get("PTPU_BENCH_E2E_READS", "1200"))
+    read_len = int(os.environ.get("PTPU_BENCH_E2E_READLEN", "18000"))
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache = os.path.join(here, ".bench_cache", f"e2e_{n_reads}_{read_len}")
+    if not os.path.isdir(cache):
+        os.makedirs(cache, exist_ok=True)
+        import numpy as np_
+
+        from portello_tpu.testutil.simulate import make_scenario
+
+        sys.stderr.write(f"[bench-e2e] generating scenario in {cache}\n")
+        make_scenario(
+            cache,
+            rng=np_.random.default_rng(99),
+            n_reads_per_contig=max(n_reads // 3, 1),
+            read_len=read_len,
+            chrom_len=max(8 * read_len, 200000),
+        )
+    out = tempfile.mkdtemp()
+    os.environ["PTPU_FEED_TIMING"] = "1"
+    device = "cpu" if os.environ.get("PTPU_BENCH_CPU") == "1" else "auto"
+    from portello_tpu.main import main as cli_main
+
+    t0 = time.perf_counter()
+    cli_main([
+        "--assembly-to-ref", os.path.join(cache, "asm_to_ref.bam"),
+        "--read-to-assembly", os.path.join(cache, "read_to_asm.bam"),
+        "--remapped-read-output", os.path.join(out, "remapped.bam"),
+        "--unassembled-read-output", os.path.join(out, "unassembled.bam"),
+        "--ref", os.path.join(cache, "ref.fa"),
+        "--device", device, "--feed", "native",
+    ])
+    wall = time.perf_counter() - t0
+    import portello_tpu.pipeline.native_feed as nf
+
+    stats = getattr(nf, "_last_stats", {})
+    n_primary = stats.get("n_primary", n_reads)
+    t_host = stats.get("t_prep", 0.0) + stats.get("t_post", 0.0)
+    feed_rps = n_primary / t_host if t_host > 0 else None
+    shutil.rmtree(out, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": f"end-to-end CLI reads/sec ({read_len//1000}kb, native feed)",
+                "value": round(n_primary / wall, 1),
+                "unit": "reads/s",
+                "vs_baseline": None,
+                "wall_s": round(wall, 2),
+                "n_primary": n_primary,
+                "feed_reads_per_s": round(feed_rps, 1) if feed_rps else None,
+                "t_prep_s": round(stats.get("t_prep", 0.0), 3),
+                "t_device_s": round(stats.get("t_dev", 0.0), 3),
+                "t_finish_s": round(stats.get("t_post", 0.0), 3),
+                "note": (
+                    "device time includes relay RTT per dispatch in this "
+                    "environment; feed_reads_per_s is the host-side capacity"
+                ),
+            }
+        )
+    )
+
+
 def main():
     batch = int(os.environ.get("PTPU_BENCH_BATCH", "512"))
     reps = int(os.environ.get("PTPU_BENCH_REPS", "40"))
@@ -316,4 +392,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("PTPU_BENCH_E2E") == "1":
+        e2e_main()
+    else:
+        main()

@@ -32,6 +32,7 @@
 #include "ptcore.cc"
 
 #include <deque>
+#include <functional>
 #include <map>
 #include <memory>
 #include <sstream>
@@ -419,6 +420,10 @@ struct Item {
   bool has_result = false;
   int64_t ref2_pos = -1;
   Cig result;
+  // device prep (computed in the parallel prep phase, consumed by fill)
+  int bucket = -1;
+  Cig dev_cig;
+  int64_t dev_pos = 0, bm_lo = 0, bm_hi = 0, dref_lo = 0;
 };
 
 struct ReadState {
@@ -428,6 +433,7 @@ struct ReadState {
   std::vector<SegView> splits;
   std::vector<Item> items;
   int unresolved = 0;
+  long long n_host = 0;  // fallback items computed natively during prep
 };
 
 struct PendingRef {
@@ -439,6 +445,9 @@ struct PendingRef {
 // accumulator carries slack rows; batches are emitted at exactly batch_size
 // (fixed compiled shapes) and the tail is shifted down after post_results.
 constexpr int64_t kAccumSlack = 1024;
+// Records prepped per parallel chunk (decode + split parse + item prep +
+// fallback compute run across prep threads; commit stays ordered).
+constexpr int64_t kChunk = 128;
 
 struct Accum {
   std::vector<int32_t> ops, lens, n_ops, pos, bk, bv, nb, ref_base, win_base;
@@ -484,6 +493,10 @@ struct Scanner {
   // the batch currently handed to Python
   int out_accum = -1;
   int64_t out_count = 0;
+  // parallel prep chunk + commit cursor
+  std::vector<std::unique_ptr<ReadState>> chunk;
+  size_t chunk_cursor = 0;
+  int prep_threads = 1;
 
   long long n_primary = 0, device_items = 0, host_items = 0,
             fallback_items = 0, n_unassembled = 0, cur_tid = -1;
@@ -934,9 +947,11 @@ void drain_fifo(Scanner& sc) {
 }
 
 // DeviceEngine._prep_item semantics (models/pipeline_model.py:217-287)
-void prep_item(Scanner& sc, ReadState& rs, int seg_index, int64_t g,
-               int32_t local) {
-  const SegView& seg = rs.splits[seg_index];
+// Prep decisions for one (read segment x contig segment) item — runs in a
+// worker thread; mutates only rs (DeviceEngine._prep_item semantics,
+// models/pipeline_model.py:217-287).
+void prepare_item(const Scanner& sc, ReadState& rs, int seg_index, int64_t g,
+                  int32_t local) {
   bool contig_is_fwd = sc.seg_fwd[g] != 0;
   bool rec_rev = (rs.rv.flag & kFREVERSE) != 0;
   const SegView& rseg = rs.splits[seg_index];
@@ -1009,13 +1024,13 @@ void prep_item(Scanner& sc, ReadState& rs, int seg_index, int64_t g,
     bucket = -1;
 
   if (bucket < 0) {
-    // exact host path, natively (engine marks host_fallback; resolve now)
+    // exact host path, natively and in-worker (engine marks host_fallback)
     it.host_fallback = true;
     it.resolved = true;
-    sc.host_items += 1;
+    rs.n_host += 1;
     int64_t opos;
     Cig ocig;
-    if (host_lift_item(sc, rs, it, &opos, &ocig)) {
+    if (host_lift_item(const_cast<Scanner&>(sc), rs, it, &opos, &ocig)) {
       it.has_result = true;
       it.ref2_pos = opos;
       it.result = std::move(ocig);
@@ -1024,90 +1039,84 @@ void prep_item(Scanner& sc, ReadState& rs, int seg_index, int64_t g,
     return;
   }
 
-  // fill the bucket accumulator
-  const BucketCfg& c = sc.buckets[bucket];
-  bool rev = !contig_is_fwd;
-  Accum& ac = sc.accums[bucket * 2 + (rev ? 1 : 0)];
-  int64_t rows = sc.batch_size + kAccumSlack;
-  if (ac.ops.empty()) {
-    ac.ops.assign(rows * c.max_ops, 9 /*PAD*/);
-    ac.lens.assign(rows * c.max_ops, 0);
-    ac.n_ops.assign(rows, 0);
-    ac.pos.assign(rows, 0);
-    ac.bk.assign(rows * c.max_blocks, INT32_MAX);
-    ac.bv.assign(rows * c.max_blocks, -1);
-    ac.nb.assign(rows, 0);
-    ac.ref_win.assign(rows * c.max_seq, 0);
-    ac.ref_base.assign(rows, 0);
-    ac.read_seq.assign(rows * c.max_seq, 0);
-    if (rev) {
-      ac.contig_win.assign(rows * c.max_seq, 0);
-      ac.win_base.assign(rows, 0);
-    }
-  }
-  if (ac.count >= rows)
-    throw std::runtime_error("work-item accumulator overflow (one record "
-                             "produced too many items)");
-  int64_t i = ac.count;
-  // reset the row (tail rows may hold stale data from a shifted batch)
-  std::fill_n(&ac.ops[i * c.max_ops], c.max_ops, 9);
+  it.bucket = bucket;
+  it.dev_cig = std::move(cig);
+  it.dev_pos = pos;
+  it.bm_lo = bm_o + lo;
+  it.bm_hi = bm_o + hi;
+  it.dref_lo = ref_lo;
+  rs.items.push_back(std::move(it));
+  rs.unresolved += 1;
+}
+
+// Fill one accumulator row from a prepared item (worker-parallel; rows are
+// disjoint, so no synchronization is needed).
+void fill_item_row(const Scanner& sc, ReadState& rs, const Item& it,
+                   Accum& ac, const BucketCfg& c, int64_t i) {
+  const SegView& rseg = rs.splits[it.seg_index];
+  const Cig& cig = it.dev_cig;
+  int64_t n_cig = (int64_t)cig.size();
+  std::fill_n(&ac.ops[i * c.max_ops], c.max_ops, 9 /*PAD*/);
   std::fill_n(&ac.lens[i * c.max_ops], c.max_ops, 0);
   std::fill_n(&ac.bk[i * c.max_blocks], c.max_blocks, INT32_MAX);
   std::fill_n(&ac.bv[i * c.max_blocks], c.max_blocks, -1);
-  std::fill_n(&ac.ref_win[i * c.max_seq], c.max_seq, (uint8_t)0);
-  std::fill_n(&ac.read_seq[i * c.max_seq], c.max_seq, (uint8_t)0);
-  if (rev) std::fill_n(&ac.contig_win[i * c.max_seq], c.max_seq, (uint8_t)0);
   for (int64_t j = 0; j < n_cig; ++j) {
     ac.ops[i * c.max_ops + j] = cig[j].code;
     ac.lens[i * c.max_ops + j] = (int32_t)cig[j].len;
   }
   ac.n_ops[i] = (int32_t)n_cig;
-  ac.pos[i] = (int32_t)pos;
-  for (int64_t j = 0; j < hi - lo; ++j) {
-    ac.bk[i * c.max_blocks + j] = (int32_t)bk[lo + j];
-    ac.bv[i * c.max_blocks + j] = (int32_t)bv[lo + j];
+  ac.pos[i] = (int32_t)it.dev_pos;
+  int64_t nb = it.bm_hi - it.bm_lo;
+  for (int64_t j = 0; j < nb; ++j) {
+    ac.bk[i * c.max_blocks + j] = (int32_t)sc.bm_keys[it.bm_lo + j];
+    ac.bv[i * c.max_blocks + j] = (int32_t)sc.bm_vals[it.bm_lo + j];
   }
-  ac.nb[i] = (int32_t)(hi - lo);
+  ac.nb[i] = (int32_t)nb;
   {
+    int64_t g = it.contig_seg;
     const uint8_t* chrom_ref = sc.ref_ptrs[sc.seg_chrom[g]];
     int64_t chrom_len = sc.ref_lens[sc.seg_chrom[g]];
-    int64_t w_end = std::min(ref_hi, chrom_len);
-    int64_t w_len = std::max<int64_t>(w_end - ref_lo, 0);
-    w_len = std::min(w_len, c.max_seq);
-    std::memcpy(&ac.ref_win[i * c.max_seq], chrom_ref + ref_lo, w_len);
+    int64_t w_end = std::min(
+        it.dref_lo + c.max_seq, chrom_len);  // window covers <= max_seq
+    int64_t w_len = std::max<int64_t>(w_end - it.dref_lo, 0);
+    std::memcpy(&ac.ref_win[i * c.max_seq], chrom_ref + it.dref_lo, w_len);
     if (w_len < c.max_seq)
       std::memset(&ac.ref_win[i * c.max_seq + w_len], 0, c.max_seq - w_len);
   }
-  ac.ref_base[i] = (int32_t)ref_lo;
+  ac.ref_base[i] = (int32_t)it.dref_lo;
   {
-    const std::vector<uint8_t>& rseq = read_seq_oriented(rs, need_flip);
+    const std::vector<uint8_t>& rseq = read_seq_oriented(rs, it.need_flip);
     std::memcpy(&ac.read_seq[i * c.max_seq], rseq.data(), rseq.size());
+    if ((int64_t)rseq.size() < c.max_seq)
+      std::memset(&ac.read_seq[i * c.max_seq + rseq.size()], 0,
+                  c.max_seq - rseq.size());
   }
-  if (rev) {
+  if (it.is_rev_contig) {
+    int64_t span = cig_ref_span(cig);
     const uint8_t* rc = sc.rc_bytes + sc.rc_off[rseg.chrom];
     int64_t rc_len = sc.rc_off[rseg.chrom + 1] - sc.rc_off[rseg.chrom];
-    int64_t w_len = std::min(span, std::max<int64_t>(rc_len - pos, 0));
-    std::memcpy(&ac.contig_win[i * c.max_seq], rc + pos, w_len);
-    ac.win_base[i] = (int32_t)pos;
+    int64_t w_len =
+        std::min(span, std::max<int64_t>(rc_len - it.dev_pos, 0));
+    std::memcpy(&ac.contig_win[i * c.max_seq], rc + it.dev_pos, w_len);
+    if (w_len < c.max_seq)
+      std::memset(&ac.contig_win[i * c.max_seq + w_len], 0,
+                  c.max_seq - w_len);
+    ac.win_base[i] = (int32_t)it.dev_pos;
   }
-  it.resolved = false;
-  rs.items.push_back(std::move(it));
-  rs.unresolved += 1;
-  ac.refs.push_back({&rs, (int)rs.items.size() - 1});
-  ac.count += 1;
-  sc.device_items += 1;
 }
 
-// process one mapped primary record into pending state
-void submit_record(Scanner& sc, std::vector<uint8_t>&& raw,
-                   const std::map<std::string, int32_t>& contig_idx) {
+// Parse + prep one raw record into a ReadState (worker thread; no Scanner
+// mutation).
+std::unique_ptr<ReadState> prepare_read(
+    const Scanner& sc, std::vector<uint8_t>&& raw,
+    const std::map<std::string, int32_t>& contig_idx) {
   auto rs = std::make_unique<ReadState>();
   rs->raw = std::move(raw);
   std::string err;
   if (!parse_record(rs->raw.data(), rs->raw.size(), &rs->rv, &err))
     throw std::runtime_error(err);
   decode_seq_ascii(rs->raw.data(), rs->rv, &rs->seq_fwd);
-  parse_splits(sc, *rs, contig_idx);
+  parse_splits(const_cast<Scanner&>(sc), *rs, contig_idx);
 
   // per read split segment x intersecting contig segment
   // (read_scan.get_contig_split_segments_from_read_mapping)
@@ -1120,10 +1129,95 @@ void submit_record(Scanner& sc, std::vector<uint8_t>&& raw,
       int64_t c_lo = sc.seg_so_start[g], c_hi = sc.seg_so_end[g];
       // IntRange.intersect_range: half-open overlap
       if (std::max(r_lo, c_lo) < std::min(r_hi, c_hi))
-        prep_item(sc, *rs, (int)si, g, (int32_t)(g - s0));
+        prepare_item(sc, *rs, (int)si, g, (int32_t)(g - s0));
     }
   }
+  return rs;
+}
+
+struct FillJob {
+  ReadState* read;
+  int item;
+  int accum;
+  int64_t row;
+};
+
+void ensure_accum(Scanner& sc, int ai) {
+  Accum& ac = sc.accums[ai];
+  if (!ac.ops.empty()) return;
+  const BucketCfg& c = sc.buckets[ai / 2];
+  bool rev = ai % 2;
+  int64_t rows = sc.batch_size + kAccumSlack;
+  ac.ops.assign(rows * c.max_ops, 9 /*PAD*/);
+  ac.lens.assign(rows * c.max_ops, 0);
+  ac.n_ops.assign(rows, 0);
+  ac.pos.assign(rows, 0);
+  ac.bk.assign(rows * c.max_blocks, INT32_MAX);
+  ac.bv.assign(rows * c.max_blocks, -1);
+  ac.nb.assign(rows, 0);
+  ac.ref_win.assign(rows * c.max_seq, 0);
+  ac.ref_base.assign(rows, 0);
+  ac.read_seq.assign(rows * c.max_seq, 0);
+  if (rev) {
+    ac.contig_win.assign(rows * c.max_seq, 0);
+    ac.win_base.assign(rows, 0);
+  }
+}
+
+// Commit one prepped read in input order: assign accumulator rows, queue
+// fill jobs, update counters, append to the finish FIFO.
+void commit_read(Scanner& sc, std::unique_ptr<ReadState> rs,
+                 std::vector<FillJob>* jobs) {
+  ReadState* rp = rs.get();
+  sc.host_items += rp->n_host;
+  for (int k = 0; k < (int)rp->items.size(); ++k) {
+    Item& it = rp->items[k];
+    if (it.resolved || it.bucket < 0) continue;
+    int ai = it.bucket * 2 + (it.is_rev_contig ? 1 : 0);
+    ensure_accum(sc, ai);
+    Accum& ac = sc.accums[ai];
+    if (ac.count >= sc.batch_size + kAccumSlack)
+      throw std::runtime_error(
+          "work-item accumulator overflow (one record produced too many "
+          "items)");
+    int64_t row = ac.count++;
+    ac.refs.push_back({rp, k});
+    jobs->push_back({rp, k, ai, row});
+    sc.device_items += 1;
+  }
   sc.fifo.push_back(std::move(rs));
+}
+
+// Simple fork-join parallel for (thread creation cost is negligible vs the
+// per-chunk work).
+void parallel_for(int n_threads, int64_t n, const std::function<void(int64_t)>& fn) {
+  if (n_threads <= 1 || n <= 1) {
+    for (int64_t i = 0; i < n; ++i) fn(i);
+    return;
+  }
+  std::atomic<int64_t> next{0};
+  std::exception_ptr eptr = nullptr;
+  std::mutex emu;
+  auto worker = [&] {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) return;
+      try {
+        fn(i);
+      } catch (...) {
+        std::lock_guard<std::mutex> lk(emu);
+        if (!eptr) eptr = std::current_exception();
+        return;
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  int nt = std::min<int64_t>(n_threads, n);
+  pool.reserve(nt - 1);
+  for (int t = 1; t < nt; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  if (eptr) std::rethrow_exception(eptr);
 }
 
 }  // namespace
@@ -1166,7 +1260,7 @@ void* ptscan_create(
     const int64_t* bm_vals, const int64_t* rc_off, const uint8_t* rc_bytes,
     long long n_buckets, const int64_t* bucket_dims /*3 per bucket*/,
     long long batch_size, int is_target_region, const uint8_t* owned,
-    int emit_unmapped) {
+    int emit_unmapped, int prep_threads) {
   auto* h = new ScannerHandle();
   Scanner& sc = h->sc;
   sc.reader = static_cast<Reader*>(ptio_reader_open(bam_path));
@@ -1236,6 +1330,7 @@ void* ptscan_create(
   sc.is_target_region = is_target_region != 0;
   sc.owned = owned;
   sc.emit_unmapped = emit_unmapped != 0;
+  sc.prep_threads = prep_threads < 1 ? 1 : prep_threads;
   return h;
 }
 
@@ -1270,55 +1365,90 @@ int ptscan_next_batch(void* hv, PtscanBatchDesc* out) {
       return 1;
     };
 
-    // an accumulator may already be at/over batch size (multi-item records)
-    for (size_t ai = 0; ai < sc.accums.size(); ++ai)
-      if (sc.accums[ai].count >= sc.batch_size) return emit_ready((int)ai);
+    auto any_full = [&]() -> int {
+      for (size_t ai = 0; ai < sc.accums.size(); ++ai)
+        if (sc.accums[ai].count >= sc.batch_size) return (int)ai;
+      return -1;
+    };
 
-    while (!sc.eof) {
-      // scan records until an accumulator fills
-      uint8_t szb[4];
-      if (reader_read(sc.reader, szb, 4) < 4) {
-        sc.eof = true;
-        break;
-      }
-      int32_t bsz;
-      std::memcpy(&bsz, szb, 4);
-      if (bsz < 32) throw std::runtime_error("invalid BAM record size");
-      std::vector<uint8_t> raw(bsz);
-      if (reader_read(sc.reader, raw.data(), bsz) < (size_t)bsz)
-        throw std::runtime_error("truncated BAM record");
-      uint16_t flag;
-      int32_t tid;
-      std::memcpy(&tid, raw.data() + 0, 4);
-      std::memcpy(&flag, raw.data() + 14, 2);
-      if (flag & kFUNMAP) {
-        // reference semantics: unplaced section passes through
-        // (FetchDefinition::Unmapped, read_alignment_scanner.rs:537-559);
-        // a placed unmapped record would fail the scan's assert (:396).
-        if (tid >= 0) {
-          uint8_t l_read_name = raw[8];
-          std::string qn((const char*)raw.data() + 32,
-                         l_read_name ? l_read_name - 1 : 0);
-          throw std::runtime_error(
-              "unexpected placed unmapped record in read: " + qn);
+    for (;;) {
+      // a batch may already be ready (emitted exactly batch_size; commit can
+      // leave accumulators at/over the threshold)
+      int full = any_full();
+      if (full >= 0) return emit_ready(full);
+
+      // commit prepped records (input order) until a bucket fills
+      if (sc.chunk_cursor < sc.chunk.size()) {
+        std::vector<FillJob> jobs;
+        while (sc.chunk_cursor < sc.chunk.size()) {
+          commit_read(sc, std::move(sc.chunk[sc.chunk_cursor++]), &jobs);
+          if (any_full() >= 0) break;
         }
-        if (sc.emit_unmapped) {
-          uint8_t frame[4];
-          std::memcpy(frame, &bsz, 4);
-          ptio_write(sc.unassembled, frame, 4);
-          ptio_write(sc.unassembled, raw.data(), bsz);
-          sc.n_unassembled += 1;
-        }
+        // fill assigned rows in parallel (disjoint rows)
+        parallel_for(sc.prep_threads, (int64_t)jobs.size(), [&](int64_t j) {
+          const FillJob& fj = jobs[j];
+          fill_item_row(sc, *fj.read, fj.read->items[fj.item],
+                        sc.accums[fj.accum], sc.buckets[fj.accum / 2],
+                        fj.row);
+        });
+        drain_fifo(sc);
         continue;
       }
-      if (flag & kFSUPPL) continue;
-      sc.cur_tid = tid;
-      if (sc.owned && !sc.owned[tid]) continue;
-      sc.n_primary += 1;
-      submit_record(sc, std::move(raw), h->contig_idx);
-      drain_fifo(sc);
-      for (size_t ai = 0; ai < sc.accums.size(); ++ai)
-        if (sc.accums[ai].count >= sc.batch_size) return emit_ready((int)ai);
+
+      if (sc.eof) break;
+
+      // load + parallel-prep the next chunk of mapped primary records
+      std::vector<std::vector<uint8_t>> raws;
+      raws.reserve(kChunk);
+      while ((int64_t)raws.size() < kChunk) {
+        uint8_t szb[4];
+        if (reader_read(sc.reader, szb, 4) < 4) {
+          sc.eof = true;
+          break;
+        }
+        int32_t bsz;
+        std::memcpy(&bsz, szb, 4);
+        if (bsz < 32) throw std::runtime_error("invalid BAM record size");
+        std::vector<uint8_t> raw(bsz);
+        if (reader_read(sc.reader, raw.data(), bsz) < (size_t)bsz)
+          throw std::runtime_error("truncated BAM record");
+        uint16_t flag;
+        int32_t tid;
+        std::memcpy(&tid, raw.data() + 0, 4);
+        std::memcpy(&flag, raw.data() + 14, 2);
+        if (flag & kFUNMAP) {
+          // reference semantics: unplaced section passes through
+          // (FetchDefinition::Unmapped, read_alignment_scanner.rs:537-559);
+          // a placed unmapped record would fail the scan's assert (:396).
+          if (tid >= 0) {
+            uint8_t l_read_name = raw[8];
+            std::string qn((const char*)raw.data() + 32,
+                           l_read_name ? l_read_name - 1 : 0);
+            throw std::runtime_error(
+                "unexpected placed unmapped record in read: " + qn);
+          }
+          if (sc.emit_unmapped) {
+            uint8_t frame[4];
+            std::memcpy(frame, &bsz, 4);
+            ptio_write(sc.unassembled, frame, 4);
+            ptio_write(sc.unassembled, raw.data(), bsz);
+            sc.n_unassembled += 1;
+          }
+          continue;
+        }
+        if (flag & kFSUPPL) continue;
+        sc.cur_tid = tid;
+        if (sc.owned && !sc.owned[tid]) continue;
+        sc.n_primary += 1;
+        raws.push_back(std::move(raw));
+      }
+      sc.chunk.clear();
+      sc.chunk.resize(raws.size());
+      sc.chunk_cursor = 0;
+      parallel_for(sc.prep_threads, (int64_t)raws.size(), [&](int64_t i) {
+        sc.chunk[i] =
+            prepare_read(sc, std::move(raws[i]), h->contig_idx);
+      });
     }
     // EOF: flush non-empty accumulators one at a time
     for (size_t ai = 0; ai < sc.accums.size(); ++ai)

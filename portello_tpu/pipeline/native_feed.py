@@ -41,6 +41,7 @@ _SO = os.path.join(_HERE, "..", "io", "native", "_build", "ptscan.so")
 _lib = None
 _lib_lock = threading.Lock()
 _build_error: str | None = None
+_last_stats: dict = {}
 
 
 class _BatchDesc(ctypes.Structure):
@@ -274,7 +275,7 @@ def scan_and_remap_reads_native(
         ctypes.c_longlong(len(buckets)), i64p(bucket_dims),
         ctypes.c_longlong(batch_size), ctypes.c_int(1 if is_target_region else 0),
         owned_ptr if owned_ptr is not None else ctypes.c_void_p(None),
-        ctypes.c_int(emit_unmapped),
+        ctypes.c_int(emit_unmapped), ctypes.c_int(max(1, thread_count)),
     )
     h = c(h)
     if not h:
@@ -287,13 +288,20 @@ def scan_and_remap_reads_native(
     stats_buf = (ctypes.c_longlong * 6)()
 
     desc = _BatchDesc()
+    import time as _time
+
+    t_prep = t_dev = t_post = 0.0
+    n_batches = 0
     try:
         while True:
+            _t0 = _time.perf_counter()
             rc = lib.ptscan_next_batch(h, ctypes.byref(desc))
+            t_prep += _time.perf_counter() - _t0
             if rc < 0:
                 raise RuntimeError(lib.ptscan_error(h).decode())
             if rc == 0:
                 break
+            n_batches += 1
             b = int(desc.bucket)
             bcfg = buckets[b]
             is_rev = bool(desc.is_rev)
@@ -332,6 +340,7 @@ def scan_and_remap_reads_native(
                 bv[n:] = -1
                 ops[n:] = 9  # PAD
 
+            _t0 = _time.perf_counter()
             kw = dict(
                 max_out=bcfg.resolved_max_out(),
                 max_clusters=bcfg.max_clusters,
@@ -363,6 +372,8 @@ def scan_and_remap_reads_native(
             read_len = np.ascontiguousarray(
                 np.asarray(out["read_len"], np.int64)
             )
+            t_dev += _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
             rc = lib.ptscan_post_results(
                 h, i32p(codes), i32p(olens), i32p(n_out), i32p(opos),
                 u8p(mapped), u8p(fallback), i64p(read_len),
@@ -370,6 +381,7 @@ def scan_and_remap_reads_native(
             )
             if rc < 0:
                 raise RuntimeError(lib.ptscan_error(h).decode())
+            t_post += _time.perf_counter() - _t0
             lib.ptscan_stats(h, stats_buf)
             tid = int(stats_buf[5])
             if tid > 0:
@@ -396,4 +408,14 @@ def scan_and_remap_reads_native(
         f"{stats['host_items']} host items "
         f"({stats['fallback_items']} window/bucket fallbacks)"
     )
+    if os.environ.get("PTPU_FEED_TIMING"):
+        logger.info(
+            f"feed timing: prep {t_prep:.2f}s, device {t_dev:.2f}s, "
+            f"finish {t_post:.2f}s over {n_batches} batches"
+        )
+    stats["t_prep"] = t_prep
+    stats["t_dev"] = t_dev
+    stats["t_post"] = t_post
+    global _last_stats
+    _last_stats = stats
     return stats
