@@ -31,6 +31,7 @@ class Settings:
     device: str = "auto"
     feed: str = "auto"
     batch_size: int = 512
+    max_join_gap: int = 1000
     num_hosts: int = 1
     host_id: int = 0
     coordinator: str | None = None
@@ -78,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--device", choices=["auto", "tpu", "cpu", "host"], default="auto",
         help="Compute path: TPU/CPU device kernels, or pure-host engine",
+    )
+    p.add_argument(
+        "--max-join-gap", type=int, default=1000, metavar="BASES",
+        help="Max reference gap for joining colinear contig split segments "
+        "(reference hard-codes 1000)",
     )
     p.add_argument(
         "--feed", choices=["auto", "native", "python"], default="auto",

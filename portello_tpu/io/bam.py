@@ -173,6 +173,20 @@ class BamRecord:
             )
         return int(val)
 
+    def get_float_tag(self, tag: bytes) -> float | None:
+        """Typed float aux getter (reference bam_utils/aux/mod.rs:25-103):
+        accepts a float tag, errors on any other type."""
+        got = self.get_tag(tag)
+        if got is None:
+            return None
+        ty, val = got
+        if ty != b"f":
+            raise BamFormatError(
+                f"Unexpected {tag.decode()} tag format in read "
+                f"{self.qname.decode()}: {ty}"
+            )
+        return float(val)
+
     def remove_tag(self, tag: bytes) -> None:
         n = len(self.tags)
         self.tags = [t for t in self.tags if t[0] != tag]

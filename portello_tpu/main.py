@@ -116,6 +116,7 @@ def run(settings: Settings) -> None:
         ref_chrom_list,
         assembly_contig_list,
         target_region,
+        max_join_gap=settings.max_join_gap,
     )
 
     engine = make_engine(

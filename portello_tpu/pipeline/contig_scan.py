@@ -99,22 +99,42 @@ def scan_contig_bam(
     ref_chrom_list: ChromList,
     assembly_contig_list: ChromList,
     target_region: GenomeSegment | None,
+    max_join_gap: int | None = None,
 ) -> AllContigMappingInfo:
     """(mod.rs:290-459)
 
     A sequential full-file scan replaces the reference's rayon fan-out over
     20 Mb windows (each record is seen exactly once either way); phase 1 is a
     tiny fraction of total work (thousands of contigs).
+
+    ``max_join_gap`` overrides the colinear-join gap limit (the reference
+    hard-codes 1000, joiner.rs:37; surfaced as config per SURVEY section 5).
     """
+    from portello_tpu.utils.progress import ProgressReporter
+
     logger.info(f"Processing contig-to-ref alignment file '{bam_path}'")
     contig_count = len(assembly_contig_list)
     result: list[ContigMappingInfo] = [ContigMappingInfo() for _ in range(contig_count)]
     supp_cigars: list[dict] = [dict() for _ in range(contig_count)]
 
+    # Progress in ref-genome kb, the reference's reporter units
+    # (mod.rs:315-323).
+    genome_kb = sum(c.length for c in ref_chrom_list.data) // 1000
+    progress = ProgressReporter(
+        genome_kb, "Scanned contig alignments from", "ref genome kb"
+    )
+    last_tid = -1
+
     with BamReader(bam_path) as reader:
         for record in reader:
             if record.is_unmapped() or record.is_secondary():
                 continue
+            if record.tid != last_tid:
+                done = sum(
+                    c.length for c in ref_chrom_list.data[: record.tid]
+                ) // 1000
+                progress.inc(max(done - progress.count, 0))
+                last_tid = record.tid
             qname = record.qname.decode()
             contig_id = assembly_contig_list.label_to_index[qname]
             if not record.is_supplementary():
@@ -156,9 +176,10 @@ def scan_contig_bam(
                     f"fwd_strand?: {seg.is_fwd_strand})"
                 )
 
+    progress.clear()
     filter_non_targeted_segments(target_region, result)
     clip_repeated_contig_matches(result)
-    join_colinear_contig_segments(result)
+    join_colinear_contig_segments(result, max_join_gap)
     return result
 
 
@@ -323,13 +344,15 @@ def _seg_ref_gap(seg1: SeqOrderSplitReadSegment, seg2: SeqOrderSplitReadSegment)
 
 
 def _are_segments_joinable(
-    seg1: SeqOrderSplitReadSegment, seg2: SeqOrderSplitReadSegment
+    seg1: SeqOrderSplitReadSegment,
+    seg2: SeqOrderSplitReadSegment,
+    max_gap: int,
 ) -> bool:
     """(joiner.rs:27-49)"""
     if seg1.chrom_index != seg2.chrom_index or seg1.is_fwd_strand != seg2.is_fwd_strand:
         return False
     gap = _seg_ref_gap(seg1, seg2)
-    if gap < 0 or gap > MAX_SEGMENT_REF_GAP:
+    if gap < 0 or gap > max_gap:
         return False
     return seg1.mapq == seg2.mapq
 
@@ -367,8 +390,12 @@ def _join_segments(
     seg_info1.contig_to_ref_map = build_block_map(seg1.pos, seg1.cigar, False)
 
 
-def join_colinear_contig_segments(result: AllContigMappingInfo) -> None:
-    """(joiner.rs:124-186)"""
+def join_colinear_contig_segments(
+    result: AllContigMappingInfo, max_join_gap: int | None = None
+) -> None:
+    """(joiner.rs:124-186); ``max_join_gap`` defaults to the reference's
+    hard-coded 1000 (joiner.rs:37), surfaced as config per SURVEY section 5."""
+    max_gap = MAX_SEGMENT_REF_GAP if max_join_gap is None else max_join_gap
     logger.info("Joining colinear split alignment segments in each assembly contig")
     segments_joined = 0
     for info in result:
@@ -390,7 +417,7 @@ def join_colinear_contig_segments(result: AllContigMappingInfo) -> None:
                 f"Segment2: {segment.seq_order_segment.short_display()}"
             )
             if _are_segments_joinable(
-                last.seq_order_segment, segment.seq_order_segment
+                last.seq_order_segment, segment.seq_order_segment, max_gap
             ):
                 _join_segments(last, segment)
                 segments_joined += 1

@@ -128,3 +128,51 @@ def test_basemod_no_c_mod():
         "MM:Z:A+a,0;\tML:B:C,5",
     )
     assert decode_cpg_meth_info(rec) == 3
+
+
+def test_get_float_tag():
+    """Typed float aux getter (reference bam_utils/aux/mod.rs:25-103)."""
+    import pytest
+
+    from portello_tpu.io.bam import BamFormatError, BamRecord
+
+    rec = BamRecord(qname=b"r1")
+    rec.push_tag(b"XF", b"f", 2.5)
+    rec.push_tag(b"XI", b"i", 7)
+    assert rec.get_float_tag(b"XF") == 2.5
+    assert rec.get_float_tag(b"ZZ") is None
+    with pytest.raises(BamFormatError):
+        rec.get_float_tag(b"XI")
+
+
+def test_float_tag_roundtrip_through_bam():
+    import numpy as np
+
+    from portello_tpu.io.bam import BamHeader, BamRecord
+
+    rec = BamRecord(
+        qname=b"r2", flag=0, tid=0, pos=5, mapq=60,
+        seq=np.frombuffer(b"ACGT", np.uint8).copy(),
+        qual=np.full(4, 30, np.uint8),
+    )
+    rec.push_tag(b"XF", b"f", 1.5)
+    out = BamRecord.decode(rec.encode())
+    assert out.get_float_tag(b"XF") == 1.5
+
+
+def test_colinear_join_gap_config():
+    """--max-join-gap overrides the reference's hard-coded 1000 (joiner.rs:37)."""
+    from portello_tpu.pipeline.contig_scan import _are_segments_joinable
+    from portello_tpu.pipeline.split_read import SeqOrderSplitReadSegment
+    from portello_tpu.ops import cigar as cg
+
+    def seg(pos):
+        return SeqOrderSplitReadSegment(
+            seq_order_read_start=0, seq_order_read_end=100, chrom_index=0,
+            pos=pos, is_fwd_strand=True, cigar=cg.cigar((cg.M, 100)),
+            mapq=60, from_primary_bam_record=True,
+        )
+
+    a, b = seg(0), seg(100 + 500)
+    assert _are_segments_joinable(a, b, 1000)
+    assert not _are_segments_joinable(a, b, 100)
