@@ -162,9 +162,24 @@ def validate_and_fix_settings(settings: Settings) -> Settings:
 def validate_settings_data(settings: Settings) -> None:
     """Data-dependent checks: indexed, non-truncated, mapped inputs
     (cli.rs:143-170)."""
+    from portello_tpu.io.aln_input import is_cram_file, open_alignment_input
     from portello_tpu.io.bam import BamReader, assert_bam_eof
 
     for path in (settings.assembly_to_ref_bam, settings.read_to_assembly_bam):
+        if is_cram_file(path):
+            from portello_tpu.io.cram import check_cram_eof
+
+            if not check_cram_eof(path):
+                raise SystemExit(
+                    f"Input alignment file is truncated (no CRAM EOF "
+                    f"container): '{path}'"
+                )
+            with open_alignment_input(path) as reader:
+                if not reader.header.refs:
+                    raise SystemExit(
+                        f"Input alignment file is not mapped: '{path}'"
+                    )
+            continue
         assert_bam_eof(path)
         with BamReader(path) as reader:
             reader.load_index()

@@ -117,6 +117,7 @@ def run(settings: Settings) -> None:
         assembly_contig_list,
         target_region,
         max_join_gap=settings.max_join_gap,
+        reference_seqs=reference,
     )
 
     engine = make_engine(
@@ -153,8 +154,14 @@ def run(settings: Settings) -> None:
             f"{remapped_out}"
         )
 
+    from portello_tpu.io.aln_input import is_cram_file
+
     use_native_feed = False
-    if engine is not None and settings.feed in ("auto", "native"):
+    if (
+        engine is not None
+        and settings.feed in ("auto", "native")
+        and not is_cram_file(settings.read_to_assembly_bam)
+    ):
         from portello_tpu.pipeline.native_feed import get_lib as _feed_lib
 
         if _feed_lib() is not None:

@@ -100,6 +100,7 @@ def scan_contig_bam(
     assembly_contig_list: ChromList,
     target_region: GenomeSegment | None,
     max_join_gap: int | None = None,
+    reference_seqs=None,
 ) -> AllContigMappingInfo:
     """(mod.rs:290-459)
 
@@ -125,7 +126,9 @@ def scan_contig_bam(
     )
     last_tid = -1
 
-    with BamReader(bam_path) as reader:
+    from portello_tpu.io.aln_input import open_alignment_input
+
+    with open_alignment_input(bam_path, reference=reference_seqs) as reader:
         for record in reader:
             if record.is_unmapped() or record.is_secondary():
                 continue

@@ -346,8 +346,10 @@ def scan_and_remap_reads(
     )
     last_progress = [0, 0]  # (tid, pos) of last report
 
+    from portello_tpu.io.aln_input import open_alignment_input
+
     n_primary = 0
-    with BamReader(read_to_assembly_bam) as reader:
+    with open_alignment_input(read_to_assembly_bam, reference=reference) as reader:
         for record in reader:
             if record.is_unmapped():
                 # Reference semantics: only the UNPLACED unmapped section is
@@ -360,7 +362,10 @@ def scan_and_remap_reads(
                         f"{record.qname.decode()}"
                     )
                 if emit_unmapped:
-                    unassembled_writer.write_raw(record.raw)
+                    if record.raw is not None:
+                        unassembled_writer.write_raw(record.raw)
+                    else:  # CRAM input: no raw BAM bytes to pass through
+                        unassembled_writer.write(record)
                 continue
             if record.is_supplementary():
                 continue

@@ -50,8 +50,8 @@ class ChromList:
 
     @staticmethod
     def from_bam_filename(filename: str) -> "ChromList":
-        """(chrom_list.rs:38-43)"""
-        from portello_tpu.io.bam import BamReader
+        """(chrom_list.rs:38-43); accepts BAM or CRAM like htslib."""
+        from portello_tpu.io.aln_input import open_alignment_input
 
-        with BamReader(filename) as reader:
+        with open_alignment_input(filename) as reader:
             return ChromList.from_bam_header(reader.header)

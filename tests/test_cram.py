@@ -1,0 +1,188 @@
+"""CRAM 3.0 codec tests: primitive codecs (known answers + round trips) and
+record-level round trips through the writer subset.
+
+No htslib exists in this image, so interop fixtures can't be generated; the
+writer emits spec-valid CRAM 3.0 and the reader is spec-based (see
+io/cram.py docstring)."""
+
+import numpy as np
+import pytest
+
+from portello_tpu.io import cram
+from portello_tpu.io.bam import BamReader
+from portello_tpu.ops import cigar as cg
+
+
+def test_itf8_known_vectors():
+    # spec examples: single byte for < 0x80; prefix bits select the width
+    assert cram.write_itf8(0) == b"\x00"
+    assert cram.write_itf8(0x7F) == b"\x7f"
+    assert cram.write_itf8(0x80) == b"\x80\x80"
+    assert cram.write_itf8(-1)[:1] == b"\xff"
+    assert len(cram.write_itf8(-1)) == 5
+    assert cram.read_itf8(b"\xff\xff\xff\xff\xff", 0)[0] == -1
+
+
+def test_rans_roundtrip_orders():
+    rng = np.random.default_rng(1)
+    cases = [
+        b"", b"x", b"hello world " * 100,
+        bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),
+        bytes(rng.integers(65, 70, 9999, dtype=np.uint8)),
+        bytes(300 * [7]),
+    ]
+    for data in cases:
+        assert cram.rans_decode(cram.rans_encode_order0(data)) == data
+        assert cram.rans_decode(cram.rans_encode_order1(data)) == data
+
+
+def test_rans_freq_normalization():
+    rng = np.random.default_rng(2)
+    counts = np.bincount(
+        rng.integers(0, 256, 10000, dtype=np.uint8), minlength=256
+    ).astype(np.int64)
+    F = cram._normalize_freqs(counts)
+    assert F.sum() == 4096
+    assert ((counts > 0) == (F > 0)).all()
+
+
+def test_block_methods():
+    data = b"portello" * 100
+    for method in (cram.RAW, cram.GZIP, cram.RANS4X8):
+        blk_bytes = cram.write_block(method, cram.EXTERNAL_T, 7, data)
+        blk, off = cram.read_block(blk_bytes, 0)
+        assert off == len(blk_bytes)
+        assert blk.data == data
+        assert blk.content_id == 7
+
+
+def _norm(rec, collapse_mx=False):
+    cigar = rec.cigar
+    if collapse_mx and len(cigar):
+        c = cigar.copy()
+        c[np.isin(c[:, 0], (cg.EQ, cg.X)), 0] = cg.M
+        cigar = cg.compress_cigar(c)
+    # CRAM stores no MQ for unmapped records; htslib decodes them as 0
+    mapq = 0 if rec.is_unmapped() else rec.mapq
+    return (
+        rec.qname, rec.flag, rec.tid, rec.pos, mapq,
+        cg.to_string(cigar), rec.mtid, rec.mpos, rec.tlen,
+        rec.seq.tobytes(), rec.qual.tobytes(),
+        sorted(
+            (t, ty, str(v.encode() if isinstance(v, str) else v))
+            for t, ty, v in rec.tags
+        ),
+    )
+
+
+@pytest.mark.parametrize("src", ["read_to_asm.bam", "asm_to_ref.bam"])
+def test_cram_roundtrip_scenario(tmp_path, src):
+    """Every record of the simulated BAMs round-trips through CRAM.
+
+    =/X cigar ops collapse to M (CRAM's feature model, like htslib), so the
+    eqx contig file is compared M-normalized."""
+    from portello_tpu.testutil.simulate import make_scenario
+
+    make_scenario(str(tmp_path), rng=np.random.default_rng(31))
+    path = tmp_path / src
+    with BamReader(str(path)) as r:
+        recs = list(r)
+        header = r.header
+    cram_path = str(tmp_path / (src + ".cram"))
+    with cram.CramWriter(cram_path, header, records_per_slice=37) as w:
+        for rec in recs:
+            w.write(rec)
+    assert cram.is_cram(cram_path)
+    assert cram.check_cram_eof(cram_path)
+    with cram.CramReader(cram_path) as cr:
+        got = list(cr)
+        assert [x for x in cr.header.refs] == list(header.refs)
+    assert len(got) == len(recs)
+    collapse = src == "asm_to_ref.bam"
+    for a, b in zip(recs, got):
+        assert _norm(a, collapse) == _norm(b), a.qname
+
+
+def test_cram_unmapped_and_tags(tmp_path):
+    from portello_tpu.io.bam import BamHeader, BamRecord, FUNMAP
+
+    header = BamHeader.from_refs([("chr1", 1000)], b"@SQ\tSN:chr1\tLN:1000\n")
+    recs = [
+        BamRecord(
+            qname=b"m1", flag=0, tid=0, pos=10, mapq=60,
+            cigar=cg.cigar((cg.S, 2), (cg.M, 5), (cg.I, 2), (cg.D, 3), (cg.M, 3)),
+            seq=np.frombuffer(b"ACGTACGTACGT", np.uint8).copy(),
+            qual=np.arange(12, dtype=np.uint8),
+            tags=[(b"ZM", b"C", 42), (b"PS", b"Z", "ctg_split0+"),
+                  (b"XB", b"B", (b"i", np.array([1, -2, 3], np.int32)))],
+        ),
+        BamRecord(
+            qname=b"u1", flag=FUNMAP, tid=-1, pos=-1, mapq=0,
+            seq=np.frombuffer(b"GATTACA", np.uint8).copy(),
+            qual=np.full(7, 30, np.uint8),
+        ),
+    ]
+    path = str(tmp_path / "t.cram")
+    with cram.CramWriter(path, header) as w:
+        for r in recs:
+            w.write(r)
+    with cram.CramReader(path) as cr:
+        got = list(cr)
+    assert len(got) == 2
+    for a, b in zip(recs, got):
+        assert _norm(a) == _norm(b)
+
+
+def test_cram_reader_rejects_non_cram(tmp_path):
+    p = tmp_path / "x.cram"
+    p.write_bytes(b"BAM\x01junk")
+    with pytest.raises(cram.CramFormatError):
+        cram.CramReader(str(p))
+
+
+def test_cram_cli_e2e_matches_bam(tmp_path):
+    """Full pipeline over CRAM inputs produces the same lifted output as the
+    BAM run (reference accepts either format, cli.rs:25,32).
+
+    The unassembled output is compared with mapq normalized: CRAM stores no
+    MQ for unmapped records (htslib decodes 0)."""
+    from portello_tpu.main import main
+    from portello_tpu.testutil.simulate import make_scenario
+
+    make_scenario(str(tmp_path), rng=np.random.default_rng(33))
+    for src in ("asm_to_ref.bam", "read_to_asm.bam"):
+        with BamReader(str(tmp_path / src)) as r:
+            recs = list(r)
+            header = r.header
+        with cram.CramWriter(str(tmp_path / (src + ".cram")), header) as w:
+            for rec in recs:
+                w.write(rec)
+
+    def run(tag, a2r, r2a):
+        out = tmp_path / f"rem_{tag}.bam"
+        un = tmp_path / f"un_{tag}.bam"
+        main([
+            "--assembly-to-ref", str(tmp_path / a2r),
+            "--read-to-assembly", str(tmp_path / r2a),
+            "--remapped-read-output", str(out),
+            "--unassembled-read-output", str(un),
+            "--ref", str(tmp_path / "ref.fa"),
+            "--device", "host",
+        ])
+        return out, un
+
+    out_b, un_b = run("bam", "asm_to_ref.bam", "read_to_asm.bam")
+    out_c, un_c = run("cram", "asm_to_ref.bam.cram", "read_to_asm.bam.cram")
+
+    def recs_sam(path, zero_unmapped_mapq=False):
+        with BamReader(str(path)) as r:
+            out = []
+            for rec in r:
+                if zero_unmapped_mapq and rec.is_unmapped():
+                    rec.mapq = 0
+                out.append(rec.to_sam(r.header))
+        return sorted(out)
+
+    assert recs_sam(out_b) == recs_sam(out_c)
+    assert recs_sam(un_b, True) == recs_sam(un_c, True)
+    assert len(recs_sam(out_b)) > 0
