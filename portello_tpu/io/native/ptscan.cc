@@ -444,6 +444,8 @@ struct PendingRef {
 // One record can append several items after the batch-size check, so the
 // accumulator carries slack rows; batches are emitted at exactly batch_size
 // (fixed compiled shapes) and the tail is shifted down after post_results.
+// Sized so an accumulator can keep filling while one emitted batch is in
+// flight (pipelined feed: Python keeps up to 2 batches outstanding).
 constexpr int64_t kAccumSlack = 1024;
 // Records prepped per parallel chunk (decode + split parse + item prep +
 // fallback compute run across prep threads; commit stays ordered).
@@ -454,6 +456,9 @@ struct Accum {
   std::vector<uint8_t> ref_win, read_seq, contig_win;
   std::vector<PendingRef> refs;
   int64_t count = 0;
+  // rows already emitted to in-flight batches (posted FIFO, so outstanding
+  // batches always occupy the row prefix; further emits start at this offset)
+  int64_t pending_rows = 0;
 };
 
 struct Scanner {
@@ -490,9 +495,9 @@ struct Scanner {
   std::deque<std::unique_ptr<ReadState>> fifo;
   std::vector<Accum> accums;  // n_buckets * 2 (fwd, rev)
   bool eof = false;
-  // the batch currently handed to Python
-  int out_accum = -1;
-  int64_t out_count = 0;
+  // emitted batches awaiting post_results, in emission order (the feed may
+  // keep several outstanding to overlap device compute with prep)
+  std::deque<std::pair<int, int64_t>> emitted;
   // parallel prep chunk + commit cursor
   std::vector<std::unique_ptr<ReadState>> chunk;
   size_t chunk_cursor = 0;
@@ -1147,7 +1152,8 @@ void ensure_accum(Scanner& sc, int ai) {
   if (!ac.ops.empty()) return;
   const BucketCfg& c = sc.buckets[ai / 2];
   bool rev = ai % 2;
-  int64_t rows = sc.batch_size + kAccumSlack;
+  // two outstanding batches (pipelined feed) + one-record slack
+  int64_t rows = 2 * sc.batch_size + kAccumSlack;
   ac.ops.assign(rows * c.max_ops, 9 /*PAD*/);
   ac.lens.assign(rows * c.max_ops, 0);
   ac.n_ops.assign(rows, 0);
@@ -1176,7 +1182,7 @@ void commit_read(Scanner& sc, std::unique_ptr<ReadState> rs,
     int ai = it.bucket * 2 + (it.is_rev_contig ? 1 : 0);
     ensure_accum(sc, ai);
     Accum& ac = sc.accums[ai];
-    if (ac.count >= sc.batch_size + kAccumSlack)
+    if (ac.count >= 2 * sc.batch_size + kAccumSlack)
       throw std::runtime_error(
           "work-item accumulator overflow (one record produced too many "
           "items)");
@@ -1345,29 +1351,34 @@ int ptscan_next_batch(void* hv, PtscanBatchDesc* out) {
   try {
     auto emit_ready = [&](int ai) {
       Accum& ac = sc.accums[ai];
+      const BucketCfg& c = sc.buckets[ai / 2];
+      int64_t off = ac.pending_rows;  // in-flight batches occupy the prefix
       out->bucket = ai / 2;
       out->is_rev = ai % 2;
-      out->count = std::min(ac.count, sc.batch_size);
-      out->ops = ac.ops.data();
-      out->lens = ac.lens.data();
-      out->n_ops = ac.n_ops.data();
-      out->pos = ac.pos.data();
-      out->bk = ac.bk.data();
-      out->bv = ac.bv.data();
-      out->nb = ac.nb.data();
-      out->ref_win = ac.ref_win.data();
-      out->ref_base = ac.ref_base.data();
-      out->read_seq = ac.read_seq.data();
-      out->contig_win = (ai % 2) ? ac.contig_win.data() : nullptr;
-      out->win_base = (ai % 2) ? ac.win_base.data() : nullptr;
-      sc.out_accum = ai;
-      sc.out_count = out->count;
+      out->count = std::min(ac.count - off, sc.batch_size);
+      out->ops = ac.ops.data() + off * c.max_ops;
+      out->lens = ac.lens.data() + off * c.max_ops;
+      out->n_ops = ac.n_ops.data() + off;
+      out->pos = ac.pos.data() + off;
+      out->bk = ac.bk.data() + off * c.max_blocks;
+      out->bv = ac.bv.data() + off * c.max_blocks;
+      out->nb = ac.nb.data() + off;
+      out->ref_win = ac.ref_win.data() + off * c.max_seq;
+      out->ref_base = ac.ref_base.data() + off;
+      out->read_seq = ac.read_seq.data() + off * c.max_seq;
+      out->contig_win =
+          (ai % 2) ? ac.contig_win.data() + off * c.max_seq : nullptr;
+      out->win_base = (ai % 2) ? ac.win_base.data() + off : nullptr;
+      ac.pending_rows += out->count;
+      sc.emitted.emplace_back(ai, out->count);
       return 1;
     };
 
     auto any_full = [&]() -> int {
       for (size_t ai = 0; ai < sc.accums.size(); ++ai)
-        if (sc.accums[ai].count >= sc.batch_size) return (int)ai;
+        if (sc.accums[ai].count - sc.accums[ai].pending_rows
+            >= sc.batch_size)
+          return (int)ai;
       return -1;
     };
 
@@ -1452,7 +1463,10 @@ int ptscan_next_batch(void* hv, PtscanBatchDesc* out) {
     }
     // EOF: flush non-empty accumulators one at a time
     for (size_t ai = 0; ai < sc.accums.size(); ++ai)
-      if (sc.accums[ai].count > 0) return emit_ready((int)ai);
+      if (sc.accums[ai].count - sc.accums[ai].pending_rows > 0)
+        return emit_ready((int)ai);
+    if (!sc.emitted.empty())
+      return 2;  // results still outstanding; post them, then call again
     drain_fifo(sc);
     if (!sc.fifo.empty())
       throw std::runtime_error("internal: unresolved reads at EOF");
@@ -1470,10 +1484,11 @@ int ptscan_post_results(void* hv, const int32_t* codes, const int32_t* lens,
   auto* h = static_cast<ScannerHandle*>(hv);
   Scanner& sc = h->sc;
   try {
-    if (sc.out_accum < 0)
+    if (sc.emitted.empty())
       throw std::runtime_error("post_results without pending batch");
-    Accum& ac = sc.accums[sc.out_accum];
-    int64_t emitted = sc.out_count;
+    auto [out_accum, emitted] = sc.emitted.front();
+    sc.emitted.pop_front();
+    Accum& ac = sc.accums[out_accum];
     for (int64_t i = 0; i < emitted; ++i) {
       ReadState& rs = *ac.refs[i].read;
       Item& it = rs.items[ac.refs[i].item];
@@ -1509,8 +1524,8 @@ int ptscan_post_results(void* hv, const int32_t* codes, const int32_t* lens,
     // shift any tail rows (items past the emitted batch) down to row 0
     int64_t tail = ac.count - emitted;
     if (tail > 0) {
-      const BucketCfg& c = sc.buckets[sc.out_accum / 2];
-      bool rev = sc.out_accum % 2;
+      const BucketCfg& c = sc.buckets[out_accum / 2];
+      bool rev = out_accum % 2;
       auto shift32 = [&](std::vector<int32_t>& v, int64_t stride) {
         std::memmove(v.data(), v.data() + emitted * stride,
                      tail * stride * sizeof(int32_t));
@@ -1537,7 +1552,7 @@ int ptscan_post_results(void* hv, const int32_t* codes, const int32_t* lens,
       ac.refs.clear();
     }
     ac.count = tail;
-    sc.out_accum = -1;
+    ac.pending_rows -= emitted;
     drain_fifo(sc);
     return 0;
   } catch (const std::exception& e) {

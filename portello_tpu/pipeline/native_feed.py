@@ -288,10 +288,100 @@ def scan_and_remap_reads_native(
     stats_buf = (ctypes.c_longlong * 6)()
 
     desc = _BatchDesc()
+    import collections
     import time as _time
 
     t_prep = t_dev = t_post = 0.0
     n_batches = 0
+    # Pipeline: keep up to 2 dispatched batches outstanding so the device
+    # computes batch N while the C++ scanner preps batch N+1 (jax dispatch is
+    # async until the outputs are materialized).  post_results resolves
+    # batches in emission order (the C++ side queues them FIFO).
+    in_flight: collections.deque = collections.deque()
+
+    def dispatch(d):
+        b = int(d.bucket)
+        bcfg = buckets[b]
+        is_rev = bool(d.is_rev)
+        n = int(d.count)
+        bs = batch_size  # fixed compiled shape; C++ emits <= batch_size
+
+        # MUST copy out of the C++ buffers: jax zero-copies aligned numpy
+        # arrays on CPU, and with pipelining the scanner shifts/refills these
+        # rows while the (async) dispatch may still be reading them.
+        def grab2(ptr, cols, dtype=np.int32):
+            if n == bs:
+                return np.array(_as_np(ptr, (bs, cols), dtype))
+            full = _as_np(ptr, (n, cols), dtype)
+            out = np.zeros((bs, cols), dtype)
+            out[:n] = full
+            return out
+
+        def grab1(ptr, dtype=np.int32):
+            if n == bs:
+                return np.array(_as_np(ptr, (bs,), dtype))
+            out = np.zeros(bs, dtype)
+            out[:n] = _as_np(ptr, (n,), dtype)
+            return out
+
+        ops = grab2(d.ops, bcfg.max_ops)
+        lens = grab2(d.lens, bcfg.max_ops)
+        n_ops = grab1(d.n_ops)
+        pos = grab1(d.pos)
+        bk = grab2(d.bk, bcfg.max_blocks)
+        bv = grab2(d.bv, bcfg.max_blocks)
+        nb = grab1(d.nb)
+        ref_win = grab2(d.ref_win, bcfg.max_seq, np.uint8)
+        ref_base = grab1(d.ref_base)
+        read_seq = grab2(d.read_seq, bcfg.max_seq, np.uint8)
+        if n < bs:
+            # padding rows: empty cigars lift to unmapped and are ignored
+            bk[n:] = np.iinfo(np.int32).max
+            bv[n:] = -1
+            ops[n:] = 9  # PAD
+        kw = dict(
+            max_out=bcfg.resolved_max_out(),
+            max_clusters=bcfg.max_clusters,
+            window=bcfg.window,
+            mm=mm,
+        )
+        if is_rev:
+            contig_win = grab2(d.contig_win, bcfg.max_seq, np.uint8)
+            win_base = grab1(d.win_base)
+            return rev_batch(
+                ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
+                ref_win, ref_base, read_seq, **kw,
+            )
+        return fwd_batch(
+            ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base,
+            read_seq, **kw,
+        )
+
+    def post(out):
+        nonlocal t_dev, t_post
+        _t0 = _time.perf_counter()
+        codes = np.ascontiguousarray(np.asarray(out["codes"], np.int32))
+        olens = np.ascontiguousarray(np.asarray(out["lens"], np.int32))
+        n_out = np.ascontiguousarray(np.asarray(out["n_out"], np.int32))
+        opos = np.ascontiguousarray(np.asarray(out["ref2_pos"], np.int32))
+        mapped = np.ascontiguousarray(
+            np.asarray(out["mapped"], bool).astype(np.uint8)
+        )
+        fallback = np.ascontiguousarray(
+            np.asarray(out["fallback"], bool).astype(np.uint8)
+        )
+        read_len = np.ascontiguousarray(np.asarray(out["read_len"], np.int64))
+        t_dev += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+        rc2 = lib.ptscan_post_results(
+            h, i32p(codes), i32p(olens), i32p(n_out), i32p(opos),
+            u8p(mapped), u8p(fallback), i64p(read_len),
+            ctypes.c_longlong(codes.shape[1]),
+        )
+        if rc2 < 0:
+            raise RuntimeError(lib.ptscan_error(h).decode())
+        t_post += _time.perf_counter() - _t0
+
     try:
         while True:
             _t0 = _time.perf_counter()
@@ -301,92 +391,22 @@ def scan_and_remap_reads_native(
                 raise RuntimeError(lib.ptscan_error(h).decode())
             if rc == 0:
                 break
+            if rc == 2:  # EOF with results outstanding: drain one, retry
+                post(in_flight.popleft())
+                continue
             n_batches += 1
-            b = int(desc.bucket)
-            bcfg = buckets[b]
-            is_rev = bool(desc.is_rev)
-            n = int(desc.count)
-            bs = batch_size  # fixed compiled shape; C++ emits <= batch_size
-
-            def grab2(ptr, cols, dtype=np.int32):
-                a = _as_np(ptr, (bs, cols), dtype) if n == bs else None
-                if a is not None:
-                    return a
-                full = _as_np(ptr, (n, cols), dtype)
-                out = np.zeros((bs, cols), dtype)
-                out[:n] = full
-                return out
-
-            def grab1(ptr, dtype=np.int32):
-                if n == bs:
-                    return _as_np(ptr, (bs,), dtype)
-                out = np.zeros(bs, dtype)
-                out[:n] = _as_np(ptr, (n,), dtype)
-                return out
-
-            ops = grab2(desc.ops, bcfg.max_ops)
-            lens = grab2(desc.lens, bcfg.max_ops)
-            n_ops = grab1(desc.n_ops)
-            pos = grab1(desc.pos)
-            bk = grab2(desc.bk, bcfg.max_blocks)
-            bv = grab2(desc.bv, bcfg.max_blocks)
-            nb = grab1(desc.nb)
-            ref_win = grab2(desc.ref_win, bcfg.max_seq, np.uint8)
-            ref_base = grab1(desc.ref_base)
-            read_seq = grab2(desc.read_seq, bcfg.max_seq, np.uint8)
-            if n < bs:
-                # padding rows: empty cigars lift to unmapped and are ignored
-                bk[n:] = np.iinfo(np.int32).max
-                bv[n:] = -1
-                ops[n:] = 9  # PAD
-
             _t0 = _time.perf_counter()
-            kw = dict(
-                max_out=bcfg.resolved_max_out(),
-                max_clusters=bcfg.max_clusters,
-                window=bcfg.window,
-                mm=mm,
-            )
-            if is_rev:
-                contig_win = grab2(desc.contig_win, bcfg.max_seq, np.uint8)
-                win_base = grab1(desc.win_base)
-                out = rev_batch(
-                    ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
-                    ref_win, ref_base, read_seq, **kw,
-                )
-            else:
-                out = fwd_batch(
-                    ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base,
-                    read_seq, **kw,
-                )
-            codes = np.ascontiguousarray(np.asarray(out["codes"], np.int32))
-            olens = np.ascontiguousarray(np.asarray(out["lens"], np.int32))
-            n_out = np.ascontiguousarray(np.asarray(out["n_out"], np.int32))
-            opos = np.ascontiguousarray(np.asarray(out["ref2_pos"], np.int32))
-            mapped = np.ascontiguousarray(
-                np.asarray(out["mapped"], bool).astype(np.uint8)
-            )
-            fallback = np.ascontiguousarray(
-                np.asarray(out["fallback"], bool).astype(np.uint8)
-            )
-            read_len = np.ascontiguousarray(
-                np.asarray(out["read_len"], np.int64)
-            )
+            in_flight.append(dispatch(desc))
             t_dev += _time.perf_counter() - _t0
-            _t0 = _time.perf_counter()
-            rc = lib.ptscan_post_results(
-                h, i32p(codes), i32p(olens), i32p(n_out), i32p(opos),
-                u8p(mapped), u8p(fallback), i64p(read_len),
-                ctypes.c_longlong(codes.shape[1]),
-            )
-            if rc < 0:
-                raise RuntimeError(lib.ptscan_error(h).decode())
-            t_post += _time.perf_counter() - _t0
+            if len(in_flight) >= 2:
+                post(in_flight.popleft())
             lib.ptscan_stats(h, stats_buf)
             tid = int(stats_buf[5])
             if tid > 0:
                 done = sum(ci.length for ci in contig_list.data[:tid]) // 1000
                 progress.inc(max(done - progress.count, 0))
+        while in_flight:
+            post(in_flight.popleft())
 
         if lib.ptscan_finish(h) < 0:
             raise RuntimeError(lib.ptscan_error(h).decode())

@@ -18,11 +18,15 @@ from portello_tpu.ops.blockmap import build_block_map
 from portello_tpu.testutil.simulate import apply_edits, rand_seq
 
 #: Production bucket sized for 24 kb HiFi reads (SURVEY.md section 3.3 profile):
-#: read-to-contig cigars carry only sequencing error (~0.25%/bp -> ~100-200 ops
-#: per 18 kb read); contig-to-ref blocks within the read span ~1.2/kb.  Reads
-#: exceeding a bound spill to the next bucket or the exact host path.
+#: read-to-contig cigars carry only sequencing error (~0.25%/bp -> ~90-130 ops
+#: per 18 kb read, ~45 indel clusters); contig-to-ref blocks within the read
+#: span ~1.2/kb (~25).  The bucket is sized to the p99-ish of that profile —
+#: the update-grid rows U = 2*max_ops + max_blocks scale the whole liftover
+#: stage, so a tight primary bucket is ~2x wall clock over a loose one
+#: (PERF.md round 2).  Items exceeding a bound spill to the wider buckets or
+#: the exact host path (DEFAULT_BUCKETS in models/pipeline_model.py).
 HIFI_BUCKET = BucketConfig(
-    max_ops=256, max_blocks=96, max_seq=24576, max_clusters=160, window=48
+    max_ops=128, max_blocks=48, max_seq=24576, max_clusters=96, window=48
 )
 
 
