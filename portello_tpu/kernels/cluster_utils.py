@@ -191,16 +191,25 @@ def _window_bytes_mm(seq, start, window: int, fill: int):
     span_lo = expand_bytes(onehot_eq(sb, nsb), table)
     span_hi = expand_bytes(onehot_eq(sb + 1, nsb), table)
     span = jnp.concatenate([span_lo, span_hi], axis=1)  # (C, 128)
-    w4 = window + 4
-    s1 = span[:, 0:w4]
+    # Realign the residual offset o in [0, 64) at WORD granularity: a 16-way
+    # word select (4x fewer select elements than byte ladders) plus a
+    # variable per-row bit-shift combine for the sub-word offset.
+    nw = window // 4 + 2  # combine consumes one extra word
+    words = jax.lax.bitcast_convert_type(
+        span.reshape(span.shape[0], 32, 4), jnp.uint32
+    )  # (C, 32) little-endian
     k = (o >> 2)[:, None]
+    w16 = words[:, 0:nw]
     for kk in range(1, 16):
-        s1 = jnp.where(k == kk, span[:, 4 * kk : 4 * kk + w4], s1)
-    out = s1[:, 0:window]
-    j = (o & 3)[:, None]
-    for jj in range(1, 4):
-        out = jnp.where(j == jj, s1[:, jj : jj + window], out)
-    return out
+        w16 = jnp.where(k == kk, words[:, kk : kk + nw], w16)
+    b = ((o & 3) << 3)[:, None].astype(jnp.uint32)  # 0/8/16/24
+    lo_part = jnp.right_shift(w16[:, :-1], b)
+    hi_part = jnp.left_shift(w16[:, 1:], jnp.uint32(32) - b)
+    v = jnp.where(b == 0, w16[:, :-1], lo_part | hi_part)  # (C, nw-1)
+    by = jnp.stack(
+        [(v >> (8 * i)) & 0xFF for i in range(4)], axis=2
+    ).reshape(v.shape[0], 4 * (nw - 1)).astype(jnp.uint8)
+    return by[:, :window]
 
 
 def match_run_left(seq_a, idx_a, seq_b, idx_b, limit, window: int, mm: bool = False):
