@@ -1,0 +1,84 @@
+"""BigWig writer/reader round trips and format-layout checks
+(reference bigwig_utils.rs:7-23 parity; no external BBI implementation
+exists in this image, see auxlib/bigwig.py)."""
+
+import struct
+
+import numpy as np
+
+from portello_tpu.auxlib.bigwig import (
+    BIGWIG_MAGIC,
+    BigWigReader,
+    write_bigwig,
+    write_coverage_bigwig,
+)
+
+
+def test_roundtrip_intervals(tmp_path):
+    path = str(tmp_path / "t.bw")
+    chroms = [("chr1", 10000), ("chr2", 5000)]
+    ivs = [
+        ("chr1", 0, 100, 1.5),
+        ("chr1", 100, 250, 2.0),
+        ("chr1", 5000, 5010, -3.25),
+        ("chr2", 10, 20, 7.0),
+    ]
+    write_bigwig(path, chroms, ivs)
+    with BigWigReader(path) as r:
+        assert r.chroms == chroms
+        got = list(r.intervals())
+        assert got == ivs
+        got1 = list(r.intervals("chr2"))
+        assert got1 == [("chr2", 10, 20, 7.0)]
+        s = r.summary()
+        assert s["valid_count"] == 100 + 150 + 10 + 10
+        assert s["min"] == -3.25 and s["max"] == 7.0
+
+
+def test_header_layout(tmp_path):
+    path = str(tmp_path / "h.bw")
+    write_bigwig(path, [("c", 100)], [("c", 0, 10, 1.0)])
+    raw = open(path, "rb").read()
+    magic, version, zoom = struct.unpack_from("<IHH", raw, 0)
+    assert magic == BIGWIG_MAGIC and version == 4 and zoom == 0
+    # 64-byte header; summary offset field sits at byte 44
+    # (4+2+2 + 3*8 + 2+2 + 8 autoSql)
+    (summary_off,) = struct.unpack_from("<Q", raw, 44)
+    valid, vmin, vmax, vsum, _ = struct.unpack_from("<Qdddd", raw, summary_off)
+    assert valid == 10 and vmin == 1.0 and vmax == 1.0 and vsum == 10.0
+
+
+def test_many_sections_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    path = str(tmp_path / "m.bw")
+    chroms = [("chrA", 10_000_000)]
+    starts = np.sort(rng.choice(9_000_000, size=5000, replace=False))
+    ivs = [
+        ("chrA", int(s), int(s) + 5, float(v))
+        for s, v in zip(starts, rng.normal(size=5000).astype(np.float32))
+    ]
+    write_bigwig(path, chroms, ivs)
+    with BigWigReader(path) as r:
+        assert list(r.intervals()) == ivs
+
+
+def test_coverage_helper(tmp_path):
+    path = str(tmp_path / "cov.bw")
+    depth = np.zeros(1000, np.int32)
+    depth[100:200] = 3
+    depth[200:205] = 1
+    write_coverage_bigwig(path, [("chr1", 1000)], {"chr1": depth})
+    with BigWigReader(path) as r:
+        assert list(r.intervals()) == [
+            ("chr1", 100, 200, 3.0), ("chr1", 200, 205, 1.0),
+        ]
+
+
+def test_unsorted_rejected(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_bigwig(
+            str(tmp_path / "x.bw"), [("c", 100)],
+            [("c", 50, 60, 1.0), ("c", 10, 20, 1.0)],
+        )

@@ -64,3 +64,41 @@ def test_native_feed_small_batch_flush(tmp_path):
     out_n, _ = _run_cli(tmp_path, "native_s", "native")
     out_p, _ = _run_cli(tmp_path, "python_s", "python")
     assert _records(out_n) == _records(out_p)
+
+
+def test_native_feed_two_host_shards(tmp_path):
+    """Native feed honors the multi-host contig ownership plan: merged
+    2-host shards equal the single run (unsorted-content contract,
+    docs/user_guide.md:227-230)."""
+    from portello_tpu.main import main
+    from portello_tpu.testutil.simulate import make_scenario
+    from portello_tpu.tools.merge import merge_bams
+
+    scn = make_scenario(str(tmp_path), rng=np.random.default_rng(17))
+
+    def run(tag, extra):
+        r = str(tmp_path / f"r_{tag}.bam")
+        u = str(tmp_path / f"u_{tag}.bam")
+        main([
+            "--assembly-to-ref", scn.contig_bam,
+            "--read-to-assembly", scn.read_bam,
+            "--remapped-read-output", r,
+            "--unassembled-read-output", u,
+            "--ref", scn.ref_fasta,
+            "--device", "cpu", "--feed", "native", "--batch-size", "32",
+            *extra,
+        ])
+        return r, u
+
+    r_single, u_single = run("single", [])
+    shards_r, shards_u = [], []
+    for host in range(2):
+        run(f"h{host}", ["--num-hosts", "2", "--host-id", str(host)])
+        shards_r.append(str(tmp_path / f"r_h{host}.shard{host:02d}of02.bam"))
+        shards_u.append(str(tmp_path / f"u_h{host}.shard{host:02d}of02.bam"))
+    merged_r = str(tmp_path / "m_r.bam")
+    merged_u = str(tmp_path / "m_u.bam")
+    merge_bams(merged_r, shards_r)
+    merge_bams(merged_u, shards_u)
+    assert _records(merged_r) == _records(r_single)
+    assert _records(merged_u) == _records(u_single)
