@@ -1,4 +1,4 @@
-"""BAM -> SAM text dump (samtools view -h equivalent for inspection)."""
+"""BAM/CRAM -> SAM text dump (samtools view -h equivalent for inspection)."""
 
 from __future__ import annotations
 
@@ -14,13 +14,17 @@ def main(argv=None) -> None:
     p.add_argument("--no-header", action="store_true")
     p.add_argument("--region", default=None, help="chrom:start-end (requires index)")
     args = p.parse_args(argv)
-    with BamReader(args.bam) as reader:
+    from portello_tpu.io.aln_input import open_alignment_input
+
+    with open_alignment_input(args.bam) as reader:
         if not args.no_header:
             sys.stdout.write(reader.header.text.decode())
         if args.region:
             from portello_tpu.utils.chrom_list import ChromList
             from portello_tpu.utils.genome_segment import parse_samtools_region_string
 
+            if not isinstance(reader, BamReader):
+                raise SystemExit("--region requires an indexed BAM input")
             cl = ChromList.from_pairs(reader.header.refs)
             tid, beg, end = parse_samtools_region_string(cl, args.region)
             records = reader.fetch(tid, beg, end)
