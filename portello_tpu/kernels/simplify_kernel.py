@@ -47,12 +47,39 @@ def _simplify_single(
     cvalid = jnp.arange(max_clusters, dtype=jnp.int32) < cl["n_clusters"]
 
     # Right-edge greedy re-match (rs:54-68), then left-edge (rs:71-85).
+    # The limit only caps the run (run = min(raw, limit); saturated =
+    # raw-filled-window & limit > window — the compare itself is
+    # limit-independent), so with mm both directions fetch in ONE combined
+    # window call per sequence (half the fetch dispatches) and the
+    # sequential m1-after-post dependence becomes post-arithmetic.
     m0 = jnp.minimum(dl, il)
-    post, sat_post = match_run_right(ref_win, bs + dl, read_seq, rs + il, m0, window, mm)
-    dl1 = dl - post
-    il1 = il - post
-    m1 = jnp.minimum(dl1, il1)
-    pre, sat_pre = match_run_left(ref_win, bs, read_seq, rs, m1, window, mm)
+    if mm:
+        from portello_tpu.kernels.cluster_utils import _window_bytes_mm
+
+        sa = jnp.concatenate([bs + dl - window, bs])
+        sb = jnp.concatenate([rs + il - window, rs])
+        wa = _window_bytes_mm(ref_win, sa, window, 0xFE)
+        wb = _window_bytes_mm(read_seq, sb, window, 0xFD)
+        c = max_clusters
+        eq_r = (wa[:c] == wb[:c])[:, ::-1]
+        eq_l = wa[c:] == wb[c:]
+        raw_r = jnp.sum(jnp.cumprod(eq_r.astype(jnp.int32), axis=1), axis=1)
+        raw_l = jnp.sum(jnp.cumprod(eq_l.astype(jnp.int32), axis=1), axis=1)
+        post = jnp.minimum(raw_r, m0)
+        sat_post = (raw_r >= window) & (m0 > window)
+        dl1 = dl - post
+        il1 = il - post
+        m1 = jnp.minimum(dl1, il1)
+        pre = jnp.minimum(raw_l, m1)
+        sat_pre = (raw_l >= window) & (m1 > window)
+    else:
+        post, sat_post = match_run_right(
+            ref_win, bs + dl, read_seq, rs + il, m0, window, mm
+        )
+        dl1 = dl - post
+        il1 = il - post
+        m1 = jnp.minimum(dl1, il1)
+        pre, sat_pre = match_run_left(ref_win, bs, read_seq, rs, m1, window, mm)
     dl2 = dl1 - pre
     il2 = il1 - pre
     # Final SNP preference (rs:87-92).

@@ -102,3 +102,56 @@ def test_native_feed_two_host_shards(tmp_path):
     merge_bams(merged_u, shards_u)
     assert _records(merged_r) == _records(r_single)
     assert _records(merged_u) == _records(u_single)
+
+
+def test_native_feed_forced_fallbacks(tmp_path):
+    """Tiny buckets/windows force bucket-overflow and window-saturation
+    fallbacks, driving ptscan's native exact compute (host_lift_item incl.
+    the C++ left-shift/homology port) — outputs must still equal the Python
+    engine configured with the same buckets."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from portello_tpu.models.batch import BucketConfig
+    from portello_tpu.models.pipeline_model import DeviceEngine
+    from portello_tpu.pipeline.native_feed import scan_and_remap_reads_native
+    from portello_tpu.pipeline.read_scan import scan_and_remap_reads
+    from portello_tpu.testutil.simulate import make_scenario
+    from portello_tpu.io.fasta import get_genome_ref_from_fasta
+    from portello_tpu.utils.chrom_list import ChromList
+    from portello_tpu.pipeline.contig_scan import scan_contig_bam
+
+    scn = make_scenario(str(tmp_path), rng=np.random.default_rng(23))
+    ref_cl = ChromList.from_bam_filename(scn.contig_bam)
+    asm_cl = ChromList.from_bam_filename(scn.read_bam)
+    genome = get_genome_ref_from_fasta(scn.ref_fasta)
+    reference = [genome.chroms[c.label] for c in ref_cl.data]
+    info = scan_contig_bam(scn.contig_bam, ref_cl, asm_cl, None)
+
+    # window=4 saturates most indel clusters; small max_ops forces bucket
+    # spills and host fallbacks for anything nontrivial
+    buckets = [
+        BucketConfig(max_ops=24, max_blocks=12, max_seq=1024,
+                     max_clusters=8, window=4),
+    ]
+
+    stats = scan_and_remap_reads_native(
+        scn.read_bam, str(tmp_path / "r_native.bam"),
+        str(tmp_path / "u_native.bam"), reference, ref_cl, info, False,
+        batch_size=16, buckets=buckets, thread_count=3, use_mm=False,
+    )
+    # the point of this test: the native fallback paths actually fire
+    assert stats["host_items"] > 0
+
+    engine = DeviceEngine(
+        reference, asm_cl, info, batch_size=16, buckets=buckets,
+        platform="cpu", use_mm=False,
+    )
+    scan_and_remap_reads(
+        scn.read_bam, str(tmp_path / "r_py.bam"),
+        str(tmp_path / "u_py.bam"), reference, ref_cl, info, False,
+        engine=engine,
+    )
+    assert _records(tmp_path / "r_native.bam") == _records(tmp_path / "r_py.bam")
+    assert _records(tmp_path / "u_native.bam") == _records(tmp_path / "u_py.bam")
