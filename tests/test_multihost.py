@@ -66,3 +66,28 @@ def test_two_host_run_matches_single(tmp_path):
 
     assert content(merged_r) == content(r_single)
     assert content(merged_u) == content(u_single)
+
+
+def test_local_workers_matches_single(tmp_path):
+    """--local-workers N fans phase 2 across worker processes and merges
+    shards; output equals the single-process run."""
+    scn = make_scenario(str(tmp_path), rng=np.random.default_rng(19))
+
+    def run(tag, extra):
+        r = str(tmp_path / f"lw_r_{tag}.bam")
+        u = str(tmp_path / f"lw_u_{tag}.bam")
+        main([
+            "--assembly-to-ref", scn.contig_bam,
+            "--read-to-assembly", scn.read_bam,
+            "--remapped-read-output", r,
+            "--unassembled-read-output", u,
+            "--ref", scn.ref_fasta,
+            "--device", "host",
+            *extra,
+        ])
+        return r, u
+
+    r1, u1 = run("single", [])
+    r2, u2 = run("workers", ["--local-workers", "2"])
+    assert content(r2) == content(r1)
+    assert content(u2) == content(u1)

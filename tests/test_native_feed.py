@@ -155,3 +155,33 @@ def test_native_feed_forced_fallbacks(tmp_path):
     )
     assert _records(tmp_path / "r_native.bam") == _records(tmp_path / "r_py.bam")
     assert _records(tmp_path / "u_native.bam") == _records(tmp_path / "u_py.bam")
+
+
+def test_native_feed_unmapped_only_input(tmp_path):
+    """An input with no mapped primaries exercises the empty-batch EOF path;
+    unplaced records still pass through."""
+    from portello_tpu.io.bam import BamReader, BamWriter
+    from portello_tpu.io.index_build import build_bai
+    from portello_tpu.main import main
+    from portello_tpu.testutil.simulate import make_scenario
+
+    make_scenario(str(tmp_path), rng=np.random.default_rng(29))
+    src = str(tmp_path / "read_to_asm.bam")
+    only_un = str(tmp_path / "only_unmapped.bam")
+    with BamReader(src) as r:
+        header = r.header
+        recs = [rec for rec in r if rec.is_unmapped()]
+    with BamWriter(only_un, header) as w:
+        for rec in recs:
+            w.write(rec)
+    build_bai(only_un)
+    main([
+        "--assembly-to-ref", str(tmp_path / "asm_to_ref.bam"),
+        "--read-to-assembly", only_un,
+        "--remapped-read-output", str(tmp_path / "r_u.bam"),
+        "--unassembled-read-output", str(tmp_path / "u_u.bam"),
+        "--ref", str(tmp_path / "ref.fa"),
+        "--device", "cpu", "--feed", "native",
+    ])
+    assert len(_records(tmp_path / "u_u.bam")) == len(recs)
+    assert _records(tmp_path / "r_u.bam") == []
