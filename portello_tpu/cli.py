@@ -32,6 +32,7 @@ class Settings:
     feed: str = "auto"
     batch_size: int = 512
     max_join_gap: int = 1000
+    profile: str | None = None
     num_hosts: int = 1
     host_id: int = 0
     coordinator: str | None = None
@@ -79,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--device", choices=["auto", "tpu", "cpu", "host"], default="auto",
         help="Compute path: TPU/CPU device kernels, or pure-host engine",
+    )
+    p.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="Write a JAX device profiler trace for phase 2 to DIR and log "
+        "per-stage feed timing",
     )
     p.add_argument(
         "--max-join-gap", type=int, default=1000, metavar="BASES",

@@ -169,37 +169,58 @@ def run(settings: Settings) -> None:
         elif settings.feed == "native":
             raise SystemExit("--feed native requested but ptscan unavailable")
 
-    if use_native_feed:
-        from portello_tpu.pipeline.native_feed import scan_and_remap_reads_native
+    import contextlib
 
-        scan_and_remap_reads_native(
-            settings.read_to_assembly_bam,
-            remapped_out,
-            unassembled_out,
-            reference,
-            ref_chrom_list,
-            all_contig_mapping_info,
-            target_region is not None,
-            cmdline=cmdline,
-            batch_size=settings.batch_size,
-            thread_count=settings.thread_count,
-            shard_plan=shard_plan,
-            use_mm=engine.use_mm,
-        )
-    else:
-        scan_and_remap_reads(
-            settings.read_to_assembly_bam,
-            remapped_out,
-            unassembled_out,
-            reference,
-            ref_chrom_list,
-            all_contig_mapping_info,
-            target_region is not None,
-            cmdline=cmdline,
-            engine=engine,
-            thread_count=settings.thread_count,
-            shard_plan=shard_plan,
-        )
+    profile_ctx = contextlib.nullcontext()
+    if settings.profile:
+        # Structured device tracing for phase 2 (SURVEY.md section 5: the
+        # reference has only ad-hoc eprintln probes; here: a real profiler).
+        import jax
+
+        os.makedirs(settings.profile, exist_ok=True)
+        os.environ["PTPU_FEED_TIMING"] = "1"
+        profile_ctx = contextlib.ExitStack()
+        try:
+            jax.profiler.start_trace(settings.profile)
+            profile_ctx.callback(jax.profiler.stop_trace)
+            logger.info(f"Writing device profile trace to {settings.profile}")
+        except Exception as e:  # profiling is best-effort
+            logger.warning(f"profiler unavailable: {e}")
+
+    with profile_ctx:
+        if use_native_feed:
+            from portello_tpu.pipeline.native_feed import (
+                scan_and_remap_reads_native,
+            )
+
+            scan_and_remap_reads_native(
+                settings.read_to_assembly_bam,
+                remapped_out,
+                unassembled_out,
+                reference,
+                ref_chrom_list,
+                all_contig_mapping_info,
+                target_region is not None,
+                cmdline=cmdline,
+                batch_size=settings.batch_size,
+                thread_count=settings.thread_count,
+                shard_plan=shard_plan,
+                use_mm=engine.use_mm,
+            )
+        else:
+            scan_and_remap_reads(
+                settings.read_to_assembly_bam,
+                remapped_out,
+                unassembled_out,
+                reference,
+                ref_chrom_list,
+                all_contig_mapping_info,
+                target_region is not None,
+                cmdline=cmdline,
+                engine=engine,
+                thread_count=settings.thread_count,
+                shard_plan=shard_plan,
+            )
 
     elapsed = time.monotonic() - start
     hh = int(elapsed // 3600)

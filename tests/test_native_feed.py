@@ -185,3 +185,51 @@ def test_native_feed_unmapped_only_input(tmp_path):
     ])
     assert len(_records(tmp_path / "u_u.bam")) == len(recs)
     assert _records(tmp_path / "r_u.bam") == []
+
+
+def test_native_feed_multi_bucket_spill(tmp_path):
+    """Items exceeding the tiny first bucket spill to the second instead of
+    falling back to host; outputs equal the Python engine on the same
+    bucket ladder."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from portello_tpu.models.batch import BucketConfig
+    from portello_tpu.models.pipeline_model import DeviceEngine
+    from portello_tpu.pipeline.native_feed import scan_and_remap_reads_native
+    from portello_tpu.pipeline.read_scan import scan_and_remap_reads
+    from portello_tpu.testutil.simulate import make_scenario
+    from portello_tpu.io.fasta import get_genome_ref_from_fasta
+    from portello_tpu.utils.chrom_list import ChromList
+    from portello_tpu.pipeline.contig_scan import scan_contig_bam
+
+    scn = make_scenario(str(tmp_path), rng=np.random.default_rng(41))
+    ref_cl = ChromList.from_bam_filename(scn.contig_bam)
+    asm_cl = ChromList.from_bam_filename(scn.read_bam)
+    genome = get_genome_ref_from_fasta(scn.ref_fasta)
+    reference = [genome.chroms[c.label] for c in ref_cl.data]
+    info = scan_contig_bam(scn.contig_bam, ref_cl, asm_cl, None)
+
+    buckets = [
+        BucketConfig(max_ops=4, max_blocks=4, max_seq=256,
+                     max_clusters=8, window=16),  # almost nothing fits
+        BucketConfig(max_ops=96, max_blocks=48, max_seq=4096,
+                     max_clusters=64, window=16),
+    ]
+    stats = scan_and_remap_reads_native(
+        scn.read_bam, str(tmp_path / "r_n.bam"), str(tmp_path / "u_n.bam"),
+        reference, ref_cl, info, False, batch_size=16, buckets=buckets,
+        thread_count=2, use_mm=False,
+    )
+    assert stats["device_items"] > 0
+
+    engine = DeviceEngine(
+        reference, asm_cl, info, batch_size=16, buckets=buckets,
+        platform="cpu", use_mm=False,
+    )
+    scan_and_remap_reads(
+        scn.read_bam, str(tmp_path / "r_p.bam"), str(tmp_path / "u_p.bam"),
+        reference, ref_cl, info, False, engine=engine,
+    )
+    assert _records(tmp_path / "r_n.bam") == _records(tmp_path / "r_p.bam")
