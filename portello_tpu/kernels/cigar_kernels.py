@@ -119,13 +119,17 @@ def compress(codes, lens, max_out: int, mm: bool = False):
          jnp.concatenate([codes.astype(jnp.int32), jnp.full(1, PAD, jnp.int32)])],
         axis=1,
     )
-    both_idx = jnp.concatenate([starts, starts_next])
     if mm:
-        tv = expand_mask(onehot_eq(both_idx, n + 1), table)
+        # starts_next is starts shifted by one: a single (max_out+1)-row
+        # mask over sboth + adjacent differences halves the expansion.
+        tv2 = expand_mask(onehot_eq(sboth, n + 1), table)
+        out_lens = jnp.where(out_valid, tv2[1:, 0] - tv2[:-1, 0], 0)
+        out_codes = jnp.where(out_valid, tv2[:-1, 1], PAD)
     else:
+        both_idx = jnp.concatenate([starts, starts_next])
         tv = jnp.take_along_axis(table, both_idx[:, None], axis=0)
-    out_lens = jnp.where(out_valid, tv[max_out:, 0] - tv[:max_out, 0], 0)
-    out_codes = jnp.where(out_valid, tv[:max_out, 1], PAD)
+        out_lens = jnp.where(out_valid, tv[max_out:, 0] - tv[:max_out, 0], 0)
+        out_codes = jnp.where(out_valid, tv[:max_out, 1], PAD)
     return out_codes, out_lens, jnp.minimum(n_runs, max_out), overflow
 
 

@@ -89,17 +89,20 @@ def find_clusters(codes, lens, ref_pos, max_clusters: int, mm: bool = False):
     ps_table = jnp.stack(
         [ps_del.astype(jnp.int32), ps_ins.astype(jnp.int32)], axis=1
     )
-    both_idx = jnp.concatenate([starts, starts_next])
     if mm:
         sv = expand_mask(onehot_eq(safe_starts, n), start_table)
-        pv = expand_mask(onehot_eq(both_idx, n + 1), ps_table)
+        # adjacent-diff over one (max_clusters+1)-row mask (see compress)
+        pv2 = expand_mask(onehot_eq(sboth, n + 1), ps_table)
+        c_del = jnp.where(cvalid, pv2[1:, 0] - pv2[:-1, 0], 0)
+        c_ins = jnp.where(cvalid, pv2[1:, 1] - pv2[:-1, 1], 0)
     else:
+        both_idx = jnp.concatenate([starts, starts_next])
         sv = jnp.take_along_axis(start_table, safe_starts[:, None], axis=0)
         pv = jnp.take_along_axis(ps_table, both_idx[:, None], axis=0)
+        c_del = jnp.where(cvalid, pv[max_clusters:, 0] - pv[:max_clusters, 0], 0)
+        c_ins = jnp.where(cvalid, pv[max_clusters:, 1] - pv[:max_clusters, 1], 0)
     c_ref = jnp.where(cvalid, sv[:, 0], 0)
     c_read = jnp.where(cvalid, sv[:, 1], 0)
-    c_del = jnp.where(cvalid, pv[max_clusters:, 0] - pv[:max_clusters, 0], 0)
-    c_ins = jnp.where(cvalid, pv[max_clusters:, 1] - pv[:max_clusters, 1], 0)
 
     return {
         "ref_start": c_ref,
