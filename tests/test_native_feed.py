@@ -233,3 +233,65 @@ def test_native_feed_multi_bucket_spill(tmp_path):
         reference, ref_cl, info, False, engine=engine,
     )
     assert _records(tmp_path / "r_n.bam") == _records(tmp_path / "r_p.bam")
+
+
+def test_native_feed_long_cigar_cg(tmp_path):
+    """A read with >65535 cigar ops exercises the CG-tag long-cigar decode
+    (input) and spill (output) in both the native scanner and the Python
+    path (SAM spec 4.2.2; io/bam.py decode/encode)."""
+    from portello_tpu.io.bam import BamHeader, BamRecord, BamWriter
+    from portello_tpu.io.fasta import write_fasta
+    from portello_tpu.io.index_build import build_bai
+    from portello_tpu.main import main
+    from portello_tpu.ops import cigar as cg
+
+    rng = np.random.default_rng(47)
+    n_pairs = 40_000  # 80k ops > 0xFFFF
+    read_len = 2 * n_pairs
+    contig_span = n_pairs
+    contig_len = contig_span + 200
+    chrom_len = contig_len + 200
+
+    chrom = rng.integers(65, 69, size=chrom_len, dtype=np.uint8)
+    contig_seq = chrom[100 : 100 + contig_len].copy()
+    ref_fa = str(tmp_path / "ref.fa")
+    write_fasta(ref_fa, [("chr1", bytes(chrom))])
+
+    ref_header = BamHeader.from_refs([("chr1", chrom_len)])
+    asm_bam = str(tmp_path / "asm.bam")
+    with BamWriter(asm_bam, ref_header) as w:
+        w.write(BamRecord(
+            qname=b"ctg1", flag=0, tid=0, pos=100, mapq=60,
+            cigar=cg.cigar((cg.EQ, contig_len)),
+            seq=contig_seq, qual=np.full(contig_len, 40, np.uint8),
+        ))
+    build_bai(asm_bam)
+
+    # read: alternating 1M1I over the contig -> 80k-op cigar
+    cigar = np.tile(np.array([[cg.M, 1], [cg.I, 1]], np.int64), (n_pairs, 1))
+    seq = np.empty(read_len, np.uint8)
+    seq[0::2] = contig_seq[50 : 50 + n_pairs]   # M bases match the contig
+    seq[1::2] = ord("A")                        # inserted bases
+    read_header = BamHeader.from_refs([("ctg1", contig_len)])
+    read_bam = str(tmp_path / "reads.bam")
+    with BamWriter(read_bam, read_header) as w:
+        w.write(BamRecord(
+            qname=b"longread", flag=0, tid=0, pos=50, mapq=50,
+            cigar=cigar, seq=seq, qual=np.full(read_len, 30, np.uint8),
+        ))
+    build_bai(read_bam)
+
+    outs = {}
+    for feed, dev in (("native", "cpu"), ("python", "host")):
+        r = str(tmp_path / f"out_{feed}.bam")
+        main([
+            "--assembly-to-ref", asm_bam, "--read-to-assembly", read_bam,
+            "--remapped-read-output", r,
+            "--unassembled-read-output", str(tmp_path / f"un_{feed}.bam"),
+            "--ref", ref_fa, "--device", dev, "--feed", feed,
+        ])
+        outs[feed] = _records(r)
+    assert outs["native"] == outs["python"]
+    assert len(outs["native"]) == 1
+    # the lifted record must round-trip its >65535-op cigar through CG
+    assert "40000I" not in outs["native"][0]  # sanity: ops not merged away
