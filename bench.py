@@ -351,11 +351,16 @@ def main():
     native_1 = native_baseline_time(fwd_items, kw["max_out"], 1)
     native_n = native_baseline_time(fwd_items, kw["max_out"], nthreads)
     if native_n:
-        vs_baseline = reads_per_s / native_n
+        # best native config (the threaded run can lose to 1T under CPU
+        # contention from the relay process; the baseline is the best the
+        # host can do)
+        native_best = max(native_n, native_1 or 0)
+        vs_baseline = reads_per_s / native_best
         note = (
-            f"baseline = native C++ reference-exact inner loop at "
-            f"{nthreads} threads on this host (Rust reference not buildable "
-            "in image; BASELINE.md); sustained on-chip time via in-jit repetition"
+            f"baseline = native C++ reference-exact inner loop, best of "
+            f"1/{nthreads} threads on this host (Rust reference not "
+            "buildable in image; BASELINE.md); sustained on-chip time via "
+            "in-jit repetition"
         )
     else:
         vs_baseline = reads_per_s / host_rps
