@@ -190,21 +190,27 @@ def _window_bytes_mm(seq, start, window: int, fill: int):
     o = p - (sb << 6)
     # Two matmuls against the raw 64-byte-superblock table beat one against a
     # 128-wide adjacent-pair table 2.1x (scripts/profile_window.py: the
-    # concat forces a strided matmul operand).
-    span_lo = expand_bytes(onehot_eq(sb, nsb), table)
-    span_hi = expand_bytes(onehot_eq(sb + 1, nsb), table)
+    # concat forces a strided matmul operand).  Both share ONE one-hot mask —
+    # onehot(sb+1) @ table == onehot(sb) @ table[1:] — halving the dominant
+    # HBM term (the materialized (C, nsb) mask).
+    mask = onehot_eq(sb, nsb - 1)
+    span_lo = expand_bytes(mask, table[:-1])
+    span_hi = expand_bytes(mask, table[1:])
     span = jnp.concatenate([span_lo, span_hi], axis=1)  # (C, 128)
-    # Realign the residual offset o in [0, 64) at WORD granularity: a 16-way
-    # word select (4x fewer select elements than byte ladders) plus a
-    # variable per-row bit-shift combine for the sub-word offset.
+    # Realign the residual offset o in [0, 64) at WORD granularity: a barrel
+    # shifter (4 progressively-narrowing selects over the word shift bits)
+    # plus a variable per-row bit-shift combine for the sub-word offset.
     nw = window // 4 + 2  # combine consumes one extra word
     words = jax.lax.bitcast_convert_type(
         span.reshape(span.shape[0], 32, 4), jnp.uint32
     )  # (C, 32) little-endian
-    k = (o >> 2)[:, None]
-    w16 = words[:, 0:nw]
-    for kk in range(1, 16):
-        w16 = jnp.where(k == kk, words[:, kk : kk + nw], w16)
+    ow = o >> 2  # word shift in [0, 16)
+    w16 = words
+    for bit in (8, 4, 2, 1):
+        need = nw + bit - 1
+        w16 = jnp.where(
+            ((ow & bit) != 0)[:, None], w16[:, bit : bit + need], w16[:, :need]
+        )
     b = ((o & 3) << 3)[:, None].astype(jnp.uint32)  # 0/8/16/24
     lo_part = jnp.right_shift(w16[:, :-1], b)
     hi_part = jnp.left_shift(w16[:, 1:], jnp.uint32(32) - b)

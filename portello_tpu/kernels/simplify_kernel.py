@@ -118,16 +118,21 @@ def _simplify_single(
     # M placeholder would wrongly stop the edge-indel cleanup walk.
     c_codes = jnp.where(c_lens == 0, PAD, c_codes)
 
-    # Reassemble: pass-through ops emit themselves; the cluster replacement is
-    # emitted at the cluster's last op.
+    # Reassemble: pass-through ops emit themselves.  The (up to 4-op) cluster
+    # replacement [M pre][I][D][M post] is split across the cluster's LAST TWO
+    # rows — [M pre, I] at the second-to-last, [D, M post] at the last — which
+    # is always enough: mixed clusters (the only ones needing >2 ops) contain
+    # both an I and a D so span >= 2 ops, while single-op clusters are pure
+    # and emit their <=1 nonzero op from the end row's [I, D] columns.  Two
+    # emission slots per op instead of four halves the cleanup/compress
+    # stream, the dominant reassembly cost.
     valid = codes != PAD
     is_indel = ((codes == I) | (codes == D)) & valid
     cend = cl["cluster_end"]
     cid = jnp.clip(cl["cluster_id"], 0, max_clusters - 1)
-    out_codes = jnp.full((n, 4), PAD, dtype=codes.dtype)
-    out_lens = jnp.zeros((n, 4), dtype=lens.dtype)
-    out_codes = out_codes.at[:, 0].set(jnp.where(valid & ~is_indel, codes, PAD))
-    out_lens = out_lens.at[:, 0].set(jnp.where(valid & ~is_indel, lens, 0))
+    pre_end = is_indel & jnp.concatenate([cend[1:], jnp.zeros(1, bool)])
+    prev_indel = jnp.concatenate([jnp.zeros(1, bool), is_indel[:-1]])
+    single = cend & ~prev_indel
     # one packed lookup for the cluster replacement rows (codes+lens together)
     c_packed = jnp.concatenate(
         [c_codes.astype(jnp.int32), c_lens.astype(jnp.int32)], axis=1
@@ -136,8 +141,27 @@ def _simplify_single(
         cv = expand_mask(onehot_eq(cid, max_clusters), c_packed)
     else:
         cv = jnp.take_along_axis(c_packed, cid[:, None], axis=0)
-    out_codes = jnp.where(cend[:, None], cv[:, :4], out_codes)
-    out_lens = jnp.where(cend[:, None], cv[:, 4:], out_lens)
+    # column pair: pre_end -> (0,1); single-op end -> (1,2); multi-op end -> (2,3)
+    sel0_code = jnp.where(pre_end, cv[:, 0], jnp.where(single, cv[:, 1], cv[:, 2]))
+    sel1_code = jnp.where(pre_end, cv[:, 1], jnp.where(single, cv[:, 2], cv[:, 3]))
+    sel0_len = jnp.where(pre_end, cv[:, 4], jnp.where(single, cv[:, 5], cv[:, 6]))
+    sel1_len = jnp.where(pre_end, cv[:, 5], jnp.where(single, cv[:, 6], cv[:, 7]))
+    emit = pre_end | cend
+    passthru = valid & ~is_indel
+    out_codes = jnp.stack(
+        [
+            jnp.where(passthru, codes, jnp.where(emit, sel0_code, PAD)),
+            jnp.where(emit, sel1_code, PAD),
+        ],
+        axis=1,
+    )
+    out_lens = jnp.stack(
+        [
+            jnp.where(passthru, lens, jnp.where(emit, sel0_len, 0)),
+            jnp.where(emit, sel1_len, 0),
+        ],
+        axis=1,
+    )
 
     flat_codes = out_codes.reshape(-1)
     flat_lens = out_lens.reshape(-1)
