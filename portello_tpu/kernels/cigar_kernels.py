@@ -73,8 +73,6 @@ def compress(codes, lens, max_out: int, mm: bool = False):
     Returns (out_codes, out_lens, n_out, overflow); ``overflow`` is True when
     the compressed cigar exceeds ``max_out`` ops.
     """
-    from portello_tpu.kernels.expand import count_lt, expand_mask, onehot_eq
-
     n = codes.shape[0]
     # The inputs often come from gather-built emission streams; a barrier here
     # keeps those gathers from being fused into (and serializing) the prefix
@@ -94,38 +92,49 @@ def compress(codes, lens, max_out: int, mm: bool = False):
     n_runs = jnp.sum(new_run.astype(jnp.int32))
     overflow = n_runs > max_out
 
-    # Run r spans input indices [starts[r], starts[r+1]); lengths come from a
-    # prefix sum over kept lens.
-    cs_runs = jnp.cumsum(new_run.astype(jnp.int32))
     r = jnp.arange(max_out, dtype=jnp.int32)
-    # one search serves both boundary sets: starts_next is starts shifted
-    boundary_q = jnp.arange(1, max_out + 2, dtype=jnp.int32)
+    out_valid = r < jnp.minimum(n_runs, max_out)
     if mm:
-        sboth = count_lt(cs_runs, boundary_q)
+        # ONE segment-sum matmul: row r of the eq mask [run_id == r] sums the
+        # kept lens of run r and (via the new_run gate) its start code
+        # (kernels/expand.expand_sum; replaces the boundary-search +
+        # prefix-table-difference formulation: one mask instead of two).
+        from portello_tpu.kernels.expand import expand_sum
+
+        rid = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+        mask = (
+            (rid[None, :] == r[:, None]) & keep[None, :]
+        ).astype(jnp.bfloat16)
+        table = jnp.stack(
+            [
+                jnp.where(keep, lens, 0).astype(jnp.int32),
+                jnp.where(new_run, codes, 0).astype(jnp.int32),
+            ],
+            axis=1,
+        )
+        sums = expand_sum(mask, table)
+        out_lens = jnp.where(out_valid, sums[:, 0], 0)
+        out_codes = jnp.where(out_valid, sums[:, 1], PAD)
     else:
+        # Run r spans input indices [starts[r], starts[r+1]); lengths come
+        # from a prefix sum over kept lens.
+        cs_runs = jnp.cumsum(new_run.astype(jnp.int32))
+        boundary_q = jnp.arange(1, max_out + 2, dtype=jnp.int32)
         sboth = jnp.searchsorted(
             cs_runs, boundary_q, side="left", method="sort"
         ).astype(jnp.int32)
-    starts = sboth[:-1]
-    starts_next = sboth[1:]
-    ps = jnp.concatenate(
-        [jnp.zeros(1, lens.dtype), jnp.cumsum(jnp.where(keep, lens, 0))]
-    )
-    out_valid = r < jnp.minimum(n_runs, max_out)
-    # One packed lookup serves ps[starts], codes[starts] and ps[starts_next]
-    # (contiguous per-index slices: ~14x cheaper than separate gathers).
-    table = jnp.stack(
-        [ps.astype(jnp.int32),
-         jnp.concatenate([codes.astype(jnp.int32), jnp.full(1, PAD, jnp.int32)])],
-        axis=1,
-    )
-    if mm:
-        # starts_next is starts shifted by one: a single (max_out+1)-row
-        # mask over sboth + adjacent differences halves the expansion.
-        tv2 = expand_mask(onehot_eq(sboth, n + 1), table)
-        out_lens = jnp.where(out_valid, tv2[1:, 0] - tv2[:-1, 0], 0)
-        out_codes = jnp.where(out_valid, tv2[:-1, 1], PAD)
-    else:
+        starts = sboth[:-1]
+        starts_next = sboth[1:]
+        ps = jnp.concatenate(
+            [jnp.zeros(1, lens.dtype), jnp.cumsum(jnp.where(keep, lens, 0))]
+        )
+        # One packed lookup serves ps[starts], codes[starts] and ps[starts_next]
+        # (contiguous per-index slices: ~14x cheaper than separate gathers).
+        table = jnp.stack(
+            [ps.astype(jnp.int32),
+             jnp.concatenate([codes.astype(jnp.int32), jnp.full(1, PAD, jnp.int32)])],
+            axis=1,
+        )
         both_idx = jnp.concatenate([starts, starts_next])
         tv = jnp.take_along_axis(table, both_idx[:, None], axis=0)
         out_lens = jnp.where(out_valid, tv[max_out:, 0] - tv[:max_out, 0], 0)

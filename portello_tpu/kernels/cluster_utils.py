@@ -55,54 +55,61 @@ def find_clusters(codes, lens, ref_pos, max_clusters: int, mm: bool = False):
 
     ref_starts, read_starts = op_positions(codes, lens, ref_pos)
 
-    # Scatter-free per-cluster reductions (TPU scatters serialize): cluster k
-    # starts at op index starts[k] (binary-search gather over the cluster-start
-    # prefix sum) and its I/D sums are prefix-sum differences over
-    # [starts[k], starts[k+1]) — trailing non-indel ops contribute zero.
-    from portello_tpu.kernels.expand import count_lt, expand_mask, onehot_eq
-
-    cs = jnp.cumsum(cluster_start.astype(jnp.int32))
+    # Scatter-free per-cluster reductions (TPU scatters serialize).
     k = jnp.arange(max_clusters, dtype=jnp.int32)
-    # one search serves both boundary sets: starts_next is starts shifted
-    boundary_q = jnp.arange(1, max_clusters + 2, dtype=jnp.int32)
+    cvalid = k < n_clusters
+    del_src = jnp.where((codes == D) & valid, lens, 0)
+    ins_src = jnp.where((codes == I) & valid, lens, 0)
     if mm:
-        sboth = count_lt(cs, boundary_q)
+        # ONE segment-sum matmul serves all four per-cluster stats: row k of
+        # the eq mask [cid == k] sums that cluster's D/I lens, and — since
+        # exactly one op per cluster has cluster_start — its start coords
+        # (kernels/expand.expand_sum; replaces the boundary-search +
+        # prefix-table-difference formulation: one mask instead of three).
+        from portello_tpu.kernels.expand import expand_sum
+
+        mask = (cid[None, :] == k[:, None]).astype(jnp.bfloat16)
+        table = jnp.stack(
+            [
+                jnp.where(cluster_start, ref_starts.astype(jnp.int32), 0),
+                jnp.where(cluster_start, read_starts.astype(jnp.int32), 0),
+                del_src.astype(jnp.int32),
+                ins_src.astype(jnp.int32),
+            ],
+            axis=1,
+        )
+        sums = expand_sum(mask, table)
+        c_ref = jnp.where(cvalid, sums[:, 0], 0)
+        c_read = jnp.where(cvalid, sums[:, 1], 0)
+        c_del = jnp.where(cvalid, sums[:, 2], 0)
+        c_ins = jnp.where(cvalid, sums[:, 3], 0)
     else:
+        # cluster k starts at op index starts[k] (binary search over the
+        # cluster-start prefix sum); I/D sums are prefix-sum differences over
+        # [starts[k], starts[k+1]).
+        cs = jnp.cumsum(cluster_start.astype(jnp.int32))
+        boundary_q = jnp.arange(1, max_clusters + 2, dtype=jnp.int32)
         sboth = jnp.searchsorted(
             cs, boundary_q, side="left", method="sort"
         ).astype(jnp.int32)
-    starts = sboth[:-1]
-    starts_next = sboth[1:]
-    cvalid = k < n_clusters
-    safe_starts = jnp.clip(starts, 0, n - 1)
-    del_src = jnp.where((codes == D) & valid, lens, 0)
-    ins_src = jnp.where((codes == I) & valid, lens, 0)
-    ps_del = jnp.concatenate([jnp.zeros(1, lens.dtype), jnp.cumsum(del_src)])
-    ps_ins = jnp.concatenate([jnp.zeros(1, lens.dtype), jnp.cumsum(ins_src)])
-    # Packed-row lookups (contiguous per-index slices are ~14x faster than
-    # separate gathers on TPU; PERF.md — and one-hot matmuls another ~10-100x,
-    # kernels/expand.py): one for the per-op start coords, one for the two
-    # prefix-sum tables at both boundary index sets.
-    start_table = jnp.stack(
-        [ref_starts.astype(jnp.int32), read_starts.astype(jnp.int32)], axis=1
-    )
-    ps_table = jnp.stack(
-        [ps_del.astype(jnp.int32), ps_ins.astype(jnp.int32)], axis=1
-    )
-    if mm:
-        sv = expand_mask(onehot_eq(safe_starts, n), start_table)
-        # adjacent-diff over one (max_clusters+1)-row mask (see compress)
-        pv2 = expand_mask(onehot_eq(sboth, n + 1), ps_table)
-        c_del = jnp.where(cvalid, pv2[1:, 0] - pv2[:-1, 0], 0)
-        c_ins = jnp.where(cvalid, pv2[1:, 1] - pv2[:-1, 1], 0)
-    else:
+        starts = sboth[:-1]
+        starts_next = sboth[1:]
+        safe_starts = jnp.clip(starts, 0, n - 1)
+        ps_del = jnp.concatenate([jnp.zeros(1, lens.dtype), jnp.cumsum(del_src)])
+        ps_ins = jnp.concatenate([jnp.zeros(1, lens.dtype), jnp.cumsum(ins_src)])
+        start_table = jnp.stack(
+            [ref_starts.astype(jnp.int32), read_starts.astype(jnp.int32)], axis=1
+        )
+        ps_table = jnp.stack(
+            [ps_del.astype(jnp.int32), ps_ins.astype(jnp.int32)], axis=1
+        )
         both_idx = jnp.concatenate([starts, starts_next])
         sv = jnp.take_along_axis(start_table, safe_starts[:, None], axis=0)
         pv = jnp.take_along_axis(ps_table, both_idx[:, None], axis=0)
         c_del = jnp.where(cvalid, pv[max_clusters:, 0] - pv[:max_clusters, 0], 0)
         c_ins = jnp.where(cvalid, pv[max_clusters:, 1] - pv[:max_clusters, 1], 0)
-    c_ref = jnp.where(cvalid, sv[:, 0], 0)
-    c_read = jnp.where(cvalid, sv[:, 1], 0)
+        c_ref = jnp.where(cvalid, sv[:, 0], 0)
+        c_read = jnp.where(cvalid, sv[:, 1], 0)
 
     return {
         "ref_start": c_ref,
@@ -221,6 +228,55 @@ def _window_bytes_mm(seq, start, window: int, fill: int):
     return by[:, :window]
 
 
+def _window_bytes_mm_t(seq, start, window: int, fill: int):
+    """Transposed :func:`_window_bytes_mm`: returns (window, C) with the
+    cluster axis LAST (the TPU lane dimension).
+
+    The realign selects then run at full 128-lane width with the big axis
+    minor — the (C, words) layout wastes >100 of 128 lanes on its ~14-wide
+    minor dim and measured ~8x slower (scripts/profile_window.py).  Bonus:
+    with bytes on the sublane axis the realign is a plain 6-stage byte-
+    granularity barrel shifter — no word bitcast or sub-word bit combine.
+    """
+    if window > 60:
+        raise ValueError("window must be <= 60 for the 128-byte span")
+    length = seq.shape[0]
+    pad_lo = 64
+    pad_hi = 192 + (-length) % 64
+    padded = jnp.concatenate(
+        [
+            jnp.full(pad_lo, fill, jnp.uint8),
+            seq,
+            jnp.full(pad_hi, fill, jnp.uint8),
+        ]
+    )
+    nsb = padded.shape[0] // 64
+    table = padded.reshape(nsb, 64)
+    p = start + pad_lo
+    sb = jnp.clip(p >> 6, 0, nsb - 2)
+    o = p - (sb << 6)
+    # Transposed expansion: spanT = tableT @ maskT, one shared (nsb-1, C)
+    # bf16 mask for both superblocks (byte values <= 255 are exact in bf16
+    # products; see kernels/expand.py — int8 dots lower SLOWER on this TPU,
+    # measured 4x on expand_bytes).
+    maskT = (
+        jnp.arange(nsb - 1, dtype=jnp.int32)[:, None] == sb[None, :]
+    ).astype(jnp.bfloat16)
+    tt = table.astype(jnp.bfloat16).T  # (64, nsb)
+    out_lo = jax.lax.dot(
+        tt[:, :-1], maskT, preferred_element_type=jnp.float32
+    )
+    out_hi = jax.lax.dot(
+        tt[:, 1:], maskT, preferred_element_type=jnp.float32
+    )
+    span = jnp.concatenate([out_lo, out_hi], axis=0).astype(jnp.uint8)  # (128, C)
+    w = span
+    for bit in (32, 16, 8, 4, 2, 1):
+        need = window + bit - 1
+        w = jnp.where(((o & bit) != 0)[None, :], w[bit : bit + need], w[:need])
+    return w[:window]
+
+
 def match_run_left(seq_a, idx_a, seq_b, idx_b, limit, window: int, mm: bool = False):
     """Length of the forward common run: how many t in [0, limit) satisfy
     ``seq_a[idx_a + t] == seq_b[idx_b + t]``, scanning at most ``window`` steps.
@@ -233,13 +289,18 @@ def match_run_left(seq_a, idx_a, seq_b, idx_b, limit, window: int, mm: bool = Fa
     ``mm`` selects the superblock one-hot-matmul window fetch (bit-identical
     for -window <= idx <= len(seq), which the cluster coordinates guarantee).
     """
-    wb_fn = _window_bytes_mm if mm else _window_bytes
-    t = jnp.arange(window, dtype=jnp.int32)[None, :]
-    wa = wb_fn(seq_a, idx_a, window, 0xFE)
-    wb = wb_fn(seq_b, idx_b, window, 0xFD)
-    within = t < limit[:, None]
-    eq = within & (wa == wb)
-    run = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=1), axis=1)
+    if mm:
+        t = jnp.arange(window, dtype=jnp.int32)[:, None]
+        wa = _window_bytes_mm_t(seq_a, idx_a, window, 0xFE)
+        wb = _window_bytes_mm_t(seq_b, idx_b, window, 0xFD)
+        eq = (t < limit[None, :]) & (wa == wb)
+        run = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=0), axis=0)
+    else:
+        t = jnp.arange(window, dtype=jnp.int32)[None, :]
+        wa = _window_bytes(seq_a, idx_a, window, 0xFE)
+        wb = _window_bytes(seq_b, idx_b, window, 0xFD)
+        eq = (t < limit[:, None]) & (wa == wb)
+        run = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=1), axis=1)
     saturated = (run >= window) & (limit > window)
     return run, saturated
 
@@ -248,13 +309,22 @@ def match_run_right(seq_a, end_a, seq_b, end_b, limit, window: int, mm: bool = F
     """Length of the backward common run: how many t in [0, limit) satisfy
     ``seq_a[end_a - 1 - t] == seq_b[end_b - 1 - t]`` (right-aligned suffix
     compare), scanning at most ``window`` steps."""
-    wb_fn = _window_bytes_mm if mm else _window_bytes
-    t = jnp.arange(window, dtype=jnp.int32)[None, :]
-    # window covering [end-window, end), compared reversed (lane w <-> t=W-1-w)
-    wa = wb_fn(seq_a, end_a - window, window, 0xFE)[:, ::-1]
-    wb = wb_fn(seq_b, end_b - window, window, 0xFD)[:, ::-1]
-    within = t < limit[:, None]
-    eq = within & (wa == wb)
-    run = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=1), axis=1)
+    if mm:
+        # suffix run without any flip: position i participates for
+        # t = window-1-i, and the run is sum of REVERSE cumulative products
+        i = jnp.arange(window, dtype=jnp.int32)[:, None]
+        wa = _window_bytes_mm_t(seq_a, end_a - window, window, 0xFE)
+        wb = _window_bytes_mm_t(seq_b, end_b - window, window, 0xFD)
+        eq = ((window - 1 - i) < limit[None, :]) & (wa == wb)
+        run = jnp.sum(
+            jax.lax.cumprod(eq.astype(jnp.int32), axis=0, reverse=True), axis=0
+        )
+    else:
+        t = jnp.arange(window, dtype=jnp.int32)[None, :]
+        # window covering [end-window, end), compared reversed (lane w <-> t=W-1-w)
+        wa = _window_bytes(seq_a, end_a - window, window, 0xFE)[:, ::-1]
+        wb = _window_bytes(seq_b, end_b - window, window, 0xFD)[:, ::-1]
+        eq = (t < limit[:, None]) & (wa == wb)
+        run = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=1), axis=1)
     saturated = (run >= window) & (limit > window)
     return run, saturated

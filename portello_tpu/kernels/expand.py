@@ -115,6 +115,32 @@ def onehot_interval(off, visits, r: int):
     return ((x >= off[None, :]) & (x < (off + visits)[None, :])).astype(jnp.bfloat16)
 
 
+def expand_sum(mask, table):
+    """(R, K) {0,1} float mask @ (K, C) int32 table -> (R, C) int32 SUMS.
+
+    Segment-sum variant of :func:`expand_mask`: mask rows may select MANY
+    table rows and the result is their exact sum.  Byte planes are recombined
+    ARITHMETICALLY (p0 + (p1<<8) + ...) instead of bit-or, so per-plane sums
+    compose exactly as long as each per-row selected count stays <= 65793
+    (255*count < 2^24, the f32 exact-integer bound) and the true int32 sum
+    does not overflow.  Used for one-matmul segment reductions (compress run
+    lengths/codes, cluster stats) replacing boundary searches + prefix-sum
+    difference lookups.
+    """
+    c = table.shape[1]
+    planes = _split_bytes(table)
+    out = jax.lax.dot(
+        mask.astype(jnp.bfloat16), planes,
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
+    v = out.astype(jnp.int32)
+    res = v[:, :c]
+    for i in range(1, 4):
+        res = res + (v[:, i * c : (i + 1) * c] << (8 * i))
+    return res
+
+
 def gather_rows(table, idx, mm: bool):
     """Row gather ``table[idx]`` for 2-D int32 tables, by either formulation.
 

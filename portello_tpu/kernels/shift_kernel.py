@@ -139,28 +139,65 @@ def _shift_stage_b(
 
     # Emissions: at a cluster end, split the preceding match run around the
     # shifted indel (nImD order, cigar_indel_shifter.rs:140-147); at an
-    # "other" op, flush the match run then copy the op.
+    # "other" op, flush the match run then copy the op.  The 3-op cluster
+    # replacement [M][I][D] is split across the cluster's last TWO rows —
+    # [M, I] at the second-to-last, [D] at the last — which always fits:
+    # clusters needing all three ops contain both an I and a D so span >= 2
+    # ops, while single-op clusters are pure and emit [M, I-or-D] from the
+    # end row.  (pending_before and the per-cluster cap are identical at both
+    # rows: intermediate indel ops are min-plus identities.)  Two slots per
+    # op instead of three shrinks the cleanup/compress stream by a third.
     s = jnp.minimum(st["cap_at_op"], pending_before)
+    is_indel = ((codes == I) | (codes == D)) & (codes != PAD)
+    pre_end = is_indel & jnp.concatenate([cend[1:], jnp.zeros(1, bool)])
+    prev_indel = jnp.concatenate([jnp.zeros(1, bool), is_indel[:-1]])
+    single = cend & ~prev_indel
+    ins_l = st["ins_at_op"]
+    del_l = st["del_at_op"]
     e_codes = jnp.stack(
         [
-            jnp.where(cend | is_other, M, PAD),
-            jnp.where(cend, I, jnp.where(is_other, codes, PAD)),
-            jnp.where(cend, D, PAD),
+            jnp.where(
+                pre_end | (cend & single) | is_other,
+                M,
+                jnp.where(cend, D, PAD),
+            ),
+            jnp.where(
+                pre_end,
+                I,
+                jnp.where(
+                    cend & single,
+                    jnp.where(ins_l > 0, I, D),
+                    jnp.where(is_other, codes, PAD),
+                ),
+            ),
         ],
         axis=1,
     )
     e_lens = jnp.stack(
         [
-            jnp.where(cend, pending_before - s, jnp.where(is_other, pending_before, 0)),
-            jnp.where(cend, st["ins_at_op"], jnp.where(is_other, lens, 0)),
-            jnp.where(cend, st["del_at_op"], 0),
+            jnp.where(
+                pre_end | (cend & single),
+                pending_before - s,
+                jnp.where(
+                    is_other, pending_before, jnp.where(cend, del_l, 0)
+                ),
+            ),
+            jnp.where(
+                pre_end,
+                ins_l,
+                jnp.where(
+                    cend & single,
+                    jnp.where(ins_l > 0, ins_l, del_l),
+                    jnp.where(is_other, lens, 0),
+                ),
+            ),
         ],
         axis=1,
     )
     # The builder pushes only nonzero segments (cigar_indel_shifter.rs:87-99,
     # :133-137); zero-length M would wrongly stop the edge cleanup walk.  The
     # "other" op itself (slot 1) is kept even when zero-length.
-    keep_zero = is_other[:, None] & (jnp.arange(3) == 1)[None, :]
+    keep_zero = is_other[:, None] & (jnp.arange(2) == 1)[None, :]
     e_codes = jnp.where((e_lens == 0) & ~keep_zero, PAD, e_codes)
 
     # Fallback: homology window saturated AND the true budget could exceed it.

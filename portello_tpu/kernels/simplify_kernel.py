@@ -46,6 +46,15 @@ def _simplify_single(
     rs = cl["read_start"]
     cvalid = jnp.arange(max_clusters, dtype=jnp.int32) < cl["n_clusters"]
 
+    # Case selection (rs:41-49): the simple cases bypass sequence inspection —
+    # pure and 1/1 clusters never read the window compare results below, so
+    # only MIXED clusters (both I and D present; rare in HiFi data) need
+    # sequence windows at all.
+    pure = (dl == 0) | (il == 0)
+    one_one = (dl == 1) & (il == 1)
+    mixed = cvalid & ~pure & ~one_one
+    mixed_overflow = jnp.zeros((), bool)
+
     # Right-edge greedy re-match (rs:54-68), then left-edge (rs:71-85).
     # The limit only caps the run (run = min(raw, limit); saturated =
     # raw-filled-window & limit > window — the compare itself is
@@ -54,17 +63,43 @@ def _simplify_single(
     # sequential m1-after-post dependence becomes post-arithmetic.
     m0 = jnp.minimum(dl, il)
     if mm:
-        from portello_tpu.kernels.cluster_utils import _window_bytes_mm
+        from portello_tpu.kernels.cluster_utils import _window_bytes_mm_t
+        from portello_tpu.kernels.expand import expand_sum
 
-        sa = jnp.concatenate([bs + dl - window, bs])
-        sb = jnp.concatenate([rs + il - window, rs])
-        wa = _window_bytes_mm(ref_win, sa, window, 0xFE)
-        wb = _window_bytes_mm(read_seq, sb, window, 0xFD)
-        c = max_clusters
-        eq_r = (wa[:c] == wb[:c])[:, ::-1]
-        eq_l = wa[c:] == wb[c:]
-        raw_r = jnp.sum(jnp.cumprod(eq_r.astype(jnp.int32), axis=1), axis=1)
-        raw_l = jnp.sum(jnp.cumprod(eq_l.astype(jnp.int32), axis=1), axis=1)
+        # Compact the mixed clusters into a small static budget so the
+        # window fetches run over ~4x fewer lanes; reads whose mixed count
+        # exceeds the budget fall back to the exact host path.
+        mx = max(8, max_clusters // 4)
+        rank = jnp.cumsum(mixed.astype(jnp.int32)) - 1
+        mixed_overflow = jnp.sum(mixed.astype(jnp.int32)) > mx
+        j = jnp.arange(mx, dtype=jnp.int32)
+        cmask = (
+            (rank[None, :] == j[:, None]) & mixed[None, :]
+        ).astype(jnp.bfloat16)
+        cv4 = expand_sum(
+            cmask, jnp.stack([bs, rs, dl, il], axis=1).astype(jnp.int32)
+        )
+        bsj, rsj, dlj, ilj = cv4[:, 0], cv4[:, 1], cv4[:, 2], cv4[:, 3]
+        sa = jnp.concatenate([bsj + dlj - window, bsj])
+        sb = jnp.concatenate([rsj + ilj - window, rsj])
+        # transposed fetch: (window, 2mx) with clusters on the lane axis
+        # (full-width realign selects; see _window_bytes_mm_t)
+        wa = _window_bytes_mm_t(ref_win, sa, window, 0xFE)
+        wb = _window_bytes_mm_t(read_seq, sb, window, 0xFD)
+        eq_r = wa[:, :mx] == wb[:, :mx]
+        eq_l = wa[:, mx:] == wb[:, mx:]
+        # right edge = suffix run: reverse cumulative products, no flip
+        raw_r_j = jnp.sum(
+            jax.lax.cumprod(eq_r.astype(jnp.int32), axis=0, reverse=True), axis=0
+        )
+        raw_l_j = jnp.sum(jnp.cumprod(eq_l.astype(jnp.int32), axis=0), axis=0)
+        # expand back to cluster lanes (non-mixed rows get 0: never consumed)
+        emask = (
+            (rank[:, None] == j[None, :]) & mixed[:, None]
+        ).astype(jnp.bfloat16)
+        back = expand_sum(emask, jnp.stack([raw_r_j, raw_l_j], axis=1))
+        raw_r = back[:, 0]
+        raw_l = back[:, 1]
         post = jnp.minimum(raw_r, m0)
         sat_post = (raw_r >= window) & (m0 > window)
         dl1 = dl - post
@@ -87,11 +122,6 @@ def _simplify_single(
     post_f = post + snp.astype(post.dtype)
     dl2 = jnp.where(snp, 0, dl2)
     il2 = jnp.where(snp, 0, il2)
-
-    # Case selection (rs:41-49): the simple cases bypass sequence inspection.
-    pure = (dl == 0) | (il == 0)
-    one_one = (dl == 1) & (il == 1)
-    mixed = cvalid & ~pure & ~one_one
 
     # Per-cluster emission, canonical nImD order: [M pre][I][D][M post].
     c_codes = jnp.stack(
@@ -169,7 +199,10 @@ def _simplify_single(
         flat_codes, flat_lens, max_out, mm
     )
     fallback = (
-        jnp.any(mixed & (sat_post | sat_pre)) | cl["overflow"] | c_overflow
+        jnp.any(mixed & (sat_post | sat_pre))
+        | cl["overflow"]
+        | c_overflow
+        | mixed_overflow
     )
     return f_codes, f_lens, n_out, ref_pos + shift, fallback
 

@@ -106,9 +106,9 @@ def s5_barrier(c, l, p, wb, cw, rq):
     """full shift with a barrier before the final cleanup/compress"""
     import portello_tpu.kernels.shift_kernel as sk
     orig = sk.cleanup_and_compress
-    def barriered(fc, fl, mo):
+    def barriered(fc, fl, mo, mm=False):
         fc, fl = jax.lax.optimization_barrier((fc, fl))
-        return orig(fc, fl, mo)
+        return orig(fc, fl, mo, mm)
     sk.cleanup_and_compress = barriered
     try:
         return _left_shift_single(c, l, p, wb, cw, rq, max_clusters=MC, window=WIN, max_out=MAX_OUT)

@@ -142,3 +142,10 @@ def fetch_mm_mm(s, st):
 
 
 t("window fetch mm+shiftmm", fetch_mm_mm, (seq, start), 1)
+
+from portello_tpu.kernels.cluster_utils import _window_bytes_mm_t  # noqa: E402
+
+t("window fetch T x1", lambda s, st: _window_bytes_mm_t(s, st, W, 0xFE), (seq, start), 1)
+t("match_run_right T (1 call)",
+  lambda s1, s2, st, lm: match_run_right(s1, st + 30, s2, st + 30, lm, W, True),
+  (seq, seq2, start, limit), 2)

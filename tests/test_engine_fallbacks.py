@@ -107,6 +107,28 @@ def build_inputs(tmp):
     add_read("all_host", 0, pos, cg.compress_cigar(np.array(ops, np.int64)),
              np.concatenate(seq_parts))
 
+    # (d) mixed-cluster budget: 60 adjacent I+D clusters exceeds the mm
+    # path's static mixed-compaction budget (max_clusters // 4) in both the
+    # spill (40) and HiFi (24) buckets -> per-read fallback flag
+    pos = 1000
+    ops = []
+    seq_parts = []
+    cp = pos
+    rng3 = np.random.default_rng(5)
+    for _ in range(60):
+        ops.append((cg.M, 5))
+        seq_parts.append(contig_seqs[0][cp : cp + 5])
+        cp += 5
+        ops.append((cg.I, 2))
+        seq_parts.append(rand_seq(rng3, 2))
+        ops.append((cg.D, 2))
+        cp += 2
+    ops.append((cg.M, 50))
+    seq_parts.append(contig_seqs[0][cp : cp + 50])
+    add_read(
+        "many_mixed", 0, pos, np.array(ops, np.int64), np.concatenate(seq_parts)
+    )
+
     # plus a plain read on each contig
     add_read("plain_fwd", 0, 500, cg.cigar((cg.M, 400)), contig_seqs[0][500:900])
     add_read("plain_rev", 1, 700, cg.cigar((cg.M, 400)), contig_seqs[1][700:1100])
@@ -185,3 +207,36 @@ def test_fallback_paths_actually_exercised(tmp_path):
     assert engine.stats["host_items"] >= 2
     assert engine.stats["fallback_items"] >= 1
     assert engine.stats["device_items"] >= 3
+
+
+def test_mixed_cluster_budget_overflow(tmp_path):
+    """mm mode: a read with more mixed indel clusters than the static
+    compaction budget must set the fallback flag and finish on the exact
+    host path (simplify_kernel mixed compaction)."""
+    from portello_tpu.io.fasta import get_genome_ref_from_fasta
+    from portello_tpu.models.pipeline_model import DeviceEngine
+    from portello_tpu.pipeline.contig_scan import scan_contig_bam
+    from portello_tpu.pipeline.read_scan import scan_and_remap_reads
+    from portello_tpu.utils.chrom_list import ChromList
+
+    contig_bam, read_bam, fasta = build_inputs(tmp_path)
+    ref_chrom_list = ChromList.from_bam_filename(contig_bam)
+    contig_list = ChromList.from_bam_filename(read_bam)
+    genome = get_genome_ref_from_fasta(fasta)
+    reference = [genome.chroms[c.label] for c in ref_chrom_list.data]
+    info = scan_contig_bam(contig_bam, ref_chrom_list, contig_list, None)
+    engine = DeviceEngine(
+        reference, contig_list, info, batch_size=16, use_mm=True
+    )
+    scan_and_remap_reads(
+        read_bam, str(tmp_path / "rsm.bam"), str(tmp_path / "usm.bam"),
+        reference, ref_chrom_list, info, False, engine=engine,
+    )
+    # many_mixed overflows the budget on top of the other fallback reads
+    assert engine.stats["fallback_items"] >= 2
+    # exactness: identical to the pure-host oracle path
+    scan_and_remap_reads(
+        read_bam, str(tmp_path / "rsh.bam"), str(tmp_path / "ush.bam"),
+        reference, ref_chrom_list, info, False, engine=None,
+    )
+    assert content(str(tmp_path / "rsm.bam")) == content(str(tmp_path / "rsh.bam"))
