@@ -156,3 +156,60 @@ def test_shift_stages_mm_equals_gather():
         )
     for a, b in zip(outs[False], outs[True]):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_expand_sum_segment_sums_exact():
+    """expand_sum: arithmetic byte-plane recombination gives exact int32
+    segment sums, including negative table values (two's complement wrap)."""
+    from portello_tpu.kernels.expand import expand_sum
+
+    rng = np.random.default_rng(7)
+    k, c, r = 464, 4, 232
+    table = rng.integers(-(2**28), 2**28, size=(k, c)).astype(np.int32)
+    table[0] = [2**28, -(2**28), -1, 0]
+    seg = np.sort(rng.integers(0, r, size=k)).astype(np.int32)
+    mask = (seg[None, :] == np.arange(r, dtype=np.int32)[:, None])
+    out = np.asarray(
+        expand_sum(jnp.asarray(mask.astype(np.float32)), jnp.asarray(table))
+    )
+    expect = np.zeros((r, c), np.int64)
+    np.add.at(expect, seg, table.astype(np.int64))
+    assert np.array_equal(out, expect.astype(np.int32))
+
+
+def test_expand_sum_empty_segments_zero():
+    from portello_tpu.kernels.expand import expand_sum
+
+    table = np.array([[5, -3], [7, 9]], np.int32)
+    mask = np.zeros((4, 2), np.float32)
+    mask[1] = [1, 1]
+    out = np.asarray(expand_sum(jnp.asarray(mask), jnp.asarray(table)))
+    assert np.array_equal(out, [[0, 0], [12, 6], [0, 0], [0, 0]])
+
+
+def test_window_bytes_mm_t_matches_row_major():
+    """Transposed (lane-major) window fetch is bit-identical to the
+    row-major fetch across the full supported start range."""
+    from portello_tpu.kernels.cluster_utils import (
+        _window_bytes,
+        _window_bytes_mm_t,
+    )
+
+    rng = np.random.default_rng(8)
+    for L in (256, 4096, 4100):
+        seq = rng.integers(0, 256, size=L, dtype=np.uint8)
+        window = 48
+        start = np.concatenate(
+            [
+                np.arange(-window, window),
+                rng.integers(-window, L + 1, size=200),
+                np.arange(L - window - 2, L + 1),
+            ]
+        ).astype(np.int32)
+        a = np.asarray(
+            _window_bytes(jnp.asarray(seq), jnp.asarray(start), window, 0xFE)
+        )
+        b = np.asarray(
+            _window_bytes_mm_t(jnp.asarray(seq), jnp.asarray(start), window, 0xFE)
+        )
+        assert np.array_equal(a, b.T), L
