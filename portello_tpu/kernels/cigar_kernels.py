@@ -62,14 +62,20 @@ def clean_up_edge_indels(codes, lens):
     return new_codes, new_lens, shift
 
 
-def compress(codes, lens, max_out: int, mm: bool = False):
+def compress(codes, lens, max_out: int, mm: bool = False,
+             mm_form: str = "segsum"):
     """Vectorized compress_cigar (cigar/mod.rs:204-228), scatter-free.
 
     Drops zero-length and PAD entries, then merges adjacent equal-code runs.
     TPU scatters serialize, so the whole pass is built from prefix sums,
     a packed running maximum (to find each element's previous kept code) and
-    boundary searches + span gathers (count-compare + one-hot matmul when
-    ``mm``; searchsorted + take_along_axis otherwise — see kernels/expand.py).
+    either one segment-sum matmul (``mm_form="segsum"``) or boundary
+    compare-counts + a one-hot prefix-table lookup (``mm_form="search"``);
+    searchsorted + take_along_axis when ``mm`` is False.  The two mm forms
+    are bit-identical; which is faster depends on the surrounding graph
+    (measured in-context per call site: segsum wins inside the fwd pipeline,
+    search wins 4x inside shift stage B — scripts/profile_shiftb.py,
+    profile_fwd_compress.py).
     Returns (out_codes, out_lens, n_out, overflow); ``overflow`` is True when
     the compressed cigar exceeds ``max_out`` ops.
     """
@@ -94,7 +100,7 @@ def compress(codes, lens, max_out: int, mm: bool = False):
 
     r = jnp.arange(max_out, dtype=jnp.int32)
     out_valid = r < jnp.minimum(n_runs, max_out)
-    if mm:
+    if mm and mm_form == "segsum":
         # ONE segment-sum matmul: row r of the eq mask [run_id == r] sums the
         # kept lens of run r and (via the new_run gate) its start code
         # (kernels/expand.expand_sum; replaces the boundary-search +
@@ -115,6 +121,24 @@ def compress(codes, lens, max_out: int, mm: bool = False):
         sums = expand_sum(mask, table)
         out_lens = jnp.where(out_valid, sums[:, 0], 0)
         out_codes = jnp.where(out_valid, sums[:, 1], PAD)
+    elif mm:
+        # compare-count boundaries + adjacent-diff one-hot prefix lookup
+        from portello_tpu.kernels.expand import count_lt, expand_mask, onehot_eq
+
+        cs_runs = jnp.cumsum(new_run.astype(jnp.int32))
+        boundary_q = jnp.arange(1, max_out + 2, dtype=jnp.int32)
+        sboth = count_lt(cs_runs, boundary_q)
+        ps = jnp.concatenate(
+            [jnp.zeros(1, lens.dtype), jnp.cumsum(jnp.where(keep, lens, 0))]
+        )
+        table = jnp.stack(
+            [ps.astype(jnp.int32),
+             jnp.concatenate([codes.astype(jnp.int32), jnp.full(1, PAD, jnp.int32)])],
+            axis=1,
+        )
+        tv2 = expand_mask(onehot_eq(sboth, n + 1), table)
+        out_lens = jnp.where(out_valid, tv2[1:, 0] - tv2[:-1, 0], 0)
+        out_codes = jnp.where(out_valid, tv2[:-1, 1], PAD)
     else:
         # Run r spans input indices [starts[r], starts[r+1]); lengths come
         # from a prefix sum over kept lens.
@@ -142,12 +166,13 @@ def compress(codes, lens, max_out: int, mm: bool = False):
     return out_codes, out_lens, jnp.minimum(n_runs, max_out), overflow
 
 
-def cleanup_and_compress(codes, lens, max_out: int, mm: bool = False):
+def cleanup_and_compress(codes, lens, max_out: int, mm: bool = False,
+                         mm_form: str = "segsum"):
     """clean_up_cigar_edge_indels followed by compress_cigar — the finishing pair
     applied by liftover (liftover_read_alignment.rs:218-222), simplify
     (simplify_alignment_indels.rs:153-155) and the shifters."""
     codes, lens, shift = clean_up_edge_indels(codes, lens)
-    out_codes, out_lens, n_out, overflow = compress(codes, lens, max_out, mm)
+    out_codes, out_lens, n_out, overflow = compress(codes, lens, max_out, mm, mm_form)
     return out_codes, out_lens, n_out, shift, overflow
 
 

@@ -212,8 +212,11 @@ def _shift_stage_b(
     flat_codes = jnp.concatenate([e_codes.reshape(-1), tail_code[None]])
     flat_lens = jnp.concatenate([e_lens.reshape(-1), pending_final[None]])
 
+    # mm_form="search": in stage B's graph the segment-sum compress measures
+    # 4x slower than the boundary-search form (the opposite of the fwd
+    # pipeline's in-context result) — scripts/profile_shiftb.py.
     f_codes, f_lens, n_out, shift, c_overflow = cleanup_and_compress(
-        flat_codes, flat_lens, max_out, mm
+        flat_codes, flat_lens, max_out, mm, mm_form="search"
     )
     fallback = fallback | c_overflow
     return f_codes, f_lens, n_out, ref_pos + shift, fallback

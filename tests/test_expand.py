@@ -213,3 +213,24 @@ def test_window_bytes_mm_t_matches_row_major():
             _window_bytes_mm_t(jnp.asarray(seq), jnp.asarray(start), window, 0xFE)
         )
         assert np.array_equal(a, b.T), L
+
+
+def test_compress_mm_forms_bit_identical():
+    """Both mm compress formulations (segsum / search) equal the gather form."""
+    from portello_tpu.kernels.cigar_kernels import PAD, compress
+
+    rng = np.random.default_rng(9)
+    n, max_out = 464, 160
+    for trial in range(3):
+        codes = rng.integers(0, 3, size=n).astype(np.int32)
+        lens = rng.integers(0, 5, size=n).astype(np.int32)
+        codes[lens == 0] = PAD
+        codes[: n - 300] = PAD
+        lens[: n - 300] = 0
+        ref = compress(jnp.asarray(codes), jnp.asarray(lens), max_out, False)
+        for form in ("segsum", "search"):
+            got = compress(
+                jnp.asarray(codes), jnp.asarray(lens), max_out, True, form
+            )
+            for a, b in zip(ref, got):
+                assert np.array_equal(np.asarray(a), np.asarray(b)), (trial, form)
