@@ -255,22 +255,21 @@ def _window_bytes_mm_t(seq, start, window: int, fill: int):
     p = start + pad_lo
     sb = jnp.clip(p >> 6, 0, nsb - 2)
     o = p - (sb << 6)
-    # Transposed expansion: spanT = tableT @ maskT, one shared (nsb-1, C)
-    # bf16 mask for both superblocks (byte values <= 255 are exact in bf16
-    # products; see kernels/expand.py — int8 dots lower SLOWER on this TPU,
-    # measured 4x on expand_bytes).
-    maskT = (
-        jnp.arange(nsb - 1, dtype=jnp.int32)[:, None] == sb[None, :]
+    # Mask-LHS expansion: span = mask @ table with the table in its NATURAL
+    # layout — the whole-table bf16 transpose the table-LHS form needs is a
+    # (nsb, 64) relayout per call and measured ~40% of the fetch; here only
+    # the tiny (C, 128) span is transposed (scripts/profile_realign4.py:
+    # 0.33 -> 0.19 ms).  One shared (C, nsb-1) bf16 mask serves both
+    # superblocks (byte values <= 255 are exact in bf16 products; see
+    # kernels/expand.py — int8 dots lower SLOWER on this TPU, measured 4x).
+    mask = (
+        sb[:, None] == jnp.arange(nsb - 1, dtype=jnp.int32)[None, :]
     ).astype(jnp.bfloat16)
-    tt = table.astype(jnp.bfloat16).T  # (64, nsb)
-    out_lo = jax.lax.dot(
-        tt[:, :-1], maskT, preferred_element_type=jnp.float32
-    )
-    out_hi = jax.lax.dot(
-        tt[:, 1:], maskT, preferred_element_type=jnp.float32
-    )
-    span = jnp.concatenate([out_lo, out_hi], axis=0).astype(jnp.uint8)  # (128, C)
-    w = span
+    tb = table.astype(jnp.bfloat16)
+    out_lo = jax.lax.dot(mask, tb[:-1], preferred_element_type=jnp.float32)
+    out_hi = jax.lax.dot(mask, tb[1:], preferred_element_type=jnp.float32)
+    span = jnp.concatenate([out_lo, out_hi], axis=1).astype(jnp.uint8)  # (C, 128)
+    w = span.T  # (128, C): clusters stay on the lane axis for the barrel
     for bit in (32, 16, 8, 4, 2, 1):
         need = window + bit - 1
         w = jnp.where(((o & bit) != 0)[None, :], w[bit : bit + need], w[:need])
