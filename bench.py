@@ -281,8 +281,13 @@ def main():
         _shift_stage_a,
         _shift_stage_b,
         shift_stage_a_batch,
+        shift_stage_b_batch,
     )
-    from portello_tpu.models.pipeline_model import _fwd_item, fwd_batch
+    from portello_tpu.models.pipeline_model import (
+        _fwd_item,
+        _rev_ops_bound,
+        fwd_batch,
+    )
     from portello_tpu.testutil.batchgen import HIFI_BUCKET
 
     bcfg = HIFI_BUCKET
@@ -329,9 +334,27 @@ def main():
         (dev_shift_args[0], dev_shift_args[1], dev_shift_args[2], st),
         reps, 0,
     )
+    # rev items' fwd leg runs on the SHIFTED cigars at the tight
+    # _rev_ops_bound width (a distinct graph from the fwd items' leg);
+    # measure it on real stage-B outputs so the mix is honest.
+    sh_codes, sh_lens, sh_n, sh_pos, _sh_fb = shift_stage_b_batch(
+        dev_shift_args[0], dev_shift_args[1], dev_shift_args[2], st,
+        window=bcfg.window, max_out=kw["max_out"], mm=mm,
+    )
+    bound = _rev_ops_bound(bcfg.max_ops, kw["max_out"])
+    rev_fwd_args = (
+        sh_codes[:, :bound], sh_lens[:, :bound], sh_n,
+        sh_pos + dev_shift_args[3],
+        *(jax.device_put(np.asarray(a), device) for a in
+          (rev_items[6], rev_items[7], rev_items[8],
+           rev_items[9], rev_items[10], rev_items[11])),
+    )
+    t_rev_fwd = sustained_batch_time(
+        lambda *a: _fwd_item(*a, **kw), rev_fwd_args, reps, 3
+    )
     t_shift = t_shift_a + t_shift_b
-    # 50/50 fwd/rev mix: rev = shift + fwd stages (two-call pipeline)
-    t_mix = t_fwd + 0.5 * t_shift
+    # 50/50 fwd/rev mix: rev = shift stages + its own fwd leg
+    t_mix = 0.5 * t_fwd + 0.5 * (t_shift + t_rev_fwd)
     reads_per_s = batch / t_mix
 
     # real single-dispatch overhead (transfer + tunnel RTT), reported separately
@@ -383,6 +406,7 @@ def main():
                 "device": str(device),
                 "batch": batch,
                 "t_fwd_ms": round(t_fwd * 1e3, 3),
+                "t_rev_fwd_ms": round(t_rev_fwd * 1e3, 3),
                 "t_shift_ms": round(t_shift * 1e3, 3),
                 "t_shift_a_ms": round(t_shift_a * 1e3, 3),
                 "t_shift_b_ms": round(t_shift_b * 1e3, 3),

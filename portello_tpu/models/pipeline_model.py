@@ -81,6 +81,18 @@ def _fwd_item(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq,
     }
 
 
+def _rev_ops_bound(max_ops: int, max_out: int) -> int:
+    """Static width of the shifted cigar fed to the rev-path liftover.
+
+    A left-shifted cigar has at most ~(input ops + 1) runs in practice
+    (the shifter rewrites clusters in place; it does not split match runs),
+    so feeding the full ``max_out`` worst-case width into liftover wastes
+    ~40% of the rev update grid (U = 2*width + max_blocks).  Reads whose
+    shifted cigar exceeds the bound fall back to the exact host path via
+    the standard overflow flag."""
+    return min(max_out, max_ops + 32)
+
+
 def _rev_item(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
               ref_win, ref_base, read_seq,
               *, max_out, max_clusters, window, mm=False):
@@ -96,8 +108,10 @@ def _rev_item(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
     sh_codes, sh_lens, sh_n, sh_pos = jax.lax.optimization_barrier(
         (sh_codes, sh_lens, sh_n, sh_pos)
     )
+    bound = _rev_ops_bound(ops.shape[0], max_out)
+    sh_fb = sh_fb | (sh_n > bound)
     out = _fwd_item(
-        sh_codes, sh_lens, sh_n, sh_pos + win_base, bk, bv, nb,
+        sh_codes[:bound], sh_lens[:bound], sh_n, sh_pos + win_base, bk, bv, nb,
         ref_win, ref_base, read_seq,
         max_out=max_out, max_clusters=max_clusters, window=window, mm=mm,
     )
@@ -154,9 +168,13 @@ def rev_batch(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
     sh_codes, sh_lens, sh_n, sh_pos, sh_fb = shift_stage_b_batch(
         ops, lens, rel_pos, st, window=window, max_out=max_out, mm=mm
     )
+    # Tight static width for the fwd leg (see _rev_ops_bound); overflowing
+    # reads fall back to the exact host path.
+    bound = _rev_ops_bound(ops.shape[1], max_out)
+    sh_fb = sh_fb | (sh_n > bound)
     out = fwd_batch(
-        sh_codes, sh_lens, sh_n, sh_pos + win_base, bk, bv, nb,
-        ref_win, ref_base, read_seq, **kw,
+        sh_codes[:, :bound], sh_lens[:, :bound], sh_n, sh_pos + win_base,
+        bk, bv, nb, ref_win, ref_base, read_seq, **kw,
     )
     out["fallback"] = out["fallback"] | sh_fb
     return out

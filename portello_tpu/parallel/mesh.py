@@ -108,12 +108,17 @@ def make_sharded_rev_step(
 
     def run(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
             ref_win, ref_base, read_seq):
+        from portello_tpu.models.pipeline_model import _rev_ops_bound
+
         rel_pos = pos - win_base
         st = stage_a(ops, lens, rel_pos, win_base, contig_win, read_seq)
         sh_codes, sh_lens, sh_n, sh_pos, sh_fb = stage_b(ops, lens, rel_pos, st)
+        # same tight fwd-leg width as pipeline_model.rev_batch
+        bound = _rev_ops_bound(ops.shape[1], max_out)
+        sh_fb = sh_fb | (sh_n > bound)
         out = fwd(
-            sh_codes, sh_lens, sh_n, sh_pos + win_base, bk, bv, nb,
-            ref_win, ref_base, read_seq,
+            sh_codes[:, :bound], sh_lens[:, :bound], sh_n, sh_pos + win_base,
+            bk, bv, nb, ref_win, ref_base, read_seq,
         )
         out["fallback"] = out["fallback"] | sh_fb
         return out
