@@ -407,7 +407,7 @@ Cig cigar_from_string(const std::string& s, std::string* err) {
 // ---- scanner ----
 
 struct BucketCfg {
-  int64_t max_ops, max_blocks, max_seq;
+  int64_t max_ops, max_blocks, max_seq, max_rows;
 };
 
 struct Item {
@@ -1016,11 +1016,36 @@ void prepare_item(const Scanner& sc, ReadState& rs, int seg_index, int64_t g,
   int64_t n_cig = (int64_t)cig.size();
   int64_t seq_len = (int64_t)rs.seq_fwd.size();
 
+  // Liftover update-grid rows under the device formula
+  // (pipeline_model._count_update_rows / liftover_parallel visits): per
+  // ref-consuming op, block visits hi-lo+1 over the WINDOW keys; 1 per
+  // read-only I/S/H op.  Buckets with a reduced max_rows spill on this.
+  const int64_t* wk = bk + lo;
+  int64_t wn = hi - lo;
+  int64_t n_rows = 0;
+  {
+    int64_t os = pos;
+    for (const Op& o : cig) {
+      if (consumes_ref(o.code)) {
+        int64_t oe = os + o.len;
+        int64_t olo = upper_bound_i64(wk, wn, os) - 1;
+        int64_t ohi = std::lower_bound(wk, wk + wn, oe) - wk;
+        if (ohi > wn) ohi = wn;
+        if (olo < 0) olo = 0;
+        if (olo > ohi) olo = ohi;
+        n_rows += ohi - olo + 1;
+        os = oe;
+      } else if (o.code == kI || o.code == kS || o.code == kH) {
+        n_rows += 1;
+      }
+    }
+  }
   int bucket = -1;
   for (size_t b = 0; b < sc.buckets.size(); ++b) {
     const BucketCfg& c = sc.buckets[b];
     if (n_cig <= c.max_ops && (hi - lo) <= c.max_blocks &&
-        seq_len <= c.max_seq && ref_span <= c.max_seq) {
+        seq_len <= c.max_seq && ref_span <= c.max_seq &&
+        n_rows <= c.max_rows) {
       bucket = (int)b;
       break;
     }
@@ -1264,7 +1289,7 @@ void* ptscan_create(
     const int32_t* seg_mapq, const int64_t* seg_so_start,
     const int64_t* seg_so_end, const int64_t* bm_off, const int64_t* bm_keys,
     const int64_t* bm_vals, const int64_t* rc_off, const uint8_t* rc_bytes,
-    long long n_buckets, const int64_t* bucket_dims /*3 per bucket*/,
+    long long n_buckets, const int64_t* bucket_dims /*4 per bucket*/,
     long long batch_size, int is_target_region, const uint8_t* owned,
     int emit_unmapped, int prep_threads) {
   auto* h = new ScannerHandle();
@@ -1329,8 +1354,8 @@ void* ptscan_create(
     sc.ref_lens.push_back(ref_lens_arr[i]);
   }
   for (long long b = 0; b < n_buckets; ++b)
-    sc.buckets.push_back({bucket_dims[3 * b], bucket_dims[3 * b + 1],
-                          bucket_dims[3 * b + 2]});
+    sc.buckets.push_back({bucket_dims[4 * b], bucket_dims[4 * b + 1],
+                          bucket_dims[4 * b + 2], bucket_dims[4 * b + 3]});
   sc.batch_size = batch_size;
   sc.accums.resize(n_buckets * 2);
   sc.is_target_region = is_target_region != 0;

@@ -40,14 +40,21 @@ from portello_tpu.kernels.cigar_kernels import (
 )
 
 
-def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb, mm: bool = False):
+def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb, mm: bool = False,
+                              max_rows: int | None = None):
     """Single-read parallel liftover; same contract as
     ``liftover_kernel._liftover_scan_single``: returns (emit_codes, emit_lens,
-    ref2_start) with 2 emission slots per update row.
+    ref2_start, row_overflow) with 2 emission slots per update row.
 
     ``mm`` selects the one-hot-matmul / count-compare formulation of the row
     expansions and block searches (bit-identical; ~10-100x faster on TPU where
     XLA serializes gathers — kernels/expand.py, PERF.md).
+
+    ``max_rows`` overrides the worst-case update-grid height ``2*max_ops +
+    max_blocks`` (every op ref-consuming) with a measured-percentile bound;
+    reads needing more rows set ``row_overflow`` and must be finished on the
+    exact host path (the engine buckets by a host-side row count first, so
+    the flag is a safety net for miscounts).
     """
     from portello_tpu.kernels.expand import (
         count_le,
@@ -59,7 +66,7 @@ def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb, mm: bool =
 
     max_ops = ops.shape[0]
     max_blocks = bk.shape[0]
-    U = 2 * max_ops + max_blocks
+    U = max_rows if max_rows else 2 * max_ops + max_blocks
 
     idx_ops = jnp.arange(max_ops, dtype=jnp.int32)
     active = idx_ops < n_ops
@@ -205,4 +212,5 @@ def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb, mm: bool =
 
     emit_codes = jnp.stack([e0_code, e1_code], axis=1).reshape(-1)
     emit_lens = jnp.stack([e0_len, e1_len], axis=1).reshape(-1)
-    return emit_codes, emit_lens, ref2_start
+    row_overflow = total_rows > U
+    return emit_codes, emit_lens, ref2_start, row_overflow

@@ -26,11 +26,20 @@ class BucketConfig:
     max_seq: int = 32768         # read length (bases)
     max_clusters: int = 512      # indel clusters for simplify/shift
     window: int = 64             # base-compare window for simplify/shift
+    max_rows: int = 0            # liftover update-grid rows (0 -> worst case)
 
     def resolved_max_out(self) -> int:
         # Each input op splits at most once per overlapped block boundary and
         # each block gap adds at most one Del (SURVEY.md section 7 "hard parts").
         return self.max_out or (self.max_ops + 2 * self.max_blocks + 8)
+
+    def resolved_max_rows(self) -> int:
+        # Worst case: every op ref-consuming (2 rows each) + every block key
+        # strictly inside some op interval (1 row each).  A measured bound
+        # (p100 of the workload profile) shrinks the grid; items over it
+        # bucket-spill on the host row count (engine/ptscan) and the kernel's
+        # row_overflow flag backstops any miscount.
+        return self.max_rows or (2 * self.max_ops + self.max_blocks)
 
 
 def pad_cigar(cig: np.ndarray, max_ops: int) -> tuple[np.ndarray, np.ndarray, int]:

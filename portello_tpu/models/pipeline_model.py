@@ -51,22 +51,25 @@ DEFAULT_BUCKETS = (
 )
 
 
-def _lift_core(ops, lens, n_ops, pos, bk, bv, nb, *, max_out, mm=False):
-    e_codes, e_lens, ref2_start = _liftover_parallel_single(
-        ops, lens, n_ops, pos, bk, bv, nb, mm
+def _lift_core(ops, lens, n_ops, pos, bk, bv, nb, *, max_out, mm=False,
+               max_rows=None):
+    e_codes, e_lens, ref2_start, row_ovf = _liftover_parallel_single(
+        ops, lens, n_ops, pos, bk, bv, nb, mm, max_rows
     )
     l_codes, l_lens, l_n, shift, overflow = cleanup_and_compress(
         e_codes, e_lens, max_out, mm
     )
+    overflow = overflow | row_ovf
     mapped = ref2_start >= 0
     ref2_pos = jnp.where(mapped, ref2_start + shift, -1)
     return l_codes, l_lens, l_n, ref2_pos, mapped, overflow
 
 
 def _fwd_item(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq,
-              *, max_out, max_clusters, window, mm=False):
+              *, max_out, max_clusters, window, mm=False, max_rows=None):
     l_codes, l_lens, l_n, ref2_pos, mapped, overflow = _lift_core(
-        ops, lens, n_ops, pos, bk, bv, nb, max_out=max_out, mm=mm
+        ops, lens, n_ops, pos, bk, bv, nb, max_out=max_out, mm=mm,
+        max_rows=max_rows
     )
     read_len = cigar_read_len(l_codes, l_lens)
     s_codes, s_lens, s_n, s_pos_rel, s_fb = _simplify_single(
@@ -95,7 +98,7 @@ def _rev_ops_bound(max_ops: int, max_out: int) -> int:
 
 def _rev_item(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
               ref_win, ref_base, read_seq,
-              *, max_out, max_clusters, window, mm=False):
+              *, max_out, max_clusters, window, mm=False, max_rows=None):
     # Left-shift indels against the reversed contig before lifting
     # (read_alignment_scanner.rs:159-176, docs/methods.md:37-39).
     sh_codes, sh_lens, sh_n, sh_pos, sh_fb = _left_shift_single(
@@ -114,36 +117,47 @@ def _rev_item(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
         sh_codes[:bound], sh_lens[:bound], sh_n, sh_pos + win_base, bk, bv, nb,
         ref_win, ref_base, read_seq,
         max_out=max_out, max_clusters=max_clusters, window=window, mm=mm,
+        # the shifter adds at most one run (tests/test_shift_run_bound.py),
+        # i.e. at most two update rows
+        max_rows=(max_rows + 2) if max_rows else None,
     )
     out["fallback"] = out["fallback"] | sh_fb
     return out
 
 
-@partial(jax.jit, static_argnames=("max_out", "max_clusters", "window", "mm"))
+@partial(
+    jax.jit,
+    static_argnames=("max_out", "max_clusters", "window", "mm", "max_rows"),
+)
 def fwd_batch(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq,
-              *, max_out, max_clusters, window, mm=False):
+              *, max_out, max_clusters, window, mm=False, max_rows=None):
     return jax.vmap(
         lambda *a: _fwd_item(
-            *a, max_out=max_out, max_clusters=max_clusters, window=window, mm=mm
+            *a, max_out=max_out, max_clusters=max_clusters, window=window, mm=mm,
+            max_rows=max_rows,
         )
     )(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq)
 
 
-@partial(jax.jit, static_argnames=("max_out", "max_clusters", "window", "mm"))
+@partial(
+    jax.jit,
+    static_argnames=("max_out", "max_clusters", "window", "mm", "max_rows"),
+)
 def rev_batch_fused(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
                     ref_win, ref_base, read_seq, *, max_out, max_clusters, window,
-                    mm=False):
+                    mm=False, max_rows=None):
     """Single-graph reverse pipeline (used by the sharded mesh step)."""
     return jax.vmap(
         lambda *a: _rev_item(
-            *a, max_out=max_out, max_clusters=max_clusters, window=window, mm=mm
+            *a, max_out=max_out, max_clusters=max_clusters, window=window, mm=mm,
+            max_rows=max_rows,
         )
     )(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb, ref_win, ref_base, read_seq)
 
 
 def rev_batch(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
               ref_win, ref_base, read_seq, *, max_out, max_clusters, window,
-              mm=False):
+              mm=False, max_rows=None):
     """Reverse pipeline as a chain of separate device calls: shift stage A
     (clusters + homology gathers), shift stage B (scan + emissions), then the
     forward pipeline on the shifted cigars.
@@ -159,7 +173,8 @@ def rev_batch(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
         shift_stage_b_batch,
     )
 
-    kw = dict(max_out=max_out, max_clusters=max_clusters, window=window, mm=mm)
+    kw = dict(max_out=max_out, max_clusters=max_clusters, window=window, mm=mm,
+              max_rows=max_rows)
     rel_pos = pos - win_base
     st = shift_stage_a_batch(
         ops, lens, rel_pos, win_base, contig_win, read_seq,
@@ -172,12 +187,32 @@ def rev_batch(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
     # reads fall back to the exact host path.
     bound = _rev_ops_bound(ops.shape[1], max_out)
     sh_fb = sh_fb | (sh_n > bound)
+    kw_rev = dict(kw, max_rows=(max_rows + 2) if max_rows else None)
     out = fwd_batch(
         sh_codes[:, :bound], sh_lens[:, :bound], sh_n, sh_pos + win_base,
-        bk, bv, nb, ref_win, ref_base, read_seq, **kw,
+        bk, bv, nb, ref_win, ref_base, read_seq, **kw_rev,
     )
     out["fallback"] = out["fallback"] | sh_fb
     return out
+
+
+def _count_update_rows(cigar: np.ndarray, pos: int, keys: np.ndarray) -> int:
+    """Host-side liftover update-grid row count, matching the device formula
+    (liftover_parallel: per ref-consuming op ``hi - lo + 1`` block visits over
+    the windowed keys, 1 per read-only I/S/H op).  Used to bucket items under
+    a ``max_rows``-reduced grid; the kernel's row_overflow flag backstops it."""
+    if len(cigar) == 0:
+        return 0
+    codes = cigar[:, 0]
+    rc = cg.CONSUMES_REF[codes].astype(bool)
+    ro = (codes == cg.I) | (codes == cg.S) | (codes == cg.H)
+    rl = np.where(rc, cigar[:, 1], 0)
+    s = pos + np.cumsum(rl) - rl
+    e = s + rl
+    lo = np.searchsorted(keys, s, side="right") - 1
+    hi = np.minimum(np.searchsorted(keys, e, side="left"), len(keys))
+    lo = np.clip(lo, 0, hi)
+    return int(np.where(rc, hi - lo + 1, np.where(ro, 1, 0)).sum())
 
 
 @dataclass
@@ -237,13 +272,16 @@ class DeviceEngine:
         )
 
     # -- work item preparation (host side) --------------------------------
-    def _pick_bucket(self, n_ops: int, n_blocks: int, seq_len: int, ref_span: int):
+    def _pick_bucket(
+        self, n_ops: int, n_blocks: int, seq_len: int, ref_span: int, n_rows: int
+    ):
         for bi, b in enumerate(self.buckets):
             if (
                 n_ops <= b.max_ops
                 and n_blocks <= b.max_blocks
                 and seq_len <= b.max_seq
                 and ref_span <= b.max_seq
+                and n_rows <= b.resolved_max_rows()
             ):
                 return bi
         return -1
@@ -289,7 +327,8 @@ class DeviceEngine:
         ref_span = ref_hi - ref_lo
 
         bucket = self._pick_bucket(
-            len(cigar), hi - lo, record.seq_len(), ref_span
+            len(cigar), hi - lo, record.seq_len(), ref_span,
+            _count_update_rows(cigar, pos, keys),
         )
         if bucket < 0:
             item.host_fallback = True
@@ -415,7 +454,7 @@ class DeviceEngine:
                 win_base[i] = d["win_base"]
         kw = dict(
             max_out=max_out, max_clusters=bcfg.max_clusters, window=bcfg.window,
-            mm=self.use_mm,
+            mm=self.use_mm, max_rows=bcfg.resolved_max_rows(),
         )
         if is_rev:
             out = rev_batch(

@@ -41,7 +41,8 @@ def shard_batch_arrays(mesh: Mesh, arrays: tuple) -> tuple:
 
 
 def make_sharded_fwd_step(
-    mesh: Mesh, *, max_out: int, max_clusters: int, window: int, mm: bool = False
+    mesh: Mesh, *, max_out: int, max_clusters: int, window: int, mm: bool = False,
+    max_rows: int | None = None,
 ):
     """pjit-style sharded forward liftover step over the mesh.
 
@@ -52,7 +53,8 @@ def make_sharded_fwd_step(
 
     fn = jax.vmap(
         lambda *a: _fwd_item(
-            *a, max_out=max_out, max_clusters=max_clusters, window=window, mm=mm
+            *a, max_out=max_out, max_clusters=max_clusters, window=window, mm=mm,
+            max_rows=max_rows,
         )
     )
     sh = batch_sharding(mesh)
@@ -61,7 +63,8 @@ def make_sharded_fwd_step(
 
 
 def make_sharded_rev_step(
-    mesh: Mesh, *, max_out: int, max_clusters: int, window: int, mm: bool = False
+    mesh: Mesh, *, max_out: int, max_clusters: int, window: int, mm: bool = False,
+    max_rows: int | None = None,
 ):
     """Sharded reverse-contig step: the PRODUCTION stage-split chain.
 
@@ -99,7 +102,7 @@ def make_sharded_rev_step(
         jax.vmap(
             lambda *a: _fwd_item(
                 *a, max_out=max_out, max_clusters=max_clusters, window=window,
-                mm=mm,
+                mm=mm, max_rows=(max_rows + 2) if max_rows else None,
             )
         ),
         in_shardings=(sh,) * 10,
@@ -127,14 +130,16 @@ def make_sharded_rev_step(
 
 
 def make_sharded_rev_step_fused(
-    mesh: Mesh, *, max_out: int, max_clusters: int, window: int, mm: bool = False
+    mesh: Mesh, *, max_out: int, max_clusters: int, window: int, mm: bool = False,
+    max_rows: int | None = None,
 ):
     """Fused single-graph reverse step (compile-validation / single-dispatch)."""
     from portello_tpu.models.pipeline_model import _rev_item
 
     fn = jax.vmap(
         lambda *a: _rev_item(
-            *a, max_out=max_out, max_clusters=max_clusters, window=window, mm=mm
+            *a, max_out=max_out, max_clusters=max_clusters, window=window, mm=mm,
+            max_rows=max_rows,
         )
     )
     sh = batch_sharding(mesh)

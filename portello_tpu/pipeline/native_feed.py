@@ -235,7 +235,11 @@ def scan_and_remap_reads_native(
     ref_lens = np.array([len(r) for r in ref_arrays], np.int64)
 
     bucket_dims = np.array(
-        [[b.max_ops, b.max_blocks, b.max_seq] for b in buckets], np.int64
+        [
+            [b.max_ops, b.max_blocks, b.max_seq, b.resolved_max_rows()]
+            for b in buckets
+        ],
+        np.int64,
     ).ravel()
 
     owned = None
@@ -344,6 +348,7 @@ def scan_and_remap_reads_native(
             max_clusters=bcfg.max_clusters,
             window=bcfg.window,
             mm=mm,
+            max_rows=bcfg.resolved_max_rows(),
         )
         if is_rev:
             contig_win = grab2(d.contig_win, bcfg.max_seq, np.uint8)
