@@ -1028,12 +1028,13 @@ void prepare_item(const Scanner& sc, ReadState& rs, int seg_index, int64_t g,
     for (const Op& o : cig) {
       if (consumes_ref(o.code)) {
         int64_t oe = os + o.len;
-        int64_t olo = upper_bound_i64(wk, wn, os) - 1;
+        int64_t olo_raw = upper_bound_i64(wk, wn, os);
         int64_t ohi = std::lower_bound(wk, wk + wn, oe) - wk;
         if (ohi > wn) ohi = wn;
+        int64_t olo = olo_raw - 1;
         if (olo < 0) olo = 0;
         if (olo > ohi) olo = ohi;
-        n_rows += ohi - olo + 1;
+        n_rows += ohi - olo + (olo_raw == 0 ? 1 : 0);
         os = oe;
       } else if (o.code == kI || o.code == kS || o.code == kH) {
         n_rows += 1;

@@ -30,6 +30,7 @@ from portello_tpu.kernels.cigar_kernels import (
     D,
     H,
     I,
+    INT32_MAX,
     M,
     N,
     P,
@@ -83,16 +84,25 @@ def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb, mm: bool =
 
     # Block entry range per rc op (get_ref_range floor semantics).
     if mm:
-        lo = count_le(bk, s) - 1
+        lo_raw = count_le(bk, s)
         hi = jnp.minimum(count_lt(bk, e), nb)
     else:
-        lo = jnp.searchsorted(bk, s, side="right", method="sort").astype(jnp.int32) - 1
+        lo_raw = jnp.searchsorted(bk, s, side="right", method="sort").astype(jnp.int32)
         hi = jnp.minimum(
             jnp.searchsorted(bk, e, side="left", method="sort").astype(jnp.int32), nb
         )
-    lo = jnp.clip(lo, 0, hi)
+    # ``pre``: op starts before the first map key — only then is the
+    # reference's first visit (no last entry -> leading SoftClip) a real
+    # update.  For every other rc op that visit is provably a no-op
+    # (key_lo <= s makes its interval empty), so rows are numbered from the
+    # first REAL visit: visits = hi - lo + pre instead of hi - lo + 1.
+    # This cuts the typical grid by ~1 row per rc op, and removes the
+    # is_final special case below: the final visit's "this" entry is key_hi
+    # with key_hi >= e by construction (count_lt), INT32_MAX past nb.
+    pre = (lo_raw == 0).astype(jnp.int32)
+    lo = jnp.clip(lo_raw - 1, 0, hi)
 
-    visits = jnp.where(rc, hi - lo + 1, jnp.where(is_ro & active, 1, 0))
+    visits = jnp.where(rc, hi - lo + pre, jnp.where(is_ro & active, 1, 0))
     off = jnp.cumsum(visits) - visits       # exclusive row offset per op
     total_rows = jnp.sum(visits)
 
@@ -108,7 +118,7 @@ def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb, mm: bool =
     op_table = jnp.stack(
         [
             codes, lens_, rc.astype(jnp.int32), is_ro.astype(jnp.int32),
-            s, lo, off, visits,
+            s, lo, off, pre,
         ],
         axis=1,
     )
@@ -131,13 +141,15 @@ def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb, mm: bool =
     e_r = s_r + row_vals[:, 2] * len_r     # e = s + ref_len (rc ops only)
     lo_r = row_vals[:, 5]
     t = r - row_vals[:, 6]
-    u_r = row_vals[:, 7]
-    is_final = t == u_r - 1
+    pre_r = row_vals[:, 7]
 
-    # this/last map entries, keys+vals packed per row
+    # this/last map entries, keys+vals packed per row.  Visit t corresponds
+    # to the reference's visit t + 1 - pre (see the renumbering note above):
+    # "this" = lo + t + 1 - pre, "last" = this - 1; past-the-window "this"
+    # reads as +inf (the final visit's E is then e via min()).
     bkv = jnp.stack([bk, bv], axis=1)
-    this_idx = jnp.clip(lo_r + t, 0, max_blocks - 1)
-    last_idx = jnp.clip(lo_r + t - 1, 0, max_blocks - 1)
+    this_idx = lo_r + t + 1 - pre_r
+    last_idx = this_idx - 1
     if mm:
         this_kv = expand_mask(onehot_eq(this_idx, max_blocks), bkv)
         last_kv = expand_mask(onehot_eq(last_idx, max_blocks), bkv)
@@ -146,16 +158,24 @@ def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb, mm: bool =
         last_val = last_kv[:, 1]
     else:
         both = jnp.take_along_axis(
-            bkv, jnp.concatenate([this_idx, last_idx])[:, None], axis=0
+            bkv,
+            jnp.concatenate(
+                [
+                    jnp.clip(this_idx, 0, max_blocks - 1),
+                    jnp.clip(last_idx, 0, max_blocks - 1),
+                ]
+            )[:, None],
+            axis=0,
         )
         this_key = both[:U, 0]
         last_key = both[U:, 0]
         last_val = both[U:, 1]
-    have_last = t >= 1
+    this_key = jnp.where(this_idx < nb, this_key, INT32_MAX)
+    have_last = t >= pre_r
 
     # Interval [B, E) processed by this update.
     B = jnp.where(have_last, jnp.maximum(s_r, jnp.minimum(last_key, e_r)), s_r)
-    E = jnp.where(is_final, e_r, jnp.minimum(this_key, e_r))
+    E = jnp.minimum(this_key, e_r)
     L = E - B
     do_upd = rc_r & (L > 0)
 

@@ -209,10 +209,11 @@ def _count_update_rows(cigar: np.ndarray, pos: int, keys: np.ndarray) -> int:
     rl = np.where(rc, cigar[:, 1], 0)
     s = pos + np.cumsum(rl) - rl
     e = s + rl
-    lo = np.searchsorted(keys, s, side="right") - 1
+    lo_raw = np.searchsorted(keys, s, side="right")
     hi = np.minimum(np.searchsorted(keys, e, side="left"), len(keys))
-    lo = np.clip(lo, 0, hi)
-    return int(np.where(rc, hi - lo + 1, np.where(ro, 1, 0)).sum())
+    pre = lo_raw == 0
+    lo = np.clip(lo_raw - 1, 0, hi)
+    return int(np.where(rc, hi - lo + pre, np.where(ro, 1, 0)).sum())
 
 
 @dataclass
