@@ -117,8 +117,10 @@ def _rev_item(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
         sh_codes[:bound], sh_lens[:bound], sh_n, sh_pos + win_base, bk, bv, nb,
         ref_win, ref_base, read_seq,
         max_out=max_out, max_clusters=max_clusters, window=window, mm=mm,
-        # the shifter adds at most one run (tests/test_shift_run_bound.py),
-        # i.e. at most two update rows
+        # +2 covers the shifter's at-most-one extra run
+        # (tests/test_shift_run_bound.py); shifted op boundaries can also
+        # slide off block keys and add interior-key rows, which the kernel's
+        # row_overflow flag catches (-> exact host fallback)
         max_rows=(max_rows + 2) if max_rows else None,
     )
     out["fallback"] = out["fallback"] | sh_fb

@@ -75,8 +75,8 @@ def rev_leg(width, max_rows):
 
 
 for rnd in range(3):
-    for mr in (None, 264):
+    for mr in (None, 192, 176):
         print(f"round {rnd} fwd rows={mr or 304}: {fwd_leg(mr):7.3f} ms", flush=True)
-    for w, mr in ((160, None), (136, None), (136, 266)):
+    for w, mr in ((136, None), (136, 192)):
         print(f"round {rnd} rev w={w} rows={mr or 2*w+48}: "
               f"{rev_leg(w, mr):7.3f} ms", flush=True)
