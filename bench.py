@@ -297,6 +297,7 @@ def main():
         max_clusters=bcfg.max_clusters,
         window=bcfg.window,
         mm=mm,
+        max_rows=bcfg.resolved_max_rows(),
     )
     rng = np.random.default_rng(2026)
     fwd_items = fast_item_arrays(rng, batch, bcfg, read_len, rev=False)
@@ -349,8 +350,10 @@ def main():
           (rev_items[6], rev_items[7], rev_items[8],
            rev_items[9], rev_items[10], rev_items[11])),
     )
+    # production rev leg runs at max_rows+2 (pipeline_model.rev_batch)
+    kw_rev = dict(kw, max_rows=kw["max_rows"] + 2)
     t_rev_fwd = sustained_batch_time(
-        lambda *a: _fwd_item(*a, **kw), rev_fwd_args, reps, 3
+        lambda *a: _fwd_item(*a, **kw_rev), rev_fwd_args, reps, 3
     )
     t_shift = t_shift_a + t_shift_b
     # 50/50 fwd/rev mix: rev = shift stages + its own fwd leg

@@ -34,12 +34,14 @@ class BucketConfig:
         return self.max_out or (self.max_ops + 2 * self.max_blocks + 8)
 
     def resolved_max_rows(self) -> int:
-        # Worst case: every op ref-consuming (2 rows each) + every block key
-        # strictly inside some op interval (1 row each).  A measured bound
-        # (p100 of the workload profile) shrinks the grid; items over it
-        # bucket-spill on the host row count (engine/ptscan) and the kernel's
-        # row_overflow flag backstops any miscount.
-        return self.max_rows or (2 * self.max_ops + self.max_blocks)
+        # Proven worst case under the renumbered visit scheme
+        # (liftover_parallel): every rc op needs inside_keys + 1 rows and the
+        # window keys are disjoint across op intervals, so
+        # total_rows <= n_ops + n_blocks (tests/test_update_rows.py fuzzes
+        # this).  Explicit max_rows still allows tighter measured bounds;
+        # over-bound items bucket-spill on the host row count and the
+        # kernel's row_overflow flag backstops any miscount.
+        return self.max_rows or (self.max_ops + self.max_blocks)
 
 
 def pad_cigar(cig: np.ndarray, max_ops: int) -> tuple[np.ndarray, np.ndarray, int]:

@@ -45,6 +45,8 @@ DEFAULT_BUCKETS = (
     # Tight HiFi primary bucket (p99 of the 18-24 kb profile; the update-grid
     # rows scale the liftover stage ~linearly), a mid spill bucket, and a
     # wide one; anything beyond is finished on the exact host path.
+    # Update-grid height defaults to the PROVEN bound max_ops + max_blocks
+    # (176 here, vs 304 worst-case pre-renumbering) — no spill possible.
     BucketConfig(max_ops=128, max_blocks=48, max_seq=24576, max_clusters=96, window=48),
     BucketConfig(max_ops=256, max_blocks=96, max_seq=24576, max_clusters=160, window=48),
     BucketConfig(max_ops=1024, max_blocks=384, max_seq=65536, max_clusters=512, window=48),

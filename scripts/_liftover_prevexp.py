@@ -197,23 +197,19 @@ def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb, mm: bool =
     started = any_start & (r >= r_star)
 
     # --- gap deletions: previous mapped visit's ref2 end vs this block's val
-    # (liftover_read_alignment.rs:91-100).  The chain needs "end2 of the
-    # previous mapped row" — a forward-fill, done as ONE packed int32
-    # exclusive cummax: (row << 17) | (end2 - window_floor).  end2 - floor
-    # is within the item's ref2 window span (engine buckets enforce
-    # ref_span <= max_seq <= 2^16), so the pack is exact; a defensive
-    # overflow flag backstops out-of-contract inputs.  This replaces a
-    # (U, U) one-hot expansion — the largest mask in the grid.
+    # (liftover_read_alignment.rs:91-100).  end2 is per-row local; the chain
+    # only needs "index of previous mapped row", an exclusive cummax.
     end2 = last_val + (E - last_key)
-    base = jnp.min(jnp.where(bv >= 0, bv, INT32_MAX))
-    rel_end2 = end2 - base               # > 0 on mapped rows (last_val >= base)
-    pack_ovf = jnp.any(mapped_last & (rel_end2 >= (1 << 17)))
-    pack = jnp.where(mapped_last, (r << 17) | rel_end2, jnp.int32(-1))
-    prev_pack = jnp.concatenate(
-        [jnp.full(1, -1, jnp.int32), jax.lax.cummax(pack)[:-1]]
+    midx = jnp.where(mapped_last, r, -1)
+    prev_midx = jnp.concatenate(
+        [jnp.full(1, -1, jnp.int32), jax.lax.cummax(midx)[:-1]]
     )
-    have_end = mapped_last & (prev_pack >= 0)
-    prev_end2 = base + (prev_pack & ((1 << 17) - 1))
+    have_end = mapped_last & (prev_midx >= 0)
+    prev_safe = jnp.clip(prev_midx, 0, U - 1)
+    if mm:
+        prev_end2 = expand_mask(onehot_eq(prev_safe, U), end2[:, None])[:, 0]
+    else:
+        prev_end2 = end2[prev_safe]
     del_len = last_val - prev_end2
     emit_del = have_end & (del_len > 0) & started
 
@@ -236,5 +232,5 @@ def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb, mm: bool =
 
     emit_codes = jnp.stack([e0_code, e1_code], axis=1).reshape(-1)
     emit_lens = jnp.stack([e0_len, e1_len], axis=1).reshape(-1)
-    row_overflow = (total_rows > U) | pack_ovf
+    row_overflow = total_rows > U
     return emit_codes, emit_lens, ref2_start, row_overflow
