@@ -350,8 +350,8 @@ def main():
           (rev_items[6], rev_items[7], rev_items[8],
            rev_items[9], rev_items[10], rev_items[11])),
     )
-    # production rev leg runs at max_rows+2 (pipeline_model.rev_batch)
-    kw_rev = dict(kw, max_rows=kw["max_rows"] + 2)
+    # production rev leg runs at max_rows+8 (pipeline_model.rev_batch)
+    kw_rev = dict(kw, max_rows=kw["max_rows"] + 8)
     t_rev_fwd = sustained_batch_time(
         lambda *a: _fwd_item(*a, **kw_rev), rev_fwd_args, reps, 3
     )

@@ -119,11 +119,10 @@ def _rev_item(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
         sh_codes[:bound], sh_lens[:bound], sh_n, sh_pos + win_base, bk, bv, nb,
         ref_win, ref_base, read_seq,
         max_out=max_out, max_clusters=max_clusters, window=window, mm=mm,
-        # +2 covers the shifter's at-most-one extra run
-        # (tests/test_shift_run_bound.py); shifted op boundaries can also
-        # slide off block keys and add interior-key rows, which the kernel's
-        # row_overflow flag catches (-> exact host fallback)
-        max_rows=(max_rows + 2) if max_rows else None,
+        # +8 keeps the grid sublane-aligned and covers the shifter's
+        # at-most-one extra run (tests/test_shift_run_bound.py: shifted rows
+        # <= (max_ops+1) + max_blocks); row_overflow backstops the rest
+        max_rows=(max_rows + 8) if max_rows else None,
     )
     out["fallback"] = out["fallback"] | sh_fb
     return out
@@ -191,7 +190,7 @@ def rev_batch(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
     # reads fall back to the exact host path.
     bound = _rev_ops_bound(ops.shape[1], max_out)
     sh_fb = sh_fb | (sh_n > bound)
-    kw_rev = dict(kw, max_rows=(max_rows + 2) if max_rows else None)
+    kw_rev = dict(kw, max_rows=(max_rows + 8) if max_rows else None)
     out = fwd_batch(
         sh_codes[:, :bound], sh_lens[:, :bound], sh_n, sh_pos + win_base,
         bk, bv, nb, ref_win, ref_base, read_seq, **kw_rev,

@@ -102,7 +102,7 @@ def make_sharded_rev_step(
         jax.vmap(
             lambda *a: _fwd_item(
                 *a, max_out=max_out, max_clusters=max_clusters, window=window,
-                mm=mm, max_rows=(max_rows + 2) if max_rows else None,
+                mm=mm, max_rows=(max_rows + 8) if max_rows else None,
             )
         ),
         in_shardings=(sh,) * 10,

@@ -93,15 +93,12 @@ def t_rev(single, width, max_rows):
     return sustained_batch_time(make_fwd(single, max_rows), args, REPS, 3) * 1e3
 
 
-VARIANTS = [
-    ("pack   U=176", pack_single, 176),
-    ("pack   U=192", pack_single, 192),
-    ("prevexp U=192", prevexp_single, 192),
+REV_VARIANTS = [
+    ("pack    w136 U=184", pack_single, 184),
+    ("pack    w136 U=178", pack_single, 178),
+    ("prevexp w136 U=192", prevexp_single, 192),
 ]
 for rnd in range(3):
-    for name, single, u in VARIANTS:
-        print(f"round {rnd} fwd {name}: {t_fwd(single, u):7.3f} ms", flush=True)
-    print(f"round {rnd} rev pack w136 U=178: "
-          f"{t_rev(pack_single, 136, 178):7.3f} ms", flush=True)
-    print(f"round {rnd} rev prevexp w136 U=192: "
-          f"{t_rev(prevexp_single, 136, 192):7.3f} ms", flush=True)
+    for name, single, u in REV_VARIANTS:
+        print(f"round {rnd} rev {name}: {t_rev(single, 136, u):7.3f} ms",
+              flush=True)
