@@ -30,7 +30,9 @@ B = 512
 bcfg = HIFI_BUCKET
 MAX_OUT = bcfg.resolved_max_out()
 mm = jax.default_backend() == "tpu"
-kw = dict(max_out=MAX_OUT, max_clusters=bcfg.max_clusters, window=bcfg.window, mm=mm)
+MAX_ROWS = bcfg.resolved_max_rows()
+kw = dict(max_out=MAX_OUT, max_clusters=bcfg.max_clusters, window=bcfg.window,
+          mm=mm, max_rows=MAX_ROWS)
 rng = np.random.default_rng(2026)
 fwd_items = fast_item_arrays(rng, B, bcfg, 18000, rev=False)
 (ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq) = [
@@ -38,15 +40,17 @@ fwd_items = fast_item_arrays(rng, B, bcfg, 18000, rev=False)
 ]
 
 lift_b = jax.jit(jax.vmap(
-    lambda o, l, n, p, k, v, m: _lift_core(o, l, n, p, k, v, m, max_out=MAX_OUT, mm=mm)
+    lambda o, l, n, p, k, v, m: _lift_core(o, l, n, p, k, v, m, max_out=MAX_OUT,
+                                           mm=mm, max_rows=MAX_ROWS)
 ))
 l_codes, l_lens, l_n, l_pos, l_mapped, _ = lift_b(ops, lens, n_ops, pos, bk, bv, nb)
 l_rel = l_pos - ref_base
 
 emit_b = jax.jit(jax.vmap(
-    lambda o, l, n, p, k, v, m: _liftover_parallel_single(o, l, n, p, k, v, m, mm)
+    lambda o, l, n, p, k, v, m: _liftover_parallel_single(o, l, n, p, k, v, m, mm,
+                                                          MAX_ROWS)
 ))
-e_codes, e_lens, _r2 = emit_b(ops, lens, n_ops, pos, bk, bv, nb)
+e_codes, e_lens, _r2, _ovf = emit_b(ops, lens, n_ops, pos, bk, bv, nb)
 
 REPS = 24
 print(f"device={jax.devices()[0]}", file=sys.stderr)
@@ -62,10 +66,12 @@ for rnd in range(2):
       (ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq), 3)
     t("lift_core (grid+compress)",
       lambda o, l, n, p, k, v, m: _lift_core(o, l, n, p, k, v, m,
-                                             max_out=MAX_OUT, mm=mm),
+                                             max_out=MAX_OUT, mm=mm,
+                                             max_rows=MAX_ROWS),
       (ops, lens, n_ops, pos, bk, bv, nb), 3)
     t("liftover grid only",
-      lambda o, l, n, p, k, v, m: _liftover_parallel_single(o, l, n, p, k, v, m, mm),
+      lambda o, l, n, p, k, v, m: _liftover_parallel_single(
+          o, l, n, p, k, v, m, mm, MAX_ROWS),
       (ops, lens, n_ops, pos, bk, bv, nb), 3)
     t("cleanup_and_compress only",
       lambda c, l: cleanup_and_compress(c, l, MAX_OUT, mm),
