@@ -327,10 +327,12 @@ def main():
         *dev_shift_args, max_clusters=bcfg.max_clusters, window=bcfg.window, mm=mm
     )
     # anti-hoist chain must thread through arg 0 (codes): stage B's outputs do
-    # not depend on ref_pos, so perturbing it would let XLA hoist the loop
+    # not depend on ref_pos, so perturbing it would let XLA hoist the loop.
+    # Stage B runs at the proven shifted-run width (pipeline_model.rev_batch).
+    bound = _rev_ops_bound(bcfg.max_ops, kw["max_out"])
     t_shift_b = sustained_batch_time(
         lambda c, l, p, s: _shift_stage_b(
-            c, l, p, s, window=bcfg.window, max_out=kw["max_out"], mm=mm
+            c, l, p, s, window=bcfg.window, max_out=bound, mm=mm
         ),
         (dev_shift_args[0], dev_shift_args[1], dev_shift_args[2], st),
         reps, 0,
@@ -340,11 +342,10 @@ def main():
     # measure it on real stage-B outputs so the mix is honest.
     sh_codes, sh_lens, sh_n, sh_pos, _sh_fb = shift_stage_b_batch(
         dev_shift_args[0], dev_shift_args[1], dev_shift_args[2], st,
-        window=bcfg.window, max_out=kw["max_out"], mm=mm,
+        window=bcfg.window, max_out=bound, mm=mm,
     )
-    bound = _rev_ops_bound(bcfg.max_ops, kw["max_out"])
     rev_fwd_args = (
-        sh_codes[:, :bound], sh_lens[:, :bound], sh_n,
+        sh_codes, sh_lens, sh_n,
         sh_pos + dev_shift_args[3],
         *(jax.device_put(np.asarray(a), device) for a in
           (rev_items[6], rev_items[7], rev_items[8],

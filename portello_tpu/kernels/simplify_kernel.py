@@ -67,9 +67,11 @@ def _simplify_single(
         from portello_tpu.kernels.expand import expand_sum
 
         # Compact the mixed clusters into a small static budget so the
-        # window fetches run over ~4x fewer lanes; reads whose mixed count
-        # exceeds the budget fall back to the exact host path.
-        mx = max(8, max_clusters // 4)
+        # window fetches run over far fewer lanes; reads whose mixed count
+        # exceeds the budget fall back to the exact host path.  Measured
+        # HiFi-shape distribution: mean 0.05 mixed clusters per read, max 1
+        # (profile notes in PERF.md) — 8 is ~an order of magnitude of slack.
+        mx = max(8, max_clusters // 16)
         rank = jnp.cumsum(mixed.astype(jnp.int32)) - 1
         mixed_overflow = jnp.sum(mixed.astype(jnp.int32)) > mx
         j = jnp.arange(mx, dtype=jnp.int32)

@@ -67,6 +67,16 @@ def _lift_core(ops, lens, n_ops, pos, bk, bv, nb, *, max_out, mm=False,
     return l_codes, l_lens, l_n, ref2_pos, mapped, overflow
 
 
+def _simplify_ops_bound(width: int, max_out: int) -> int:
+    """Static width of the lifted cigar fed to simplify.
+
+    Lifted run counts sit near the input op count (measured p100 ~ n_ops+44
+    at the HiFi shape; worst case n_ops + 2*n_blocks), so simplify runs on a
+    ``width + 56`` slice; rare wider reads fall back to the exact host path
+    via the overflow flag."""
+    return min(max_out, width + 56)
+
+
 def _fwd_item(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq,
               *, max_out, max_clusters, window, mm=False, max_rows=None):
     l_codes, l_lens, l_n, ref2_pos, mapped, overflow = _lift_core(
@@ -74,8 +84,10 @@ def _fwd_item(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq,
         max_rows=max_rows
     )
     read_len = cigar_read_len(l_codes, l_lens)
+    sw = _simplify_ops_bound(ops.shape[0], max_out)
+    overflow = overflow | (l_n > sw)
     s_codes, s_lens, s_n, s_pos_rel, s_fb = _simplify_single(
-        l_codes, l_lens, ref2_pos - ref_base, ref_win, read_seq,
+        l_codes[:sw], l_lens[:sw], ref2_pos - ref_base, ref_win, read_seq,
         max_clusters=max_clusters, window=window, max_out=max_out, mm=mm,
     )
     return {
@@ -103,9 +115,12 @@ def _rev_item(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
               *, max_out, max_clusters, window, mm=False, max_rows=None):
     # Left-shift indels against the reversed contig before lifting
     # (read_alignment_scanner.rs:159-176, docs/methods.md:37-39).
+    bound = _rev_ops_bound(ops.shape[0], max_out)
+    # stage B compresses at the proven shifted-run width (<= n_ops+1 runs,
+    # tests/test_shift_run_bound.py) instead of the full max_out
     sh_codes, sh_lens, sh_n, sh_pos, sh_fb = _left_shift_single(
         ops, lens, pos - win_base, win_base, contig_win, read_seq,
-        max_clusters=max_clusters, window=window, max_out=max_out, mm=mm,
+        max_clusters=max_clusters, window=window, max_out=bound, mm=mm,
     )
     # Stage seam: keep the shift's gather-built outputs from fusing into the
     # liftover's prefix scans (TPU serialization pathology; see
@@ -113,10 +128,9 @@ def _rev_item(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
     sh_codes, sh_lens, sh_n, sh_pos = jax.lax.optimization_barrier(
         (sh_codes, sh_lens, sh_n, sh_pos)
     )
-    bound = _rev_ops_bound(ops.shape[0], max_out)
     sh_fb = sh_fb | (sh_n > bound)
     out = _fwd_item(
-        sh_codes[:bound], sh_lens[:bound], sh_n, sh_pos + win_base, bk, bv, nb,
+        sh_codes, sh_lens, sh_n, sh_pos + win_base, bk, bv, nb,
         ref_win, ref_base, read_seq,
         max_out=max_out, max_clusters=max_clusters, window=window, mm=mm,
         # +8 keeps the grid sublane-aligned and covers the shifter's
@@ -183,16 +197,17 @@ def rev_batch(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
         ops, lens, rel_pos, win_base, contig_win, read_seq,
         max_clusters=max_clusters, window=window, mm=mm,
     )
-    sh_codes, sh_lens, sh_n, sh_pos, sh_fb = shift_stage_b_batch(
-        ops, lens, rel_pos, st, window=window, max_out=max_out, mm=mm
-    )
-    # Tight static width for the fwd leg (see _rev_ops_bound); overflowing
-    # reads fall back to the exact host path.
+    # Tight static width for the shifted cigar and the fwd leg (see
+    # _rev_ops_bound): stage B compresses at the proven shifted-run width;
+    # overflowing reads fall back to the exact host path.
     bound = _rev_ops_bound(ops.shape[1], max_out)
+    sh_codes, sh_lens, sh_n, sh_pos, sh_fb = shift_stage_b_batch(
+        ops, lens, rel_pos, st, window=window, max_out=bound, mm=mm
+    )
     sh_fb = sh_fb | (sh_n > bound)
     kw_rev = dict(kw, max_rows=(max_rows + 8) if max_rows else None)
     out = fwd_batch(
-        sh_codes[:, :bound], sh_lens[:, :bound], sh_n, sh_pos + win_base,
+        sh_codes, sh_lens, sh_n, sh_pos + win_base,
         bk, bv, nb, ref_win, ref_base, read_seq, **kw_rev,
     )
     out["fallback"] = out["fallback"] | sh_fb

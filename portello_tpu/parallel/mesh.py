@@ -89,15 +89,26 @@ def make_sharded_rev_step(
         in_shardings=(sh,) * 6,
         out_shardings=sh,
     )
-    stage_b = jax.jit(
-        jax.vmap(
-            lambda c, l, p, s: _shift_stage_b(
-                c, l, p, s, window=window, max_out=max_out, mm=mm
+    from portello_tpu.models.pipeline_model import _rev_ops_bound
+
+    # stage B's static width (the proven shifted-run bound) depends on the
+    # batch's max_ops, known only at call time; cache one jitted program per
+    # distinct width (pipeline_model.rev_batch semantics).
+    stage_b_cache: dict = {}
+
+    def get_stage_b(bound: int):
+        if bound not in stage_b_cache:
+            stage_b_cache[bound] = jax.jit(
+                jax.vmap(
+                    lambda c, l, p, s: _shift_stage_b(
+                        c, l, p, s, window=window, max_out=bound, mm=mm
+                    )
+                ),
+                in_shardings=(sh, sh, sh, sh),
+                out_shardings=sh,
             )
-        ),
-        in_shardings=(sh, sh, sh, sh),
-        out_shardings=sh,
-    )
+        return stage_b_cache[bound]
+
     fwd = jax.jit(
         jax.vmap(
             lambda *a: _fwd_item(
@@ -111,16 +122,15 @@ def make_sharded_rev_step(
 
     def run(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
             ref_win, ref_base, read_seq):
-        from portello_tpu.models.pipeline_model import _rev_ops_bound
-
         rel_pos = pos - win_base
-        st = stage_a(ops, lens, rel_pos, win_base, contig_win, read_seq)
-        sh_codes, sh_lens, sh_n, sh_pos, sh_fb = stage_b(ops, lens, rel_pos, st)
-        # same tight fwd-leg width as pipeline_model.rev_batch
         bound = _rev_ops_bound(ops.shape[1], max_out)
+        st = stage_a(ops, lens, rel_pos, win_base, contig_win, read_seq)
+        sh_codes, sh_lens, sh_n, sh_pos, sh_fb = get_stage_b(bound)(
+            ops, lens, rel_pos, st
+        )
         sh_fb = sh_fb | (sh_n > bound)
         out = fwd(
-            sh_codes[:, :bound], sh_lens[:, :bound], sh_n, sh_pos + win_base,
+            sh_codes, sh_lens, sh_n, sh_pos + win_base,
             bk, bv, nb, ref_win, ref_base, read_seq,
         )
         out["fallback"] = out["fallback"] | sh_fb

@@ -69,7 +69,7 @@ def through_windows(c, l, p, rw, rq):
     pure = (dl == 0) | (il == 0)
     one_one = (dl == 1) & (il == 1)
     mixed = cvalid & ~pure & ~one_one
-    mx = max(8, MC // 4)
+    mx = max(8, MC // 16)
     rank = jnp.cumsum(mixed.astype(jnp.int32)) - 1
     j = jnp.arange(mx, dtype=jnp.int32)
     cmask = ((rank[None, :] == j[:, None]) & mixed[None, :]).astype(jnp.bfloat16)
@@ -92,11 +92,16 @@ def compress_only(c, l):
     return cleanup_and_compress(c, l, MAX_OUT, mm)
 
 
+SW = 184
 for rnd in range(2):
-    t("simplify full",
+    t("simplify full (232)",
       lambda c, l, p, rw, rq: _simplify_single(
           c, l, p, rw, rq, max_clusters=MC, window=W, max_out=MAX_OUT, mm=mm),
       (l_codes, l_lens, l_rel, ref_win, read_seq), 2)
+    t("simplify full (sw=184)",
+      lambda c, l, p, rw, rq: _simplify_single(
+          c, l, p, rw, rq, max_clusters=MC, window=W, max_out=MAX_OUT, mm=mm),
+      (l_codes[:, :SW], l_lens[:, :SW], l_rel, ref_win, read_seq), 2)
     t("clusters only", clusters_only, (l_codes, l_lens, l_rel), 2)
     t("clusters + windows", through_windows,
       (l_codes, l_lens, l_rel, ref_win, read_seq), 2)
