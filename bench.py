@@ -97,7 +97,8 @@ def fast_item_arrays(rng, b, bcfg, read_len, rev, read_rate=0.0025, contig_rate=
     return ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq
 
 
-def sustained_batch_time(single_fn, args, reps, pos_index):
+def sustained_batch_time(single_fn, args, reps, pos_index,
+                         already_batched=False):
     """True per-batch device time via in-jit repetition.
 
     Protocol (dictated by this environment's relay semantics):
@@ -113,7 +114,7 @@ def sustained_batch_time(single_fn, args, reps, pos_index):
     import jax
     import jax.numpy as jnp
 
-    vf = jax.vmap(single_fn)
+    vf = single_fn if already_batched else jax.vmap(single_fn)
 
     def make(n):
         def run(*a):

@@ -67,16 +67,6 @@ def _lift_core(ops, lens, n_ops, pos, bk, bv, nb, *, max_out, mm=False,
     return l_codes, l_lens, l_n, ref2_pos, mapped, overflow
 
 
-def _simplify_ops_bound(width: int, max_out: int) -> int:
-    """Static width of the lifted cigar fed to simplify.
-
-    Lifted run counts sit near the input op count (measured p100 ~ n_ops+44
-    at the HiFi shape; worst case n_ops + 2*n_blocks), so simplify runs on a
-    ``width + 56`` slice; rare wider reads fall back to the exact host path
-    via the overflow flag."""
-    return min(max_out, width + 56)
-
-
 def _fwd_item(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq,
               *, max_out, max_clusters, window, mm=False, max_rows=None):
     l_codes, l_lens, l_n, ref2_pos, mapped, overflow = _lift_core(
@@ -84,10 +74,11 @@ def _fwd_item(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq,
         max_rows=max_rows
     )
     read_len = cigar_read_len(l_codes, l_lens)
-    sw = _simplify_ops_bound(ops.shape[0], max_out)
-    overflow = overflow | (l_n > sw)
+    # (A width+56 slice of the lifted cigar before simplify measured
+    # repeatably ~25% SLOWER despite the smaller static graph —
+    # scripts/profile_simp6.py; simplify consumes the full max_out width.)
     s_codes, s_lens, s_n, s_pos_rel, s_fb = _simplify_single(
-        l_codes[:sw], l_lens[:sw], ref2_pos - ref_base, ref_win, read_seq,
+        l_codes, l_lens, ref2_pos - ref_base, ref_win, read_seq,
         max_clusters=max_clusters, window=window, max_out=max_out, mm=mm,
     )
     return {
