@@ -32,27 +32,31 @@ from portello_tpu.kernels.cluster_utils import (
 )
 
 
+def _cluster_cases(codes, lens, ref_pos, max_clusters, mm):
+    """find_clusters + the reference's case split (rs:41-49): pure and 1/1
+    clusters bypass sequence inspection; only MIXED clusters (both I and D
+    present; rare in HiFi data) need sequence windows at all."""
+    cl = find_clusters(codes, lens, ref_pos, max_clusters, mm)
+    dl = cl["del_len"]
+    il = cl["ins_len"]
+    cvalid = jnp.arange(max_clusters, dtype=jnp.int32) < cl["n_clusters"]
+    pure = (dl == 0) | (il == 0)
+    one_one = (dl == 1) & (il == 1)
+    mixed = cvalid & ~pure & ~one_one
+    return cl, cvalid, pure, one_one, mixed
+
+
 def _simplify_single(
     codes, lens, ref_pos, ref_win, read_seq, *, max_clusters, window, max_out,
     mm=False,
 ):
-    from portello_tpu.kernels.expand import expand_mask, onehot_eq
-
-    n = codes.shape[0]
-    cl = find_clusters(codes, lens, ref_pos, max_clusters, mm)
+    cl, cvalid, pure, one_one, mixed = _cluster_cases(
+        codes, lens, ref_pos, max_clusters, mm
+    )
     dl = cl["del_len"]
     il = cl["ins_len"]
     bs = cl["ref_start"]
     rs = cl["read_start"]
-    cvalid = jnp.arange(max_clusters, dtype=jnp.int32) < cl["n_clusters"]
-
-    # Case selection (rs:41-49): the simple cases bypass sequence inspection —
-    # pure and 1/1 clusters never read the window compare results below, so
-    # only MIXED clusters (both I and D present; rare in HiFi data) need
-    # sequence windows at all.
-    pure = (dl == 0) | (il == 0)
-    one_one = (dl == 1) & (il == 1)
-    mixed = cvalid & ~pure & ~one_one
     mixed_overflow = jnp.zeros((), bool)
 
     # Right-edge greedy re-match (rs:54-68), then left-edge (rs:71-85).
@@ -102,21 +106,42 @@ def _simplify_single(
         back = expand_sum(emask, jnp.stack([raw_r_j, raw_l_j], axis=1))
         raw_r = back[:, 0]
         raw_l = back[:, 1]
-        post = jnp.minimum(raw_r, m0)
-        sat_post = (raw_r >= window) & (m0 > window)
-        dl1 = dl - post
-        il1 = il - post
-        m1 = jnp.minimum(dl1, il1)
-        pre = jnp.minimum(raw_l, m1)
-        sat_pre = (raw_l >= window) & (m1 > window)
     else:
-        post, sat_post = match_run_right(
+        # the limit-capped runs coincide with min(raw, limit) (the compare
+        # mask stops at the limit), so they feed _finish_from_runs directly
+        raw_r, _ = match_run_right(
             ref_win, bs + dl, read_seq, rs + il, m0, window, mm
         )
-        dl1 = dl - post
-        il1 = il - post
-        m1 = jnp.minimum(dl1, il1)
-        pre, sat_pre = match_run_left(ref_win, bs, read_seq, rs, m1, window, mm)
+        raw_l, _ = match_run_left(
+            ref_win, bs, read_seq, rs,
+            jnp.minimum(dl, il) - jnp.minimum(raw_r, m0), window, mm,
+        )
+    out = _finish_from_runs(
+        codes, lens, ref_pos, cl, cvalid, pure, one_one, mixed, raw_r, raw_l,
+        max_clusters=max_clusters, window=window, max_out=max_out, mm=mm,
+    )
+    f_codes, f_lens, n_out, out_pos, fallback = out
+    return f_codes, f_lens, n_out, out_pos, fallback | mixed_overflow
+
+
+def _finish_from_runs(
+    codes, lens, ref_pos, cl, cvalid, pure, one_one, mixed, raw_r, raw_l,
+    *, max_clusters, window, max_out, mm,
+):
+    """Case arithmetic + emission + compress given the per-cluster window
+    runs (raw or limit-capped — identical downstream, see the min() chain)."""
+    from portello_tpu.kernels.expand import expand_mask, onehot_eq
+
+    dl = cl["del_len"]
+    il = cl["ins_len"]
+    m0 = jnp.minimum(dl, il)
+    post = jnp.minimum(raw_r, m0)
+    sat_post = (raw_r >= window) & (m0 > window)
+    dl1 = dl - post
+    il1 = il - post
+    m1 = jnp.minimum(dl1, il1)
+    pre = jnp.minimum(raw_l, m1)
+    sat_pre = (raw_l >= window) & (m1 > window)
     dl2 = dl1 - pre
     il2 = il1 - pre
     # Final SNP preference (rs:87-92).
@@ -201,12 +226,126 @@ def _simplify_single(
         flat_codes, flat_lens, max_out, mm
     )
     fallback = (
-        jnp.any(mixed & (sat_post | sat_pre))
-        | cl["overflow"]
-        | c_overflow
-        | mixed_overflow
+        jnp.any(mixed & (sat_post | sat_pre)) | cl["overflow"] | c_overflow
     )
     return f_codes, f_lens, n_out, ref_pos + shift, fallback
+
+
+MXI = 2    # per-item mixed-cluster slots (measured max 1 per HiFi read)
+GBUDGET = 64  # batch-wide mixed-cluster slots (measured ~26 per 512 items)
+
+
+def simplify_batch_compact(
+    codes, lens, ref_pos, ref_win, read_seq, *, max_clusters, window, max_out,
+):
+    """Batch-level simplify with BATCH-compacted mixed-cluster windows
+    (mm formulation).
+
+    Mixed clusters are rare (~0.05/read), yet the per-item window compare
+    pays two full-sequence superblock-table conversions per item — the
+    dominant simplify cost (PERF.md "window-fetch wall").  Here the batch's
+    mixed (item, cluster) pairs are compacted to ``GBUDGET`` global slots;
+    only those slots' sequence ROWS are gathered (exact one-hot byte
+    matmuls) and converted, cutting conversion traffic ~B/GBUDGET-fold.
+    Reads whose mixed clusters exceed MXI per item or spill the global
+    budget fall back to the exact host path (flag), preserving exactness.
+
+    Every per-slot result is bit-identical to the per-item fetch (same
+    _window_bytes_mm_t on the same bytes), so outputs equal
+    ``simplify_batch`` wherever no budget flag fires.
+    """
+    from portello_tpu.kernels.cluster_utils import _window_bytes_mm_t
+    from portello_tpu.kernels.expand import expand_bytes, expand_sum, onehot_eq
+
+    b = codes.shape[0]
+    g_budget = min(GBUDGET, MXI * b)
+    w = window
+
+    def part1(c, l, p):
+        cl, cvalid, pure, one_one, mixed = _cluster_cases(
+            c, l, p, max_clusters, True
+        )
+        rank = jnp.cumsum(mixed.astype(jnp.int32)) - 1
+        n_mix = jnp.sum(mixed.astype(jnp.int32))
+        j = jnp.arange(MXI, dtype=jnp.int32)
+        cmask = (
+            (rank[None, :] == j[:, None]) & mixed[None, :]
+        ).astype(jnp.bfloat16)
+        st4 = expand_sum(
+            cmask,
+            jnp.stack(
+                [cl["ref_start"], cl["read_start"], cl["del_len"], cl["ins_len"]],
+                axis=1,
+            ).astype(jnp.int32),
+        )
+        return cl, cvalid, pure, one_one, mixed, rank, n_mix, st4
+
+    cl, cvalid, pure, one_one, mixed, rank, n_mix, st4 = jax.vmap(part1)(
+        codes, lens, ref_pos
+    )
+
+    # ---- batch-level compaction of the (item, slot) pairs ----
+    flat_valid = (
+        jnp.arange(MXI, dtype=jnp.int32)[None, :]
+        < jnp.minimum(n_mix, MXI)[:, None]
+    ).reshape(-1)
+    flat_st = st4.reshape(b * MXI, 4)
+    grank = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
+    spill = flat_valid & (grank >= g_budget)
+    item_spill = spill.reshape(b, MXI).any(axis=1)
+    g = jnp.arange(g_budget, dtype=jnp.int32)
+    gmask = (
+        (grank[None, :] == g[:, None]) & flat_valid[None, :]
+    ).astype(jnp.bfloat16)
+    gst = expand_sum(gmask, flat_st)                      # (G, 4)
+    item_ids = jnp.repeat(jnp.arange(b, dtype=jnp.int32), MXI)
+    gitem = expand_sum(gmask, item_ids[:, None])[:, 0]    # (G,)
+
+    # gather ONLY the slots' sequence rows (exact one-hot byte matmul)
+    sel = onehot_eq(gitem, b)
+    rows_a = expand_bytes(sel, ref_win)                    # (G, L)
+    rows_b = expand_bytes(sel, read_seq)
+    bsg, rsg, dlg, ilg = gst[:, 0], gst[:, 1], gst[:, 2], gst[:, 3]
+    wa = jax.vmap(
+        lambda row, st: _window_bytes_mm_t(row, st, w, 0xFE)
+    )(rows_a, jnp.stack([bsg + dlg - w, bsg], axis=1))     # (G, w, 2)
+    wb = jax.vmap(
+        lambda row, st: _window_bytes_mm_t(row, st, w, 0xFD)
+    )(rows_b, jnp.stack([rsg + ilg - w, rsg], axis=1))
+    eqg = (wa == wb).astype(jnp.int32)
+    raw_r_g = jnp.sum(jax.lax.cumprod(eqg[:, :, 0], axis=1, reverse=True), axis=1)
+    raw_l_g = jnp.sum(jnp.cumprod(eqg[:, :, 1], axis=1), axis=1)
+
+    # scatter runs back to (item, slot)
+    smask = (
+        (grank[:, None] == g[None, :]) & flat_valid[:, None]
+    ).astype(jnp.bfloat16)
+    runs2 = expand_sum(
+        smask, jnp.stack([raw_r_g, raw_l_g], axis=1)
+    ).reshape(b, MXI, 2)
+
+    def part2(c, l, p, cl_i, cvalid_i, pure_i, one_one_i, mixed_i, rank_i,
+              n_mix_i, runs2_i, spill_i):
+        j = jnp.arange(MXI, dtype=jnp.int32)
+        emask = (
+            (rank_i[:, None] == j[None, :]) & mixed_i[:, None]
+        ).astype(jnp.bfloat16)
+        back = expand_sum(emask, runs2_i.astype(jnp.int32))
+        out = _finish_from_runs(
+            c, l, p, cl_i, cvalid_i, pure_i, one_one_i, mixed_i,
+            back[:, 0], back[:, 1],
+            max_clusters=max_clusters, window=window, max_out=max_out, mm=True,
+        )
+        f_codes, f_lens, n_out, out_pos, fb = out
+        return (
+            f_codes, f_lens, n_out, out_pos,
+            fb | (n_mix_i > MXI) | spill_i,
+        )
+
+    return jax.vmap(part2)(
+        codes, lens, ref_pos, cl, cvalid, pure, one_one, mixed, rank,
+        n_mix, runs2, item_spill,
+    )
 
 
 @partial(jax.jit, static_argnames=("max_clusters", "window", "max_out", "mm"))

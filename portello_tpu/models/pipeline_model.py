@@ -139,12 +139,35 @@ def _rev_item(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
 )
 def fwd_batch(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq,
               *, max_out, max_clusters, window, mm=False, max_rows=None):
-    return jax.vmap(
-        lambda *a: _fwd_item(
-            *a, max_out=max_out, max_clusters=max_clusters, window=window, mm=mm,
-            max_rows=max_rows,
+    if not mm:
+        return jax.vmap(
+            lambda *a: _fwd_item(
+                *a, max_out=max_out, max_clusters=max_clusters, window=window,
+                mm=mm, max_rows=max_rows,
+            )
+        )(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq)
+
+    # mm path: batch-level so the rare mixed-cluster windows compact across
+    # the whole batch (simplify_kernel.simplify_batch_compact — the window
+    # table conversions were the dominant simplify cost, PERF.md).
+    from portello_tpu.kernels.simplify_kernel import simplify_batch_compact
+
+    l_codes, l_lens, l_n, ref2_pos, mapped, overflow = jax.vmap(
+        lambda o, l, n, p, k, v, m: _lift_core(
+            o, l, n, p, k, v, m, max_out=max_out, mm=mm, max_rows=max_rows
         )
-    )(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq)
+    )(ops, lens, n_ops, pos, bk, bv, nb)
+    read_len = jax.vmap(cigar_read_len)(l_codes, l_lens)
+    s_codes, s_lens, s_n, s_pos_rel, s_fb = simplify_batch_compact(
+        l_codes, l_lens, ref2_pos - ref_base, ref_win, read_seq,
+        max_clusters=max_clusters, window=window, max_out=max_out,
+    )
+    return {
+        "codes": s_codes, "lens": s_lens, "n_out": s_n,
+        "ref2_pos": s_pos_rel + ref_base, "mapped": mapped,
+        "read_len": read_len,
+        "fallback": s_fb | overflow,
+    }
 
 
 @partial(

@@ -44,22 +44,31 @@ def make_sharded_fwd_step(
     mesh: Mesh, *, max_out: int, max_clusters: int, window: int, mm: bool = False,
     max_rows: int | None = None,
 ):
-    """pjit-style sharded forward liftover step over the mesh.
+    """Sharded forward liftover step over the mesh: the PRODUCTION
+    ``fwd_batch`` graph per shard via ``shard_map``.
 
-    Batch dim must be divisible by the mesh size.  Inputs/outputs are sharded
-    on dim 0; scalars-per-read shard likewise.
+    Batch dim must be divisible by the mesh size; everything shards on dim 0
+    and the per-shard graph is exactly the single-device one (the mm path's
+    batch-level mixed-cluster compaction happens independently per shard —
+    no collectives on the hot path; per-item outputs are identical, only
+    the rare global-budget spill FLAG is computed per shard).
     """
-    from portello_tpu.models.pipeline_model import _fwd_item
+    from jax import shard_map
 
-    fn = jax.vmap(
-        lambda *a: _fwd_item(
-            *a, max_out=max_out, max_clusters=max_clusters, window=window, mm=mm,
+    from portello_tpu.models.pipeline_model import fwd_batch
+
+    spec = P("data")
+
+    def local(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq):
+        return fwd_batch(
+            ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq,
+            max_out=max_out, max_clusters=max_clusters, window=window, mm=mm,
             max_rows=max_rows,
         )
+
+    return jax.jit(
+        shard_map(local, mesh=mesh, in_specs=(spec,) * 10, out_specs=spec)
     )
-    sh = batch_sharding(mesh)
-    in_sh = (sh,) * 10
-    return jax.jit(fn, in_shardings=in_sh, out_shardings=sh)
 
 
 def make_sharded_rev_step(
@@ -109,15 +118,19 @@ def make_sharded_rev_step(
             )
         return stage_b_cache[bound]
 
+    from jax import shard_map
+
+    from portello_tpu.models.pipeline_model import fwd_batch
+
+    def fwd_local(*a):
+        return fwd_batch(
+            *a, max_out=max_out, max_clusters=max_clusters, window=window,
+            mm=mm, max_rows=(max_rows + 8) if max_rows else None,
+        )
+
     fwd = jax.jit(
-        jax.vmap(
-            lambda *a: _fwd_item(
-                *a, max_out=max_out, max_clusters=max_clusters, window=window,
-                mm=mm, max_rows=(max_rows + 8) if max_rows else None,
-            )
-        ),
-        in_shardings=(sh,) * 10,
-        out_shardings=sh,
+        shard_map(fwd_local, mesh=mesh, in_specs=(P("data"),) * 10,
+                  out_specs=P("data"))
     )
 
     def run(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
