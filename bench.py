@@ -285,7 +285,6 @@ def main():
         shift_stage_b_batch,
     )
     from portello_tpu.models.pipeline_model import (
-        _fwd_item,
         _rev_ops_bound,
         fwd_batch,
     )
@@ -316,8 +315,12 @@ def main():
         )
     )
 
-    # sustained per-batch times (fwd pipeline; two shift stages for rev)
-    t_fwd = sustained_batch_time(lambda *a: _fwd_item(*a, **kw), dev_fwd, reps, 3)
+    # sustained per-batch times (fwd pipeline; two shift stages for rev).
+    # fwd legs time the PRODUCTION batch graph (fwd_batch: batch-compacted
+    # mixed-cluster windows on the mm path), not the per-item form.
+    t_fwd = sustained_batch_time(
+        lambda *a: fwd_batch(*a, **kw), dev_fwd, reps, 3, already_batched=True
+    )
     t_shift_a = sustained_batch_time(
         lambda *a: _shift_stage_a(
             *a, max_clusters=bcfg.max_clusters, window=bcfg.window, mm=mm
@@ -355,7 +358,8 @@ def main():
     # production rev leg runs at max_rows+8 (pipeline_model.rev_batch)
     kw_rev = dict(kw, max_rows=kw["max_rows"] + 8)
     t_rev_fwd = sustained_batch_time(
-        lambda *a: _fwd_item(*a, **kw_rev), rev_fwd_args, reps, 3
+        lambda *a: fwd_batch(*a, **kw_rev), rev_fwd_args, reps, 3,
+        already_batched=True,
     )
     t_shift = t_shift_a + t_shift_b
     # 50/50 fwd/rev mix: rev = shift stages + its own fwd leg
