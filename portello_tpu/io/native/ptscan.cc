@@ -31,6 +31,7 @@
 #include "ptio.cc"
 #include "ptcore.cc"
 
+#include <chrono>
 #include <deque>
 #include <functional>
 #include <map>
@@ -505,7 +506,19 @@ struct Scanner {
 
   long long n_primary = 0, device_items = 0, host_items = 0,
             fallback_items = 0, n_unassembled = 0, cur_tid = -1;
+
+  // wall-clock phase split (ns), reported via ptscan_timing for the feed's
+  // PTPU_FEED_TIMING log: serial record framing/BGZF, parallel record prep,
+  // parallel item-row fill, finish+write (drain), result intake, tail shift
+  long long t_read_ns = 0, t_prepare_ns = 0, t_fill_ns = 0, t_drain_ns = 0,
+            t_post_ns = 0, t_shift_ns = 0;
 };
+
+long long now_ns() {
+  return std::chrono::duration_cast<std::chrono::nanoseconds>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
 
 int64_t upper_bound_i64(const int64_t* a, int64_t n, int64_t v) {
   return std::upper_bound(a, a + n, v) - a;
@@ -1422,19 +1435,25 @@ int ptscan_next_batch(void* hv, PtscanBatchDesc* out) {
           if (any_full() >= 0) break;
         }
         // fill assigned rows in parallel (disjoint rows)
+        long long t0 = now_ns();
         parallel_for(sc.prep_threads, (int64_t)jobs.size(), [&](int64_t j) {
           const FillJob& fj = jobs[j];
           fill_item_row(sc, *fj.read, fj.read->items[fj.item],
                         sc.accums[fj.accum], sc.buckets[fj.accum / 2],
                         fj.row);
         });
+        long long t1 = now_ns();
         drain_fifo(sc);
+        long long t2 = now_ns();
+        sc.t_fill_ns += t1 - t0;
+        sc.t_drain_ns += t2 - t1;
         continue;
       }
 
       if (sc.eof) break;
 
       // load + parallel-prep the next chunk of mapped primary records
+      long long t_load0 = now_ns();
       std::vector<std::vector<uint8_t>> raws;
       raws.reserve(kChunk);
       while ((int64_t)raws.size() < kChunk) {
@@ -1482,10 +1501,14 @@ int ptscan_next_batch(void* hv, PtscanBatchDesc* out) {
       sc.chunk.clear();
       sc.chunk.resize(raws.size());
       sc.chunk_cursor = 0;
+      long long t_load1 = now_ns();
       parallel_for(sc.prep_threads, (int64_t)raws.size(), [&](int64_t i) {
         sc.chunk[i] =
             prepare_read(sc, std::move(raws[i]), h->contig_idx);
       });
+      long long t_load2 = now_ns();
+      sc.t_read_ns += t_load1 - t_load0;
+      sc.t_prepare_ns += t_load2 - t_load1;
     }
     // EOF: flush non-empty accumulators one at a time
     for (size_t ai = 0; ai < sc.accums.size(); ++ai)
@@ -1512,6 +1535,7 @@ int ptscan_post_results(void* hv, const int32_t* codes, const int32_t* lens,
   try {
     if (sc.emitted.empty())
       throw std::runtime_error("post_results without pending batch");
+    long long tp0 = now_ns();
     auto [out_accum, emitted] = sc.emitted.front();
     sc.emitted.pop_front();
     Accum& ac = sc.accums[out_accum];
@@ -1547,6 +1571,8 @@ int ptscan_post_results(void* hv, const int32_t* codes, const int32_t* lens,
       it.resolved = true;
       rs.unresolved -= 1;
     }
+    long long tp1 = now_ns();
+    sc.t_post_ns += tp1 - tp0;
     // shift any tail rows (items past the emitted batch) down to row 0
     int64_t tail = ac.count - emitted;
     if (tail > 0) {
@@ -1579,7 +1605,10 @@ int ptscan_post_results(void* hv, const int32_t* codes, const int32_t* lens,
     }
     ac.count = tail;
     ac.pending_rows -= emitted;
+    long long tp2 = now_ns();
+    sc.t_shift_ns += tp2 - tp1;
     drain_fifo(sc);
+    sc.t_drain_ns += now_ns() - tp2;
     return 0;
   } catch (const std::exception& e) {
     sc.error = e.what();
@@ -1619,6 +1648,19 @@ void ptscan_stats(void* hv, long long* out6) {
   out6[3] = sc.fallback_items;
   out6[4] = sc.n_unassembled;
   out6[5] = sc.cur_tid;
+}
+
+// Wall-clock phase split in ns: [serial record framing/BGZF read,
+// parallel prepare_read, parallel fill_item_row, finish+write (drain),
+// result intake, accumulator tail shift].
+void ptscan_timing(void* hv, long long* out6) {
+  Scanner& sc = static_cast<ScannerHandle*>(hv)->sc;
+  out6[0] = sc.t_read_ns;
+  out6[1] = sc.t_prepare_ns;
+  out6[2] = sc.t_fill_ns;
+  out6[3] = sc.t_drain_ns;
+  out6[4] = sc.t_post_ns;
+  out6[5] = sc.t_shift_ns;
 }
 
 void ptscan_destroy(void* hv) {

@@ -232,7 +232,13 @@ def _finish_from_runs(
 
 
 MXI = 2    # per-item mixed-cluster slots (measured max 1 per HiFi read)
-GBUDGET = 64  # batch-wide mixed-cluster slots (measured ~26 per 512 items)
+GBUDGET = 64  # batch-wide mixed-cluster slots at B=512 (measured ~26/512)
+
+
+def _g_budget(b: int) -> int:
+    """Global mixed-cluster slots: GBUDGET per 512 items (the measured rate
+    plus ~2.5x headroom), scaled with batch size and 8-aligned."""
+    return min(MXI * b, max(GBUDGET, -(-b * GBUDGET // 512) // 8 * 8))
 
 
 def simplify_batch_compact(
@@ -258,7 +264,7 @@ def simplify_batch_compact(
     from portello_tpu.kernels.expand import expand_bytes, expand_sum, onehot_eq
 
     b = codes.shape[0]
-    g_budget = min(GBUDGET, MXI * b)
+    g_budget = _g_budget(b)
     w = window
 
     def part1(c, l, p):

@@ -416,6 +416,11 @@ def scan_and_remap_reads_native(
         if lib.ptscan_finish(h) < 0:
             raise RuntimeError(lib.ptscan_error(h).decode())
         lib.ptscan_stats(h, stats_buf)
+        timing_buf = (ctypes.c_longlong * 6)()
+        lib.ptscan_timing.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong)
+        ]
+        lib.ptscan_timing(h, timing_buf)
     finally:
         progress.clear()
         lib.ptscan_destroy(h)
@@ -438,6 +443,13 @@ def scan_and_remap_reads_native(
             f"feed timing: prep {t_prep:.2f}s, device {t_dev:.2f}s, "
             f"finish {t_post:.2f}s over {n_batches} batches"
         )
+        names = ("read", "prepare", "fill", "drain", "post", "shift")
+        logger.info(
+            "native phase split: "
+            + ", ".join(f"{n} {v / 1e9:.3f}s" for n, v in zip(names, timing_buf))
+        )
+        for i, n in enumerate(names):
+            stats[f"t_native_{n}"] = timing_buf[i] / 1e9
     stats["t_prep"] = t_prep
     stats["t_dev"] = t_dev
     stats["t_post"] = t_post
