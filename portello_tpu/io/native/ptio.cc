@@ -20,6 +20,7 @@
 #include <queue>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 #include <fcntl.h>
@@ -34,6 +35,11 @@ constexpr uint8_t kEofMarker[28] = {
     0x06, 0x00, 0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
     0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00};
 
+struct DecodedBlock {
+  std::vector<uint8_t> data;
+  uint32_t csize = 0;
+};
+
 struct Reader {
   int fd = -1;
   const uint8_t* data = nullptr;
@@ -46,19 +52,21 @@ struct Reader {
   uint32_t block_csize = 0;
   std::vector<uint8_t> block;
   std::string error;
+  // parallel readahead (sequential scans; BGZF blocks are independent)
+  int n_threads = 1;
+  std::unordered_map<size_t, DecodedBlock> ra_cache;
 };
 
-// Inflate one BGZF block at coffset; returns false on error.
-bool load_block(Reader* r, size_t coffset) {
-  if (coffset == r->block_coffset) return true;
+// Parse a BGZF block header at coffset; returns BSIZE or 0 with *err set.
+uint32_t block_bsize(const Reader* r, size_t coffset, std::string* err) {
   if (coffset + 18 > r->size) {
-    r->error = "truncated BGZF block header";
-    return false;
+    *err = "truncated BGZF block header";
+    return 0;
   }
   const uint8_t* p = r->data + coffset;
   if (p[0] != 0x1f || p[1] != 0x8b || p[2] != 8 || !(p[3] & 4)) {
-    r->error = "not a BGZF block";
-    return false;
+    *err = "not a BGZF block";
+    return 0;
   }
   uint16_t xlen;
   std::memcpy(&xlen, p + 10, 2);
@@ -75,29 +83,103 @@ bool load_block(Reader* r, size_t coffset) {
     xs += 4 + slen;
   }
   if (bsize == 0 || coffset + bsize > r->size) {
-    r->error = "BGZF block missing/invalid BSIZE";
-    return false;
+    *err = "BGZF block missing/invalid BSIZE";
+    return 0;
   }
+  return bsize;
+}
+
+// Inflate the block at coffset (pure function of the mmap; thread-safe).
+bool inflate_block(const Reader* r, size_t coffset, uint32_t bsize,
+                   std::vector<uint8_t>* out, std::string* err) {
+  const uint8_t* p = r->data + coffset;
+  uint16_t xlen;
+  std::memcpy(&xlen, p + 10, 2);
   uint32_t isize;
   std::memcpy(&isize, p + bsize - 4, 4);
-  r->block.resize(isize);
+  out->resize(isize);
   if (isize > 0) {
     z_stream zs{};
     zs.next_in = const_cast<Bytef*>(p + 12 + xlen);
     zs.avail_in = bsize - 12 - xlen - 8;
-    zs.next_out = r->block.data();
+    zs.next_out = out->data();
     zs.avail_out = isize;
     if (inflateInit2(&zs, -15) != Z_OK) {
-      r->error = "inflateInit2 failed";
+      *err = "inflateInit2 failed";
       return false;
     }
     int ret = inflate(&zs, Z_FINISH);
     inflateEnd(&zs);
     if (ret != Z_STREAM_END || zs.total_out != isize) {
-      r->error = "BGZF inflate failed";
+      *err = "BGZF inflate failed";
       return false;
     }
   }
+  return true;
+}
+
+constexpr size_t kReadahead = 64;  // blocks per parallel decode batch (~4 MB)
+
+// Batch-decode up to kReadahead blocks starting at coffset into the cache
+// (fork-join; each BGZF block inflates independently).  Only successfully
+// decoded blocks are cached — a bad block surfaces its error when the
+// cursor actually reaches it.
+void readahead_decode(Reader* r, size_t coffset) {
+  std::vector<std::pair<size_t, uint32_t>> todo;
+  std::string err;
+  size_t c = coffset;
+  while (todo.size() < kReadahead && c < r->size) {
+    if (r->ra_cache.count(c)) break;  // already decoded from here on
+    uint32_t bs = block_bsize(r, c, &err);
+    if (bs == 0) break;
+    todo.push_back({c, bs});
+    c += bs;
+  }
+  if (todo.empty()) return;
+  std::vector<DecodedBlock> out(todo.size());
+  std::atomic<size_t> next{0};
+  auto worker = [&] {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= todo.size()) return;
+      std::string e;
+      out[i].csize = todo[i].second;
+      if (!inflate_block(r, todo[i].first, todo[i].second, &out[i].data, &e))
+        out[i].csize = 0;  // marker: do not cache
+    }
+  };
+  int nt = std::min<size_t>(r->n_threads, todo.size());
+  std::vector<std::thread> pool;
+  pool.reserve(nt - 1);
+  for (int t = 1; t < nt; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& t : pool) t.join();
+  if (r->ra_cache.size() > 4 * kReadahead) r->ra_cache.clear();
+  for (size_t i = 0; i < todo.size(); ++i)
+    if (out[i].csize) r->ra_cache.emplace(todo[i].first, std::move(out[i]));
+}
+
+// Inflate one BGZF block at coffset; returns false on error.
+bool load_block(Reader* r, size_t coffset) {
+  if (coffset == r->block_coffset) return true;
+  if (r->n_threads > 1) {
+    auto it = r->ra_cache.find(coffset);
+    if (it == r->ra_cache.end()) {
+      readahead_decode(r, coffset);
+      it = r->ra_cache.find(coffset);
+    }
+    if (it != r->ra_cache.end()) {
+      r->block = std::move(it->second.data);
+      r->block_csize = it->second.csize;
+      r->block_coffset = coffset;
+      r->ra_cache.erase(it);
+      return true;
+    }
+    // fall through: decode serially so the precise error is reported
+  }
+  uint32_t bsize = block_bsize(r, coffset, &r->error);
+  if (bsize == 0) return false;
+  if (!inflate_block(r, coffset, bsize, &r->block, &r->error)) return false;
   r->block_coffset = coffset;
   r->block_csize = bsize;
   return true;
@@ -277,6 +359,11 @@ void ptio_reader_close(void* h) {
 
 long long ptio_read(void* h, uint8_t* out, long long n) {
   return reader_read(static_cast<Reader*>(h), out, n);
+}
+
+// Enable parallel BGZF readahead decode with n worker threads (1 = serial).
+void ptio_reader_set_threads(void* h, int n) {
+  static_cast<Reader*>(h)->n_threads = n < 1 ? 1 : n;
 }
 
 void ptio_seek_voffset(void* h, unsigned long long voffset) {

@@ -886,8 +886,10 @@ void write_record_bytes(Writer* w, const std::vector<uint8_t>& rec) {
 }
 
 // finish_remapped_alignment_set (read_scan.py:215-251;
-// read_alignment_scanner.rs:310-366)
-void finish_read(Scanner& sc, ReadState& rs) {
+// read_alignment_scanner.rs:310-366).  Appends the read's encoded output
+// records to *out (pure w.r.t. the scanner — safe to run per-read in
+// parallel; the caller writes buffers in FIFO order).
+void finish_read(const Scanner& sc, ReadState& rs, std::vector<uint8_t>* out) {
   std::vector<OutRecord> recs;
   for (Item& it : rs.items) {
     if (!it.has_result) continue;
@@ -927,7 +929,7 @@ void finish_read(Scanner& sc, ReadState& rs) {
       r.flipped = true;
     }
     encode_record(rs, r, &buf);
-    write_record_bytes(sc.remapped, buf);
+    out->insert(out->end(), buf.begin(), buf.end());
     return;
   }
   size_t primary = 0;
@@ -953,15 +955,27 @@ void finish_read(Scanner& sc, ReadState& rs) {
   }
   for (const OutRecord& r : recs) {
     encode_record(rs, r, &buf);
-    write_record_bytes(sc.remapped, buf);
+    out->insert(out->end(), buf.begin(), buf.end());
   }
 }
 
+void parallel_for(int n_threads, int64_t n, const std::function<void(int64_t)>& fn);
+
 void drain_fifo(Scanner& sc) {
+  // Encode ready reads in parallel (finish_read is pure per read); write the
+  // buffers serially in FIFO order so output matches the serial form exactly.
+  std::vector<std::unique_ptr<ReadState>> ready;
   while (!sc.fifo.empty() && sc.fifo.front()->unresolved == 0) {
-    finish_read(sc, *sc.fifo.front());
+    ready.push_back(std::move(sc.fifo.front()));
     sc.fifo.pop_front();
   }
+  if (ready.empty()) return;
+  std::vector<std::vector<uint8_t>> bufs(ready.size());
+  parallel_for(sc.prep_threads, (int64_t)ready.size(), [&](int64_t i) {
+    finish_read(sc, *ready[i], &bufs[i]);
+  });
+  for (const auto& b : bufs)
+    if (!b.empty()) ptio_write(sc.remapped, b.data(), b.size());
 }
 
 // DeviceEngine._prep_item semantics (models/pipeline_model.py:217-287)
@@ -1376,6 +1390,9 @@ void* ptscan_create(
   sc.owned = owned;
   sc.emit_unmapped = emit_unmapped != 0;
   sc.prep_threads = prep_threads < 1 ? 1 : prep_threads;
+  // Parallel BGZF readahead: the serial inflate in the framing loop was the
+  // measured host-feed ceiling (~42 us/item at 18 kb; PERF.md phase split).
+  ptio_reader_set_threads(sc.reader, sc.prep_threads);
   return h;
 }
 
