@@ -341,24 +341,24 @@ def main():
         (dev_shift_args[0], dev_shift_args[1], dev_shift_args[2], st),
         reps, 0,
     )
-    # rev items' fwd leg runs on the SHIFTED cigars at the tight
-    # _rev_ops_bound width (a distinct graph from the fwd items' leg);
-    # measure it on real stage-B outputs so the mix is honest.
+    # rev items' fwd leg runs on the SHIFTED cigars (max_ops-capped, the
+    # same graph shape as the fwd leg); measure it on real stage-B outputs
+    # so the mix stays honest.
     sh_codes, sh_lens, sh_n, sh_pos, _sh_fb = shift_stage_b_batch(
         dev_shift_args[0], dev_shift_args[1], dev_shift_args[2], st,
         window=bcfg.window, max_out=bound, mm=mm,
     )
+    # production rev leg: max_ops-capped shifted cigars through the SAME
+    # fwd graph (pipeline_model.rev_batch)
     rev_fwd_args = (
-        sh_codes, sh_lens, sh_n,
+        sh_codes[:, : bcfg.max_ops], sh_lens[:, : bcfg.max_ops], sh_n,
         sh_pos + dev_shift_args[3],
         *(jax.device_put(np.asarray(a), device) for a in
           (rev_items[6], rev_items[7], rev_items[8],
            rev_items[9], rev_items[10], rev_items[11])),
     )
-    # production rev leg runs at max_rows+8 (pipeline_model.rev_batch)
-    kw_rev = dict(kw, max_rows=kw["max_rows"] + 8)
     t_rev_fwd = sustained_batch_time(
-        lambda *a: fwd_batch(*a, **kw_rev), rev_fwd_args, reps, 3,
+        lambda *a: fwd_batch(*a, **kw), rev_fwd_args, reps, 3,
         already_batched=True,
     )
     t_shift = t_shift_a + t_shift_b

@@ -119,15 +119,20 @@ def _rev_item(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
     sh_codes, sh_lens, sh_n, sh_pos = jax.lax.optimization_barrier(
         (sh_codes, sh_lens, sh_n, sh_pos)
     )
-    sh_fb = sh_fb | (sh_n > bound)
+    # Cap the fwd leg at exactly max_ops so the rev leg is SHAPE-IDENTICAL
+    # to the fwd graph (one compiled program; a 136/160-wide ops axis crosses
+    # the 128-lane tile and pads every op-wide tensor to 256 lanes —
+    # measured ~1.5x on the whole leg, scripts/profile_revslice.py).  The
+    # shifter adds at most one run (tests/test_shift_run_bound.py), so only
+    # bucket-edge items (n_ops == max_ops exactly) can exceed; they take the
+    # exact host fallback.
+    n = ops.shape[0]
+    sh_fb = sh_fb | (sh_n > n)
     out = _fwd_item(
-        sh_codes, sh_lens, sh_n, sh_pos + win_base, bk, bv, nb,
+        sh_codes[:n], sh_lens[:n], sh_n, sh_pos + win_base, bk, bv, nb,
         ref_win, ref_base, read_seq,
         max_out=max_out, max_clusters=max_clusters, window=window, mm=mm,
-        # +8 keeps the grid sublane-aligned and covers the shifter's
-        # at-most-one extra run (tests/test_shift_run_bound.py: shifted rows
-        # <= (max_ops+1) + max_blocks); row_overflow backstops the rest
-        max_rows=(max_rows + 8) if max_rows else None,
+        max_rows=max_rows,
     )
     out["fallback"] = out["fallback"] | sh_fb
     return out
@@ -218,11 +223,15 @@ def rev_batch(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
     sh_codes, sh_lens, sh_n, sh_pos, sh_fb = shift_stage_b_batch(
         ops, lens, rel_pos, st, window=window, max_out=bound, mm=mm
     )
-    sh_fb = sh_fb | (sh_n > bound)
-    kw_rev = dict(kw, max_rows=(max_rows + 8) if max_rows else None)
+    # Cap the fwd leg at exactly max_ops: the rev leg then runs the SAME
+    # compiled fwd_batch program as fwd items (no extra 128->256 lane tile on
+    # the ops axis; see _rev_item).  sh_n > max_ops (only possible for
+    # bucket-edge reads, shift adds <= 1 run) -> exact host fallback.
+    n = ops.shape[1]
+    sh_fb = sh_fb | (sh_n > n)
     out = fwd_batch(
-        sh_codes, sh_lens, sh_n, sh_pos + win_base,
-        bk, bv, nb, ref_win, ref_base, read_seq, **kw_rev,
+        sh_codes[:, :n], sh_lens[:, :n], sh_n, sh_pos + win_base,
+        bk, bv, nb, ref_win, ref_base, read_seq, **kw,
     )
     out["fallback"] = out["fallback"] | sh_fb
     return out

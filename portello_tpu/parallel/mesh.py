@@ -125,7 +125,7 @@ def make_sharded_rev_step(
     def fwd_local(*a):
         return fwd_batch(
             *a, max_out=max_out, max_clusters=max_clusters, window=window,
-            mm=mm, max_rows=(max_rows + 8) if max_rows else None,
+            mm=mm, max_rows=max_rows,
         )
 
     fwd = jax.jit(
@@ -141,9 +141,12 @@ def make_sharded_rev_step(
         sh_codes, sh_lens, sh_n, sh_pos, sh_fb = get_stage_b(bound)(
             ops, lens, rel_pos, st
         )
-        sh_fb = sh_fb | (sh_n > bound)
+        # max_ops-capped fwd leg (pipeline_model.rev_batch semantics): the
+        # rev leg shares the fwd graph's shapes; spilling reads -> host
+        n = ops.shape[1]
+        sh_fb = sh_fb | (sh_n > n)
         out = fwd(
-            sh_codes, sh_lens, sh_n, sh_pos + win_base,
+            sh_codes[:, :n], sh_lens[:, :n], sh_n, sh_pos + win_base,
             bk, bv, nb, ref_win, ref_base, read_seq,
         )
         out["fallback"] = out["fallback"] | sh_fb
