@@ -90,15 +90,17 @@ def _fwd_item(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq,
 
 
 def _rev_ops_bound(max_ops: int, max_out: int) -> int:
-    """Static width of the shifted cigar fed to the rev-path liftover.
+    """Static width of the shifted cigar (stage B's compress width and the
+    rev-path liftover input).
 
-    A left-shifted cigar has at most ~(input ops + 1) runs in practice
-    (the shifter rewrites clusters in place; it does not split match runs),
-    so feeding the full ``max_out`` worst-case width into liftover wastes
-    ~40% of the rev update grid (U = 2*width + max_blocks).  Reads whose
-    shifted cigar exceeds the bound fall back to the exact host path via
+    Exactly ``max_ops``: the rev fwd leg is capped there anyway (so it
+    shares the fwd graph's shapes), and any wider width crosses the 128-lane
+    tile, padding every op-wide tensor to 256 lanes (scripts/
+    profile_revslice.py: ~1.3x on the leg).  A left-shifted cigar has at
+    most (input runs + 1) runs (tests/test_shift_run_bound.py), so only
+    bucket-edge reads can exceed; they fall back to the exact host path via
     the standard overflow flag."""
-    return min(max_out, max_ops + 32)
+    return min(max_out, max_ops)
 
 
 def _rev_item(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,

@@ -1,13 +1,15 @@
 """Property test backing the rev-path static width bound.
 
-``pipeline_model._rev_ops_bound`` slices the shifted cigar to ``max_ops + 32``
-columns before the rev items' liftover leg.  That slice is safe because the
-shifter can never grow the run count by more than one: each indel cluster
-emits at most ``M I D`` where the input cluster held at least one indel op
-plus its preceding match run, and edge cleanup + compression only rewrite or
-merge ops in place (reference shift_indels/cigar_indel_shifter.rs:10-165,
-cigar/mod.rs:265-291).  This fuzzes that invariant on the host oracle; the
-device path is conformance-equal to the oracle, so the bound transfers.
+``pipeline_model._rev_ops_bound`` compresses the shifted cigar at exactly
+``max_ops`` columns (the fwd graph's lane tile); reads whose shifted cigar
+exceeds it are flagged to the exact host path.  The flag can only fire for
+bucket-edge reads because the shifter can never grow the run count by more
+than one: each indel cluster emits at most ``M I D`` where the input cluster
+held at least one indel op plus its preceding match run, and edge cleanup +
+compression only rewrite or merge ops in place (reference
+shift_indels/cigar_indel_shifter.rs:10-165, cigar/mod.rs:265-291).  This
+fuzzes that invariant on the host oracle; the device path is
+conformance-equal to the oracle, so the bound transfers.
 """
 
 import numpy as np
@@ -90,13 +92,14 @@ def test_shift_never_grows_runs_by_more_than_one():
     assert grew > 0
 
 
-def test_rev_ops_bound_covers_worst_case():
-    # For every production bucket shape, the slice width admits the proven
-    # worst case (max_ops + 1 runs) with slack, and never exceeds max_out.
+def test_rev_ops_bound_matches_fwd_tile():
+    # The rev leg shares the fwd graph's shapes: the bound equals max_ops
+    # (never exceeding max_out), so no op-wide tensor crosses the 128-lane
+    # tile.  Reads whose shifted cigar exceeds it (possible only at the
+    # bucket edge, per the +1 invariant above) are flagged to the host path.
     from portello_tpu.testutil.batchgen import HIFI_BUCKET
 
     for max_ops in (HIFI_BUCKET.max_ops, 256, 512):
         max_out = 2 * max_ops - 24
         b = _rev_ops_bound(max_ops, max_out)
-        assert b >= max_ops + 1
-        assert b <= max_out
+        assert b == min(max_ops, max_out)
