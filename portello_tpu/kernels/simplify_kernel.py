@@ -243,6 +243,7 @@ def _g_budget(b: int) -> int:
 
 def simplify_batch_compact(
     codes, lens, ref_pos, ref_win, read_seq, *, max_clusters, window, max_out,
+    row_fetch="onehot",
 ):
     """Batch-level simplify with BATCH-compacted mixed-cluster windows
     (mm formulation).
@@ -307,10 +308,19 @@ def simplify_batch_compact(
     item_ids = jnp.repeat(jnp.arange(b, dtype=jnp.int32), MXI)
     gitem = expand_sum(gmask, item_ids[:, None])[:, 0]    # (G,)
 
-    # gather ONLY the slots' sequence rows (exact one-hot byte matmul)
-    sel = onehot_eq(gitem, b)
-    rows_a = expand_bytes(sel, ref_win)                    # (G, L)
-    rows_b = expand_bytes(sel, read_seq)
+    # fetch ONLY the slots' sequence rows.  Both forms are exact and measure
+    # the SAME in-context (scripts/profile_rowfetch.py: the (B, L) table
+    # conversion the one-hot dot needs is not a bottleneck at G=64 slots);
+    # one-hot is the shipped default, the row take kept as the A/B record.
+    # Empty slots (gitem 0 from the zero mask row) fetch row 0 harmlessly:
+    # their runs are never scattered back (smask excludes them).
+    if row_fetch == "gather":
+        rows_a = jnp.take(ref_win, gitem, axis=0)
+        rows_b = jnp.take(read_seq, gitem, axis=0)
+    else:
+        sel = onehot_eq(gitem, b)
+        rows_a = expand_bytes(sel, ref_win)                # (G, L)
+        rows_b = expand_bytes(sel, read_seq)
     bsg, rsg, dlg, ilg = gst[:, 0], gst[:, 1], gst[:, 2], gst[:, 3]
     wa = jax.vmap(
         lambda row, st: _window_bytes_mm_t(row, st, w, 0xFE)
