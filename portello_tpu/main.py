@@ -154,20 +154,35 @@ def run(settings: Settings) -> None:
             f"{remapped_out}"
         )
 
-    from portello_tpu.io.aln_input import is_cram_file
+    from portello_tpu.io.aln_input import cram_to_bam, is_cram_file
 
     use_native_feed = False
-    if (
-        engine is not None
-        and settings.feed in ("auto", "native")
-        and not is_cram_file(settings.read_to_assembly_bam)
-    ):
+    if engine is not None and settings.feed in ("auto", "native"):
         from portello_tpu.pipeline.native_feed import get_lib as _feed_lib
 
         if _feed_lib() is not None:
             use_native_feed = True
         elif settings.feed == "native":
             raise SystemExit("--feed native requested but ptscan unavailable")
+
+    # The native scanner consumes the mmap'd BAM layout; CRAM input is
+    # bridged through a one-pass transcode to a temporary BAM (the reference
+    # reads either format through htslib, cli.rs:25,32).
+    scan_input = settings.read_to_assembly_bam
+    transcode_tmp = None
+    if use_native_feed and is_cram_file(scan_input):
+        import tempfile
+
+        fd, transcode_tmp = tempfile.mkstemp(suffix=".bam", prefix="ptpu_cram_")
+        os.close(fd)
+        logger.info(
+            "Transcoding CRAM input to temporary BAM for the native scanner"
+        )
+        cram_to_bam(
+            scan_input, transcode_tmp, reference=reference,
+            n_threads=max(1, settings.thread_count // 2),
+        )
+        scan_input = transcode_tmp
 
     import contextlib
 
@@ -187,14 +202,20 @@ def run(settings: Settings) -> None:
         except Exception as e:  # profiling is best-effort
             logger.warning(f"profiler unavailable: {e}")
 
-    with profile_ctx:
+    cleanup = contextlib.ExitStack()
+    if transcode_tmp is not None:
+        cleanup.callback(
+            lambda: os.path.exists(transcode_tmp) and os.remove(transcode_tmp)
+        )
+
+    with cleanup, profile_ctx:
         if use_native_feed:
             from portello_tpu.pipeline.native_feed import (
                 scan_and_remap_reads_native,
             )
 
             scan_and_remap_reads_native(
-                settings.read_to_assembly_bam,
+                scan_input,
                 remapped_out,
                 unassembled_out,
                 reference,

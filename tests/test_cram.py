@@ -186,3 +186,57 @@ def test_cram_cli_e2e_matches_bam(tmp_path):
     assert recs_sam(out_b) == recs_sam(out_c)
     assert recs_sam(un_b, True) == recs_sam(un_c, True)
     assert len(recs_sam(out_b)) > 0
+
+
+def test_cram_native_feed_matches_python_feed(tmp_path):
+    """CRAM input through the native scanner (transcode bridge in main.run)
+    must produce output record-identical to the Python feed on the same CRAM
+    (reference reads CRAM directly via htslib, cli.rs:25,32)."""
+    from portello_tpu.pipeline import native_feed
+
+    if native_feed.get_lib() is None:
+        pytest.skip(f"ptscan unavailable: {native_feed.build_error()}")
+
+    from portello_tpu.main import main
+    from portello_tpu.testutil.simulate import make_scenario
+
+    make_scenario(str(tmp_path), rng=np.random.default_rng(47))
+    src = "read_to_asm.bam"
+    with BamReader(str(tmp_path / src)) as r:
+        recs = list(r)
+        header = r.header
+    with cram.CramWriter(str(tmp_path / (src + ".cram")), header) as w:
+        for rec in recs:
+            w.write(rec)
+
+    def run(tag, feed):
+        out = tmp_path / f"rem_{tag}.bam"
+        un = tmp_path / f"un_{tag}.bam"
+        main([
+            "--assembly-to-ref", str(tmp_path / "asm_to_ref.bam"),
+            "--read-to-assembly", str(tmp_path / (src + ".cram")),
+            "--remapped-read-output", str(out),
+            "--unassembled-read-output", str(un),
+            "--ref", str(tmp_path / "ref.fa"),
+            "--device", "cpu", "--feed", feed, "--batch-size", "32",
+        ])
+        return out, un
+
+    import glob
+    import os
+    import tempfile
+
+    tmp_pat = os.path.join(tempfile.gettempdir(), "ptpu_cram_*.bam")
+    before = set(glob.glob(tmp_pat))
+    out_n, un_n = run("native", "native")
+    out_p, un_p = run("python", "python")
+
+    def recs_sam(path):
+        with BamReader(str(path)) as r:
+            return sorted(rec.to_sam(r.header) for rec in r)
+
+    assert recs_sam(out_n) == recs_sam(out_p)
+    assert recs_sam(un_n) == recs_sam(un_p)
+    assert len(recs_sam(out_n)) > 0
+    # the transcode temporary must be cleaned up
+    assert set(glob.glob(tmp_pat)) == before
