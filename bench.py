@@ -362,8 +362,17 @@ def main():
         already_batched=True,
     )
     t_shift = t_shift_a + t_shift_b
-    # 50/50 fwd/rev mix: rev = shift stages + its own fwd leg
-    t_mix = 0.5 * t_fwd + 0.5 * (t_shift + t_rev_fwd)
+    # PRODUCTION rev graph: the fused single-program chain (shift A + B +
+    # capped fwd leg) the engine dispatches on the mm path
+    # (pipeline_model.rev_chain_batch); stage timings above are diagnostics.
+    from portello_tpu.models.pipeline_model import rev_batch
+
+    dev_rev = tuple(jax.device_put(np.asarray(a), device) for a in rev_items)
+    t_rev_chain = sustained_batch_time(
+        lambda *a: rev_batch(*a, **kw), dev_rev, reps, 3, already_batched=True,
+    ) if mm else (t_shift + t_rev_fwd)
+    # 50/50 fwd/rev mix: rev = the fused chain (or staged sum off-mm)
+    t_mix = 0.5 * t_fwd + 0.5 * t_rev_chain
     reads_per_s = batch / t_mix
 
     # real single-dispatch overhead (transfer + tunnel RTT), reported separately
@@ -415,6 +424,7 @@ def main():
                 "device": str(device),
                 "batch": batch,
                 "t_fwd_ms": round(t_fwd * 1e3, 3),
+                "t_rev_chain_ms": round(t_rev_chain * 1e3, 3),
                 "t_rev_fwd_ms": round(t_rev_fwd * 1e3, 3),
                 "t_shift_ms": round(t_shift * 1e3, 3),
                 "t_shift_a_ms": round(t_shift_a * 1e3, 3),

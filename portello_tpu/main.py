@@ -78,12 +78,17 @@ def make_engine(settings: Settings, reference, contig_list, all_contig_mapping_i
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         from portello_tpu.models.pipeline_model import DeviceEngine
 
+        # PTPU_MM=1/0 forces the kernel formulation (one-hot-matmul vs
+        # gather) regardless of backend — debugging / CLI-level conformance
+        # drives of the TPU-production graphs on CPU.
+        force_mm = {"1": True, "0": False}.get(os.environ.get("PTPU_MM", ""))
         return DeviceEngine(
             reference,
             contig_list,
             all_contig_mapping_info,
             batch_size=settings.batch_size,
             platform=None if settings.device == "auto" else settings.device,
+            use_mm=force_mm,
         )
     except Exception as e:  # pragma: no cover - device-availability dependent
         setup_logger().warning(

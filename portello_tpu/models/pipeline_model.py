@@ -193,26 +193,77 @@ def rev_batch_fused(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
     )(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb, ref_win, ref_base, read_seq)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("max_out", "max_clusters", "window", "mm", "max_rows"),
+)
+def rev_chain_batch(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
+                    ref_win, ref_base, read_seq, *, max_out, max_clusters,
+                    window, mm=True, max_rows=None):
+    """Whole reverse chain — shift stage A, stage B, capped fwd leg with the
+    batch-level (compacted-simplify) forward body — as ONE XLA program.
+
+    The historical stage split existed because gather-built intermediate
+    streams fused into the downstream prefix scans and serialized them
+    (~7x, scripts/profile_isolate.py).  On the mm path the gathers are gone
+    (one-hot matmuls throughout) and the fused program measures equal to the
+    staged sum (scripts/profile_fused_rev.py: 1.47-1.55 vs 1.48-1.61
+    ms/batch, within run noise) while cutting production dispatches 3 -> 1
+    per rev batch.
+    """
+    from portello_tpu.kernels.shift_kernel import _shift_stage_a, _shift_stage_b
+
+    rel_pos = pos - win_base
+    st = jax.vmap(
+        lambda c, l, p, wb, rw, rq: _shift_stage_a(
+            c, l, p, wb, rw, rq, max_clusters=max_clusters, window=window, mm=mm
+        )
+    )(ops, lens, rel_pos, win_base, contig_win, read_seq)
+    bound = _rev_ops_bound(ops.shape[1], max_out)
+    sh_codes, sh_lens, sh_n, sh_pos, sh_fb = jax.vmap(
+        lambda c, l, p, s: _shift_stage_b(
+            c, l, p, s, window=window, max_out=bound, mm=mm
+        )
+    )(ops, lens, rel_pos, st)
+    n = ops.shape[1]
+    sh_fb = sh_fb | (sh_n > n)
+    out = fwd_batch(
+        sh_codes[:, :n], sh_lens[:, :n], sh_n, sh_pos + win_base,
+        bk, bv, nb, ref_win, ref_base, read_seq,
+        max_out=max_out, max_clusters=max_clusters, window=window, mm=mm,
+        max_rows=max_rows,
+    )
+    out["fallback"] = out["fallback"] | sh_fb
+    return out
+
+
 def rev_batch(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
               ref_win, ref_base, read_seq, *, max_out, max_clusters, window,
               mm=False, max_rows=None):
-    """Reverse pipeline as a chain of separate device calls: shift stage A
-    (clusters + homology gathers), shift stage B (scan + emissions), then the
-    forward pipeline on the shifted cigars.
+    """Reverse pipeline: one fused program on the mm path
+    (``rev_chain_batch``); a chain of separate device calls — shift stage A,
+    stage B, then the forward pipeline — on the gather path.
 
-    Compiling these into one XLA program triggers a fusion pathology on TPU
-    (gather-built intermediate streams fuse into the downstream prefix scans
-    and serialize them — measured ~7x wall-clock in scripts/devtime.py);
-    stage-separated programs each keep their fast lowering.  Intermediates
-    stay on device between calls.
+    The gather path keeps the stage split: compiling it into one XLA program
+    triggers a fusion pathology on TPU (gather-built intermediate streams
+    fuse into the downstream prefix scans and serialize them — measured ~7x
+    wall-clock in scripts/devtime.py).  The mm path has no gathers, and the
+    fused form measured equal-per-batch with 3x fewer dispatches
+    (scripts/profile_fused_rev.py).
     """
+    kw = dict(max_out=max_out, max_clusters=max_clusters, window=window, mm=mm,
+              max_rows=max_rows)
+    if mm:
+        return rev_chain_batch(
+            ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
+            ref_win, ref_base, read_seq, **kw,
+        )
+
     from portello_tpu.kernels.shift_kernel import (
         shift_stage_a_batch,
         shift_stage_b_batch,
     )
 
-    kw = dict(max_out=max_out, max_clusters=max_clusters, window=window, mm=mm,
-              max_rows=max_rows)
     rel_pos = pos - win_base
     st = shift_stage_a_batch(
         ops, lens, rel_pos, win_base, contig_win, read_seq,

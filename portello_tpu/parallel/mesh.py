@@ -7,12 +7,13 @@ case for ICI).  The same entry points serve single-host multi-chip (one mesh
 over local devices) and multi-host (jax.distributed + the same named sharding
 over the global mesh).
 
-The reverse-contig pipeline ships in two forms: the production **stage-split
-chain** (shift stage A, stage B, then the forward pipeline as separate
-dispatches with device-resident sharded intermediates — the form the engine
-runs, required to avoid the TPU gather-into-scan fusion pathology;
-models/pipeline_model.rev_batch) and the fused single-graph variant (kept for
-single-dispatch use).  ``make_sharded_rev_step`` shards the production chain.
+The reverse-contig pipeline ships in two forms: the production **fused
+chain** on the mm path (one program: shift A + B + capped fwd leg;
+models/pipeline_model.rev_chain_batch) and the **stage-split chain** on the
+gather path (separate dispatches with device-resident sharded intermediates,
+required to avoid the TPU gather-into-scan fusion pathology).
+``make_sharded_rev_step`` shards whichever form ``mm`` selects — the same
+graph the engine runs.
 """
 
 from __future__ import annotations
@@ -75,16 +76,34 @@ def make_sharded_rev_step(
     mesh: Mesh, *, max_out: int, max_clusters: int, window: int, mm: bool = False,
     max_rows: int | None = None,
 ):
-    """Sharded reverse-contig step: the PRODUCTION stage-split chain.
+    """Sharded reverse-contig step: the PRODUCTION chain.
 
-    Three sharded dispatches — shift stage A (clusters + homology), shift
-    stage B (min-plus scan + emissions), forward pipeline — with
-    device-resident sharded intermediates, exactly mirroring
-    ``pipeline_model.rev_batch``.  Returns a callable over the 12 rev batch
+    mm path: ONE sharded dispatch of the fused chain (``rev_chain_batch``,
+    the graph the engine runs).  Gather path: three sharded dispatches —
+    shift stage A, stage B, forward pipeline — with device-resident sharded
+    intermediates (the stage split the gather formulation still requires;
+    ``pipeline_model.rev_batch``).  Returns a callable over the 12 rev batch
     arrays.
     """
+    from jax import shard_map as _shard_map
+
     from portello_tpu.kernels.shift_kernel import _shift_stage_a, _shift_stage_b
-    from portello_tpu.models.pipeline_model import _fwd_item
+
+    if mm:
+        from portello_tpu.models.pipeline_model import rev_chain_batch
+
+        def chain_local(*a):
+            return rev_chain_batch(
+                *a, max_out=max_out, max_clusters=max_clusters, window=window,
+                mm=mm, max_rows=max_rows,
+            )
+
+        return jax.jit(
+            _shard_map(
+                chain_local, mesh=mesh, in_specs=(P("data"),) * 12,
+                out_specs=P("data"),
+            )
+        )
 
     sh = batch_sharding(mesh)
 
