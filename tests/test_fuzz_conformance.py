@@ -1,0 +1,132 @@
+"""Differential fuzz: random aggressive work items, device graphs vs oracle.
+
+The scenario suites exercise realistic HiFi shapes; this sweeps hostile ones
+— edit rates up to ~10%/bp, dense indel clusters, tiny windows/buckets so
+cluster-count overflow, window saturation, run-width spills and mixed-cluster
+budget overflow all fire — and asserts the production batch graphs
+(``fwd_batch``/``rev_batch``; both the mm and gather formulations, including
+the fused rev chain) either match the exact oracle bit-for-bit or raise the
+fallback flag (never a silently wrong result).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from portello_tpu.models.batch import BucketConfig  # noqa: E402
+from portello_tpu.models.pipeline_model import fwd_batch, rev_batch  # noqa: E402
+from portello_tpu.ops.blockmap import BlockMap  # noqa: E402
+from portello_tpu.ops.liftover import liftover_read_alignment  # noqa: E402
+from portello_tpu.ops.shift import left_shift_indels  # noqa: E402
+from portello_tpu.ops.simplify import simplify_alignment_indels  # noqa: E402
+from portello_tpu.testutil.batchgen import make_item_arrays  # noqa: E402
+
+# Small bucket so static bounds are genuinely stressed (overflow -> fallback).
+BCFG = BucketConfig(max_ops=64, max_blocks=32, max_seq=1024, max_clusters=24, window=12)
+KW = dict(
+    max_out=BCFG.resolved_max_out(),
+    max_clusters=BCFG.max_clusters,
+    window=BCFG.window,
+    max_rows=BCFG.resolved_max_rows(),
+)
+B = 16
+
+
+def _expect_fwd(args, i):
+    ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq = args
+    n = int(n_ops[i])
+    cig = np.stack([ops[i, :n], lens[i, :n]], axis=1).astype(np.int64)
+    k = int(nb[i])
+    bm = BlockMap(bk[i, :k].astype(np.int64), bv[i, :k].astype(np.int64))
+    lifted = liftover_read_alignment(bm, int(pos[i]), cig)
+    if lifted is None:
+        return None
+    p, c = lifted
+    rp, rc = simplify_alignment_indels(
+        p - int(ref_base[i]), c, ref_win[i], read_seq[i]
+    )
+    return int(ref_base[i]) + rp, rc
+
+
+def _expect_rev(args, i):
+    (ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
+     ref_win, ref_base, read_seq) = args
+    n = int(n_ops[i])
+    cig = np.stack([ops[i, :n], lens[i, :n]], axis=1).astype(np.int64)
+    p1, sh = left_shift_indels(int(pos[i]), cig, contig_win[i], read_seq[i])
+    k = int(nb[i])
+    bm = BlockMap(bk[i, :k].astype(np.int64), bv[i, :k].astype(np.int64))
+    lifted = liftover_read_alignment(bm, p1, sh)
+    if lifted is None:
+        return None
+    p, c = lifted
+    rp, rc = simplify_alignment_indels(
+        p - int(ref_base[i]), c, ref_win[i], read_seq[i]
+    )
+    return int(ref_base[i]) + rp, rc
+
+
+def _check_batch(out, args, expect_fn, counters):
+    fb = np.asarray(out["fallback"])
+    mapped = np.asarray(out["mapped"])
+    for i in range(B):
+        if fb[i]:
+            counters["fallback"] += 1
+            continue
+        expect = expect_fn(args, i)
+        if expect is None:
+            assert not mapped[i]
+            counters["unmapped"] += 1
+            continue
+        p, cig = expect
+        n = int(np.asarray(out["n_out"])[i])
+        got = np.stack(
+            [np.asarray(out["codes"])[i, :n], np.asarray(out["lens"])[i, :n]],
+            axis=1,
+        ).astype(np.int64)
+        assert int(np.asarray(out["ref2_pos"])[i]) == p
+        assert np.array_equal(got, cig)
+        counters["exact"] += 1
+
+
+_TOTALS = {"exact": 0, "fallback": 0, "unmapped": 0}
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_hostile_rates_fwd_and_rev(seed):
+    rng = np.random.default_rng(77000 + seed)
+    counters = {"exact": 0, "fallback": 0, "unmapped": 0}
+    for round_i in range(3):
+        read_len = int(rng.integers(30, 600))
+        read_error = float(10 ** rng.uniform(-2.5, -1.0))
+        contig_rate = float(10 ** rng.uniform(-2.5, -1.1))
+        fwd_args = make_item_arrays(
+            rng, B, BCFG, read_len=read_len, read_error=read_error,
+            contig_var_rate=contig_rate, rev=False,
+        )
+        rev_args = make_item_arrays(
+            rng, B, BCFG, read_len=read_len, read_error=read_error,
+            contig_var_rate=contig_rate, rev=True,
+        )
+        for mm in (True, False):
+            _check_batch(
+                fwd_batch(*fwd_args, mm=mm, **KW), fwd_args, _expect_fwd,
+                counters,
+            )
+            _check_batch(
+                rev_batch(*rev_args, mm=mm, **KW), rev_args, _expect_rev,
+                counters,
+            )
+    # every seed must verify some exact outputs; fallback firing is asserted
+    # in aggregate below (which seeds trip the static bounds varies)
+    assert counters["exact"] > 0, counters
+    for k in _TOTALS:
+        _TOTALS[k] += counters[k]
+
+
+def test_zz_fuzz_sweep_exercised_fallbacks():
+    """Runs after the parametrized sweep: the hostile rates must have tripped
+    the static bounds somewhere (else the sweep proves less than it claims)."""
+    assert _TOTALS["exact"] > 300, _TOTALS
+    assert _TOTALS["fallback"] > 0, _TOTALS
