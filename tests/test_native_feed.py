@@ -295,3 +295,40 @@ def test_native_feed_long_cigar_cg(tmp_path):
     assert len(outs["native"]) == 1
     # the lifted record must round-trip its >65535-op cigar through CG
     assert "40000I" not in outs["native"][0]  # sanity: ops not merged away
+
+
+def test_native_feed_malformed_sa_error_contract(tmp_path):
+    """A malformed SA tag must fail the scan on the native feed exactly as on
+    the Python feed (reference sa_tag_parser.rs:27-31 assert)."""
+    from portello_tpu.io.bam import BamReader, BamWriter
+    from portello_tpu.io.index_build import build_bai
+    from portello_tpu.main import main
+    from portello_tpu.testutil.simulate import make_scenario
+
+    make_scenario(str(tmp_path), rng=np.random.default_rng(31))
+    src = str(tmp_path / "read_to_asm.bam")
+    bad = str(tmp_path / "read_to_asm_bad.bam")
+    with BamReader(src) as r:
+        recs = list(r)
+        header = r.header
+    # corrupt the first primary mapped record with a 4-field SA segment
+    for rec in recs:
+        if not rec.is_unmapped() and not rec.is_supplementary():
+            rec.remove_tag(b"SA")
+            rec.push_tag(b"SA", b"Z", b"contig0,100,+,10M;")
+            break
+    with BamWriter(bad, header) as w:
+        for rec in recs:
+            w.write(rec)
+    build_bai(bad)
+
+    for feed, device in (("python", "host"), ("native", "cpu")):
+        with pytest.raises(SystemExit):
+            main([
+                "--assembly-to-ref", str(tmp_path / "asm_to_ref.bam"),
+                "--read-to-assembly", bad,
+                "--remapped-read-output", str(tmp_path / f"re_{feed}.bam"),
+                "--unassembled-read-output", str(tmp_path / f"ue_{feed}.bam"),
+                "--ref", str(tmp_path / "ref.fa"),
+                "--device", device, "--feed", feed,
+            ])
