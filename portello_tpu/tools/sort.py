@@ -1,0 +1,141 @@
+"""Coordinate-sort a BAM (external merge sort; `samtools sort` role).
+
+The pipeline's output contract is unsorted (reference
+docs/user_guide.md:63-77 tells users to pipe into `samtools sort`); this
+companion tool completes that workflow inside the framework: chunked
+in-memory sorts spilled to temporary BAMs, then a k-way raw-record merge
+under a `SO:coordinate` header.  Sort key = (tid as unsigned — unmapped
+tid=-1 last, pos, input order) — samtools' coordinate order with a stable
+tie-break, so repeated runs are byte-deterministic.
+"""
+
+from __future__ import annotations
+
+import argparse
+import heapq
+import os
+import re
+import struct
+import sys
+import tempfile
+
+from portello_tpu.io.bam import BamHeader, BamReader, BamWriter
+
+
+def _key(raw: bytes) -> tuple[int, int]:
+    tid, pos = struct.unpack_from("<ii", raw, 0)
+    return (tid & 0xFFFFFFFF, pos)
+
+
+def _coordinate_header(header: BamHeader) -> BamHeader:
+    text = header.text.decode(errors="replace")
+    if text.startswith("@HD"):
+        line, _, rest = text.partition("\n")
+        if "SO:" in line:
+            line = re.sub(r"SO:\S+", "SO:coordinate", line)
+        else:
+            line += "\tSO:coordinate"
+        text = line + "\n" + rest
+    else:
+        text = "@HD\tVN:1.6\tSO:coordinate\n" + text
+    return BamHeader(text=text.encode(), refs=list(header.refs))
+
+
+def sort_bam(
+    input_path: str,
+    output: str,
+    n_threads: int = 1,
+    mem_bytes: int = 512 << 20,
+    tmp_dir: str | None = None,
+) -> int:
+    """Sort ``input_path`` into ``output`` ('-' = uncompressed stdout BAM).
+    Returns the record count."""
+    chunks: list[str] = []
+    n = 0
+    with BamReader(input_path) as reader:
+        header = _coordinate_header(reader.header)
+        buf: list[tuple[int, int, int, bytes]] = []
+        used = 0
+
+        def spill():
+            nonlocal buf, used
+            if not buf:
+                return
+            buf.sort(key=lambda t: t[:3])
+            fd, path = tempfile.mkstemp(suffix=".bam", prefix="ptpu_sort_",
+                                        dir=tmp_dir)
+            os.close(fd)
+            w = BamWriter(path, header, level=1, n_threads=n_threads)
+            try:
+                for *_k, raw in buf:
+                    w.write_raw(raw)
+            finally:
+                w.close()
+            chunks.append(path)
+            buf = []
+            used = 0
+
+        for raw in reader.iter_raw():
+            k = _key(raw)
+            buf.append((k[0], k[1], n, raw))
+            n += 1
+            used += len(raw) + 64
+            if used >= mem_bytes:
+                spill()
+
+        dest = sys.stdout.buffer if output == "-" else output
+        level = 0 if output == "-" else 6
+        if not chunks:
+            # single in-memory chunk: write directly
+            buf.sort(key=lambda t: t[:3])
+            w = BamWriter(dest, header, level=level, n_threads=n_threads)
+            try:
+                for *_k, raw in buf:
+                    w.write_raw(raw)
+            finally:
+                w.close()
+            return n
+        spill()
+
+    readers = [BamReader(c) for c in chunks]
+    try:
+        streams = (
+            ((*_key(raw), ci, raw) for raw in r.iter_raw())
+            for ci, r in enumerate(readers)
+        )
+        w = BamWriter(dest, header, level=level, n_threads=n_threads)
+        try:
+            # heapq.merge is stable across equal keys in stream order, and
+            # chunks were spilled in input order -> deterministic output
+            for *_k, raw in heapq.merge(*streams, key=lambda t: t[:3]):
+                w.write_raw(raw)
+        finally:
+            w.close()
+    finally:
+        for r in readers:
+            r.close()
+        for c in chunks:
+            os.remove(c)
+    return n
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="portello-tpu sort")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True, help="output BAM ('-' = stdout)")
+    p.add_argument("--threads", type=int, default=1)
+    p.add_argument(
+        "--mem-mb", type=int, default=512,
+        help="in-memory chunk budget before spilling (MB)",
+    )
+    p.add_argument("--tmp-dir", default=None)
+    args = p.parse_args(argv)
+    n = sort_bam(
+        args.input, args.output, n_threads=args.threads,
+        mem_bytes=args.mem_mb << 20, tmp_dir=args.tmp_dir,
+    )
+    print(f"sorted {n} records", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
