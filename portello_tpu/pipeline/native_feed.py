@@ -221,6 +221,42 @@ def scan_and_remap_reads_native(
     buckets = list(buckets if buckets is not None else DEFAULT_BUCKETS)
     mm = use_mm if use_mm is not None else jax.default_backend() == "tpu"
 
+    # Multi-chip data parallelism: on a multi-device host, dispatch each
+    # fixed-shape batch through the sharded mesh steps (1-D data mesh; the
+    # same graphs the multichip dryrun validates).  Auto on TPU;
+    # PTPU_SHARD=1/0 forces (tests exercise it on the virtual CPU mesh).
+    n_dev = jax.local_device_count()
+    force_shard = {"1": True, "0": False}.get(os.environ.get("PTPU_SHARD", ""))
+    use_shard = (
+        force_shard
+        if force_shard is not None
+        else (jax.default_backend() == "tpu" and n_dev > 1)
+    )
+    if use_shard and batch_size % n_dev != 0:
+        logger.warning(
+            f"batch size {batch_size} not divisible by {n_dev} devices; "
+            "running single-device"
+        )
+        use_shard = False
+    sharded_fns: dict = {}
+    mesh = None
+    if use_shard:
+        from portello_tpu.parallel.mesh import (
+            make_mesh,
+            make_sharded_fwd_step,
+            make_sharded_rev_step,
+        )
+
+        mesh = make_mesh()
+        logger.info(f"Sharding batches over {n_dev} local devices")
+
+        def get_sharded(bi: int, is_rev: bool, kw: dict):
+            key = (bi, is_rev)
+            if key not in sharded_fns:
+                mk = make_sharded_rev_step if is_rev else make_sharded_fwd_step
+                sharded_fns[key] = mk(mesh, **kw)
+            return sharded_fns[key]
+
     header = get_alignment_file_header(ref_chrom_list, cmdline).encode()
     idx = _flat_index(contig_list, all_contig_mapping_info)
 
@@ -353,14 +389,19 @@ def scan_and_remap_reads_native(
         if is_rev:
             contig_win = grab2(d.contig_win, bcfg.max_seq, np.uint8)
             win_base = grab1(d.win_base)
-            return rev_batch(
+            rev_args = (
                 ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
-                ref_win, ref_base, read_seq, **kw,
+                ref_win, ref_base, read_seq,
             )
-        return fwd_batch(
-            ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base,
-            read_seq, **kw,
+            if use_shard:
+                return get_sharded(b, True, kw)(*rev_args)
+            return rev_batch(*rev_args, **kw)
+        fwd_args = (
+            ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq
         )
+        if use_shard:
+            return get_sharded(b, False, kw)(*fwd_args)
+        return fwd_batch(*fwd_args, **kw)
 
     def post(out):
         nonlocal t_dev, t_post

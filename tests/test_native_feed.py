@@ -332,3 +332,24 @@ def test_native_feed_malformed_sa_error_contract(tmp_path):
                 "--ref", str(tmp_path / "ref.fa"),
                 "--device", device, "--feed", feed,
             ])
+
+
+def test_native_feed_sharded_multidevice(tmp_path, monkeypatch):
+    """Multi-device data-parallel dispatch (PTPU_SHARD=1 on the virtual
+    8-device CPU mesh; auto on multi-chip TPU hosts) must produce output
+    record-identical to the single-device paths — for both kernel
+    formulations, including the fused mm rev chain."""
+    rng = np.random.default_rng(53)
+    make_scenario(str(tmp_path), rng=rng, n_reads_per_contig=50, read_len=400)
+    out_p, un_p = _run_cli(tmp_path, "ref_python", "python")
+
+    monkeypatch.setenv("PTPU_SHARD", "1")
+    out_s, un_s = _run_cli(tmp_path, "shard_gather", "native")
+    assert _records(out_s) == _records(out_p)
+    assert _records(un_s) == _records(un_p)
+
+    monkeypatch.setenv("PTPU_MM", "1")
+    out_m, un_m = _run_cli(tmp_path, "shard_mm", "native")
+    assert _records(out_m) == _records(out_p)
+    assert _records(un_m) == _records(un_p)
+    assert len(_records(out_p)) > 0
