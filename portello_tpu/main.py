@@ -183,10 +183,16 @@ def run(settings: Settings) -> None:
         logger.info(
             "Transcoding CRAM input to temporary BAM for the native scanner"
         )
-        cram_to_bam(
-            scan_input, transcode_tmp, reference=reference,
-            n_threads=max(1, settings.thread_count // 2),
-        )
+        try:
+            cram_to_bam(
+                scan_input, transcode_tmp, reference=reference,
+                n_threads=max(1, settings.thread_count // 2),
+            )
+        except BaseException:
+            # a failed/interrupted transcode must not leak a (large) temp
+            if os.path.exists(transcode_tmp):
+                os.remove(transcode_tmp)
+            raise
         scan_input = transcode_tmp
 
     import contextlib

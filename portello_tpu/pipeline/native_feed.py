@@ -74,6 +74,23 @@ def _build() -> str | None:
     return proc.stderr[-2000:] if proc.returncode != 0 else None
 
 
+def bind_lib(so_path: str):
+    """Load a prebuilt ptscan shared object and set its prototypes (no
+    rebuild — e.g. a sanitizer-instrumented build; scripts/tsan_native.py)."""
+    lib = ctypes.CDLL(so_path)
+    lib.ptscan_create.restype = ctypes.c_void_p
+    lib.ptscan_next_batch.restype = ctypes.c_int
+    lib.ptscan_next_batch.argtypes = [ctypes.c_void_p, ctypes.POINTER(_BatchDesc)]
+    lib.ptscan_post_results.restype = ctypes.c_int
+    lib.ptscan_error.restype = ctypes.c_char_p
+    lib.ptscan_error.argtypes = [ctypes.c_void_p]
+    lib.ptscan_finish.restype = ctypes.c_int
+    lib.ptscan_finish.argtypes = [ctypes.c_void_p]
+    lib.ptscan_stats.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong)]
+    lib.ptscan_destroy.argtypes = [ctypes.c_void_p]
+    return lib
+
+
 def get_lib():
     global _lib, _build_error
     with _lib_lock:
@@ -89,18 +106,7 @@ def get_lib():
             if err is not None:
                 _build_error = err
                 return None
-        lib = ctypes.CDLL(_SO)
-        lib.ptscan_create.restype = ctypes.c_void_p
-        lib.ptscan_next_batch.restype = ctypes.c_int
-        lib.ptscan_next_batch.argtypes = [ctypes.c_void_p, ctypes.POINTER(_BatchDesc)]
-        lib.ptscan_post_results.restype = ctypes.c_int
-        lib.ptscan_error.restype = ctypes.c_char_p
-        lib.ptscan_error.argtypes = [ctypes.c_void_p]
-        lib.ptscan_finish.restype = ctypes.c_int
-        lib.ptscan_finish.argtypes = [ctypes.c_void_p]
-        lib.ptscan_stats.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong)]
-        lib.ptscan_destroy.argtypes = [ctypes.c_void_p]
-        _lib = lib
+        _lib = bind_lib(_SO)
         return _lib
 
 
@@ -175,6 +181,96 @@ def _flat_index(contig_list, all_info):
     }
 
 
+def create_scanner(
+    lib,
+    read_bam: str,
+    remapped_out: str,
+    unassembled_out: str,
+    header: bytes,
+    reference,
+    ref_chrom_list,
+    contig_list,
+    all_contig_mapping_info,
+    buckets,
+    batch_size: int,
+    is_target_region: bool,
+    shard_plan,
+    thread_count: int,
+):
+    """Marshal the phase-1 index + config and call ``ptscan_create``.
+
+    The single owner of the 35-positional-argument ABI (also used by the
+    jax-free TSAN harness, scripts/tsan_native.py).  Returns ``(handle,
+    keepalive)`` — the C++ scanner keeps RAW POINTERS into the index and
+    reference arrays, so the caller must hold ``keepalive`` (and the
+    ``reference`` list) alive until ``ptscan_destroy``.
+    """
+    idx = _flat_index(contig_list, all_contig_mapping_info)
+
+    ref_names = [c.label for c in ref_chrom_list.data]
+    ref_name_cat = "".join(ref_names).encode()
+    ref_name_off = np.zeros(len(ref_names) + 1, np.int64)
+    np.cumsum([len(x) for x in ref_names], out=ref_name_off[1:])
+    ref_arrays = [np.ascontiguousarray(r, dtype=np.uint8) for r in reference]
+    ref_ptrs = (ctypes.c_void_p * len(ref_arrays))(
+        *[r.ctypes.data_as(ctypes.c_void_p).value for r in ref_arrays]
+    )
+    ref_lens = np.array([len(r) for r in ref_arrays], np.int64)
+
+    bucket_dims = np.array(
+        [
+            [b.max_ops, b.max_blocks, b.max_seq, b.resolved_max_rows()]
+            for b in buckets
+        ],
+        np.int64,
+    ).ravel()
+
+    owned = None
+    owned_ptr = None
+    emit_unmapped = 1
+    if shard_plan is not None:
+        owned = np.array(
+            [1 if shard_plan.owns(t) else 0 for t in range(len(contig_list.data))],
+            np.uint8,
+        )
+        owned_ptr = owned.ctypes.data_as(ctypes.c_void_p)
+        emit_unmapped = 1 if shard_plan.host_id == 0 else 0
+
+    writer_threads = max(1, thread_count // 2)
+    level = 0 if remapped_out == "-" else 6
+
+    i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
+    u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))  # noqa: E731
+
+    lib.ptscan_create.argtypes = []  # bypass strict typing; pass explicit ctypes
+    h = lib.ptscan_create(
+        read_bam.encode(), remapped_out.encode(),
+        unassembled_out.encode(),
+        ctypes.cast(ctypes.c_char_p(header), ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_longlong(len(header)),
+        ctypes.c_int(level), ctypes.c_int(writer_threads),
+        ctypes.c_longlong(idx["n"]), i64p(idx["contig_len"]),
+        ctypes.c_char_p(idx["name_cat"]), i64p(idx["name_off"]),
+        ctypes.c_longlong(len(ref_names)), ctypes.c_char_p(ref_name_cat),
+        i64p(ref_name_off), ref_ptrs, i64p(ref_lens),
+        i64p(idx["seg_off"]), i32p(idx["seg_chrom"]), i64p(idx["seg_pos"]),
+        u8p(idx["seg_fwd"]), i32p(idx["seg_mapq"]), i64p(idx["so_start"]),
+        i64p(idx["so_end"]), i64p(idx["bm_off"]), i64p(idx["bm_keys"]),
+        i64p(idx["bm_vals"]), i64p(idx["rc_off"]), u8p(idx["rc_bytes"]),
+        ctypes.c_longlong(len(buckets)), i64p(bucket_dims),
+        ctypes.c_longlong(batch_size), ctypes.c_int(1 if is_target_region else 0),
+        owned_ptr if owned_ptr is not None else ctypes.c_void_p(None),
+        ctypes.c_int(emit_unmapped), ctypes.c_int(max(1, thread_count)),
+    )
+    h = ctypes.c_void_p(h)
+    if not h:
+        raise RuntimeError("ptscan_create failed")
+    keepalive = (idx, header, ref_name_cat, ref_name_off, ref_arrays,
+                 ref_ptrs, ref_lens, bucket_dims, owned)
+    return h, keepalive
+
+
 def _as_np(ptr, shape, dtype):
     return np.ctypeslib.as_array(
         ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8)),
@@ -233,9 +329,14 @@ def scan_and_remap_reads_native(
         else (jax.default_backend() == "tpu" and n_dev > 1)
     )
     if use_shard and batch_size % n_dev != 0:
+        if force_shard:
+            raise SystemExit(
+                f"PTPU_SHARD=1 requires --batch-size divisible by the "
+                f"{n_dev} local devices (got {batch_size})"
+            )
         logger.warning(
             f"batch size {batch_size} not divisible by {n_dev} devices; "
-            "running single-device"
+            "falling back to single-device dispatch"
         )
         use_shard = False
     sharded_fns: dict = {}
@@ -247,7 +348,11 @@ def scan_and_remap_reads_native(
             make_sharded_rev_step,
         )
 
-        mesh = make_mesh()
+        # LOCAL devices only: each host feeds its own batch stream (its own
+        # shard_plan contigs), so the mesh must never span processes — a
+        # global mesh would make every dispatch a multi-host collective
+        # program over host-local data.
+        mesh = make_mesh(devices=jax.local_devices())
         logger.info(f"Sharding batches over {n_dev} local devices")
 
         def get_sharded(bi: int, is_rev: bool, kw: dict):
@@ -258,68 +363,15 @@ def scan_and_remap_reads_native(
             return sharded_fns[key]
 
     header = get_alignment_file_header(ref_chrom_list, cmdline).encode()
-    idx = _flat_index(contig_list, all_contig_mapping_info)
-
-    ref_names = [c.label for c in ref_chrom_list.data]
-    ref_name_cat = "".join(ref_names).encode()
-    ref_name_off = np.zeros(len(ref_names) + 1, np.int64)
-    np.cumsum([len(x) for x in ref_names], out=ref_name_off[1:])
-    ref_arrays = [np.ascontiguousarray(r, dtype=np.uint8) for r in reference]
-    ref_ptrs = (ctypes.c_void_p * len(ref_arrays))(
-        *[r.ctypes.data_as(ctypes.c_void_p).value for r in ref_arrays]
+    h, _keepalive = create_scanner(
+        lib, read_to_assembly_bam, remapped_read_output,
+        unassembled_read_output, header, reference, ref_chrom_list,
+        contig_list, all_contig_mapping_info, buckets, batch_size,
+        is_target_region, shard_plan, thread_count,
     )
-    ref_lens = np.array([len(r) for r in ref_arrays], np.int64)
-
-    bucket_dims = np.array(
-        [
-            [b.max_ops, b.max_blocks, b.max_seq, b.resolved_max_rows()]
-            for b in buckets
-        ],
-        np.int64,
-    ).ravel()
-
-    owned = None
-    owned_ptr = None
-    emit_unmapped = 1
-    if shard_plan is not None:
-        owned = np.array(
-            [1 if shard_plan.owns(t) else 0 for t in range(len(contig_list.data))],
-            np.uint8,
-        )
-        owned_ptr = owned.ctypes.data_as(ctypes.c_void_p)
-        emit_unmapped = 1 if shard_plan.host_id == 0 else 0
-
-    writer_threads = max(1, thread_count // 2)
-    level = 0 if remapped_read_output == "-" else 6
-
-    c = ctypes.c_void_p
     i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
     i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
     u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))  # noqa: E731
-
-    lib.ptscan_create.argtypes = []  # bypass strict typing; pass explicit ctypes
-    h = lib.ptscan_create(
-        read_to_assembly_bam.encode(), remapped_read_output.encode(),
-        unassembled_read_output.encode(),
-        ctypes.cast(ctypes.c_char_p(header), ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.c_longlong(len(header)),
-        ctypes.c_int(level), ctypes.c_int(writer_threads),
-        ctypes.c_longlong(idx["n"]), i64p(idx["contig_len"]),
-        ctypes.c_char_p(idx["name_cat"]), i64p(idx["name_off"]),
-        ctypes.c_longlong(len(ref_names)), ctypes.c_char_p(ref_name_cat),
-        i64p(ref_name_off), ref_ptrs, i64p(ref_lens),
-        i64p(idx["seg_off"]), i32p(idx["seg_chrom"]), i64p(idx["seg_pos"]),
-        u8p(idx["seg_fwd"]), i32p(idx["seg_mapq"]), i64p(idx["so_start"]),
-        i64p(idx["so_end"]), i64p(idx["bm_off"]), i64p(idx["bm_keys"]),
-        i64p(idx["bm_vals"]), i64p(idx["rc_off"]), u8p(idx["rc_bytes"]),
-        ctypes.c_longlong(len(buckets)), i64p(bucket_dims),
-        ctypes.c_longlong(batch_size), ctypes.c_int(1 if is_target_region else 0),
-        owned_ptr if owned_ptr is not None else ctypes.c_void_p(None),
-        ctypes.c_int(emit_unmapped), ctypes.c_int(max(1, thread_count)),
-    )
-    h = c(h)
-    if not h:
-        raise RuntimeError("ptscan_create failed")
 
     genome_kb = sum(ci.length for ci in contig_list.data) // 1000
     progress = ProgressReporter(

@@ -99,10 +99,13 @@ def sort_bam(
 
     readers = [BamReader(c) for c in chunks]
     try:
-        streams = (
-            ((*_key(raw), ci, raw) for raw in r.iter_raw())
-            for ci, r in enumerate(readers)
-        )
+        # per-stream helper so each generator binds its own chunk index
+        # (a nested genexp would late-bind the loop variable and tag every
+        # stream with the last index, silently voiding the tie-break)
+        def keyed(ci, r):
+            return ((*_key(raw), ci, raw) for raw in r.iter_raw())
+
+        streams = [keyed(ci, r) for ci, r in enumerate(readers)]
         w = BamWriter(dest, header, level=level, n_threads=n_threads)
         try:
             # heapq.merge is stable across equal keys in stream order, and

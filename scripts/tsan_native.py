@@ -58,10 +58,14 @@ def run(so_path: str | None, threads: int, batch_size: int) -> None:
     from portello_tpu.utils.chrom_list import ChromList
 
     if so_path:
-        nf._SO = so_path
-    lib = nf.get_lib()
-    if lib is None:
-        raise SystemExit(f"ptscan unavailable: {nf.build_error()}")
+        # bind the prebuilt (instrumented) library directly — get_lib's
+        # staleness check would silently rebuild the path WITHOUT
+        # -fsanitize=thread, voiding the sanitizer run
+        lib = nf.bind_lib(so_path)
+    else:
+        lib = nf.get_lib()
+        if lib is None:
+            raise SystemExit(f"ptscan unavailable: {nf.build_error()}")
 
     work = tempfile.mkdtemp(prefix="tsan_native_")
     scn = make_scenario(work, rng=np.random.default_rng(41),
@@ -77,47 +81,16 @@ def run(so_path: str | None, threads: int, batch_size: int) -> None:
     buckets = [BucketConfig(max_ops=128, max_blocks=48, max_seq=4096,
                             max_clusters=64, window=24)]
     header = get_alignment_file_header(ref_cl, "tsan_native").encode()
-    idx = nf._flat_index(asm_cl, info)
-
-    ref_names = [c.label for c in ref_cl.data]
-    ref_name_cat = "".join(ref_names).encode()
-    ref_name_off = np.zeros(len(ref_names) + 1, np.int64)
-    np.cumsum([len(x) for x in ref_names], out=ref_name_off[1:])
-    ref_arrays = [np.ascontiguousarray(r, dtype=np.uint8) for r in reference]
-    ref_ptrs = (ctypes.c_void_p * len(ref_arrays))(
-        *[r.ctypes.data_as(ctypes.c_void_p).value for r in ref_arrays]
-    )
-    ref_lens = np.array([len(r) for r in ref_arrays], np.int64)
-    bucket_dims = np.array(
-        [[b.max_ops, b.max_blocks, b.max_seq, b.resolved_max_rows()]
-         for b in buckets], np.int64,
-    ).ravel()
-
     out_r = os.path.join(work, "native.bam")
     out_u = os.path.join(work, "native_un.bam")
+    # shared ABI owner: the same marshalling path production uses
+    h, _keepalive = nf.create_scanner(
+        lib, scn.read_bam, out_r, out_u, header, reference, ref_cl,
+        asm_cl, info, buckets, batch_size, False, None, threads,
+    )
     i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
     i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
     u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))  # noqa: E731
-    lib.ptscan_create.argtypes = []
-    h = ctypes.c_void_p(lib.ptscan_create(
-        scn.read_bam.encode(), out_r.encode(), out_u.encode(),
-        ctypes.cast(ctypes.c_char_p(header), ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.c_longlong(len(header)), ctypes.c_int(6),
-        ctypes.c_int(max(1, threads // 2)),
-        ctypes.c_longlong(idx["n"]), i64p(idx["contig_len"]),
-        ctypes.c_char_p(idx["name_cat"]), i64p(idx["name_off"]),
-        ctypes.c_longlong(len(ref_names)), ctypes.c_char_p(ref_name_cat),
-        i64p(ref_name_off), ref_ptrs, i64p(ref_lens),
-        i64p(idx["seg_off"]), i32p(idx["seg_chrom"]), i64p(idx["seg_pos"]),
-        u8p(idx["seg_fwd"]), i32p(idx["seg_mapq"]), i64p(idx["so_start"]),
-        i64p(idx["so_end"]), i64p(idx["bm_off"]), i64p(idx["bm_keys"]),
-        i64p(idx["bm_vals"]), i64p(idx["rc_off"]), u8p(idx["rc_bytes"]),
-        ctypes.c_longlong(len(buckets)), i64p(bucket_dims),
-        ctypes.c_longlong(batch_size), ctypes.c_int(0),
-        ctypes.c_void_p(None), ctypes.c_int(1), ctypes.c_int(threads),
-    ))
-    if not h:
-        raise SystemExit("ptscan_create failed")
 
     desc = nf._BatchDesc()
     max_out = buckets[0].resolved_max_out()

@@ -90,9 +90,6 @@ def _check_batch(out, args, expect_fn, counters):
         counters["exact"] += 1
 
 
-_TOTALS = {"exact": 0, "fallback": 0, "unmapped": 0}
-
-
 @pytest.mark.parametrize("seed", range(4))
 def test_fuzz_hostile_rates_fwd_and_rev(seed):
     rng = np.random.default_rng(77000 + seed)
@@ -118,15 +115,38 @@ def test_fuzz_hostile_rates_fwd_and_rev(seed):
                 rev_batch(*rev_args, mm=mm, **KW), rev_args, _expect_rev,
                 counters,
             )
-    # every seed must verify some exact outputs; fallback firing is asserted
-    # in aggregate below (which seeds trip the static bounds varies)
+    # every seed must verify some exact outputs (fallback firing is data-
+    # dependent per seed; the deterministic test below guarantees coverage)
     assert counters["exact"] > 0, counters
-    for k in _TOTALS:
-        _TOTALS[k] += counters[k]
 
 
-def test_zz_fuzz_sweep_exercised_fallbacks():
-    """Runs after the parametrized sweep: the hostile rates must have tripped
-    the static bounds somewhere (else the sweep proves less than it claims)."""
-    assert _TOTALS["exact"] > 300, _TOTALS
-    assert _TOTALS["fallback"] > 0, _TOTALS
+def test_cluster_overflow_fallback_fires_deterministically():
+    """A cigar with more indel clusters than the bucket budget must raise the
+    fallback flag on the device paths (never a silently truncated result),
+    while an in-budget item in the same batch stays exact."""
+    from portello_tpu.ops import cigar as cg
+
+    n_cl = BCFG.max_clusters + 4  # 28 clusters > budget 24
+    ops_l = []
+    for _ in range(n_cl):
+        ops_l += [(cg.I, 1), (cg.M, 4)]
+    hostile = np.array(ops_l, np.int64)
+
+    rng = np.random.default_rng(4242)
+    args = list(make_item_arrays(rng, B, BCFG, read_len=200, rev=False))
+    ops, lens, n_ops = args[0].copy(), args[1].copy(), args[2].copy()
+    n = len(hostile)
+    ops[0, :] = 9  # PAD
+    lens[0, :] = 0
+    ops[0, :n] = hostile[:, 0]
+    lens[0, :n] = hostile[:, 1]
+    n_ops[0] = n
+    args[0], args[1], args[2] = ops, lens, n_ops
+    for mm in (True, False):
+        out = fwd_batch(*args, mm=mm, **KW)
+        assert bool(np.asarray(out["fallback"])[0]), "overflow item must flag"
+        # a normal item in the same batch still verifies exact
+        counters = {"exact": 0, "fallback": 0, "unmapped": 0}
+        _check_batch(out, tuple(args), _expect_fwd, counters)
+        assert counters["exact"] > 0
+        assert counters["fallback"] > 0
