@@ -37,6 +37,7 @@ class Settings:
     host_id: int = 0
     coordinator: str | None = None
     local_workers: int = 0
+    contig_index: str | None = None
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -120,6 +121,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="Run phase 2 as N worker processes on this machine (contig-"
         "sharded, like the reference's thread pool but across GILs) and merge "
         "their output shards automatically",
+    )
+    p.add_argument(
+        "--contig-index", default=None, metavar="PATH",
+        help="Phase-1 contig mapping index cache: loaded when PATH exists "
+        "(skipping the contig scan), written after the scan otherwise.  "
+        "Lets multi-host/multi-worker runs scan the contig BAM once "
+        "(--local-workers does this automatically)",
     )
     return p
 

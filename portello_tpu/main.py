@@ -116,14 +116,32 @@ def run(settings: Settings) -> None:
 
     reference = get_chrom_array(settings.ref_filename, ref_chrom_list, logger)
 
-    all_contig_mapping_info = scan_contig_bam(
-        settings.assembly_to_ref_bam,
-        ref_chrom_list,
-        assembly_contig_list,
-        target_region,
-        max_join_gap=settings.max_join_gap,
-        reference_seqs=reference,
+    from portello_tpu.pipeline.contig_scan import (
+        load_contig_index,
+        save_contig_index,
     )
+
+    if settings.contig_index and os.path.exists(settings.contig_index):
+        all_contig_mapping_info = load_contig_index(
+            settings.contig_index, assembly_contig_list, target_region,
+            settings.max_join_gap,
+        )
+        logger.info(f"Loaded contig mapping index from {settings.contig_index}")
+    else:
+        all_contig_mapping_info = scan_contig_bam(
+            settings.assembly_to_ref_bam,
+            ref_chrom_list,
+            assembly_contig_list,
+            target_region,
+            max_join_gap=settings.max_join_gap,
+            reference_seqs=reference,
+        )
+        if settings.contig_index:
+            save_contig_index(
+                settings.contig_index, all_contig_mapping_info,
+                assembly_contig_list, target_region, settings.max_join_gap,
+            )
+            logger.info(f"Saved contig mapping index to {settings.contig_index}")
 
     engine = make_engine(
         settings, reference, assembly_contig_list, all_contig_mapping_info
@@ -291,23 +309,62 @@ def run_local_workers(settings: Settings, argv: list[str]) -> None:
         if a.startswith("--local-workers="):
             continue
         base_args.append(a)
+
+    # Scan the contig BAM ONCE and hand the pickled index to every worker
+    # (the duplicated phase-1 scan was the measured fan-out overhead; phase 1
+    # needs no reference sequences for BAM input).  CRAM contig input decodes
+    # against the reference, so workers scan individually there.
+    index_tmp = None
+    from portello_tpu.io.aln_input import is_cram_file
+
+    if settings.contig_index is None and not is_cram_file(
+        settings.assembly_to_ref_bam
+    ):
+        import tempfile
+
+        from portello_tpu.pipeline.contig_scan import save_contig_index
+        from portello_tpu.utils.genome_segment import GenomeSegment
+
+        ref_cl = ChromList.from_bam_filename(settings.assembly_to_ref_bam)
+        asm_cl = ChromList.from_bam_filename(settings.read_to_assembly_bam)
+        region = (
+            None if settings.target_region is None
+            else GenomeSegment.from_region_str(ref_cl, settings.target_region)
+        )
+        info = scan_contig_bam(
+            settings.assembly_to_ref_bam, ref_cl, asm_cl, region,
+            max_join_gap=settings.max_join_gap,
+        )
+        fd, index_tmp = tempfile.mkstemp(suffix=".ptidx", prefix="ptpu_cidx_")
+        os.close(fd)
+        save_contig_index(index_tmp, info, asm_cl, region, settings.max_join_gap)
+        base_args += ["--contig-index", index_tmp]
+        logger.info("Scanned contig alignments once; index cached for workers")
+
     logger.info(f"Running phase 2 across {n} local worker processes")
-    procs = []
-    for w in range(n):
-        cmd = [
-            sys.executable, "-m", "portello_tpu.main", *base_args,
-            "--num-hosts", str(n), "--host-id", str(w),
-        ]
-        procs.append(subprocess.Popen(cmd))
-    failed = [w for w, p in enumerate(procs) if p.wait() != 0]
-    if failed:
-        raise SystemExit(f"worker processes failed: {failed}")
+    try:
+        procs = []
+        for w in range(n):
+            cmd = [
+                sys.executable, "-m", "portello_tpu.main", *base_args,
+                "--num-hosts", str(n), "--host-id", str(w),
+            ]
+            procs.append(subprocess.Popen(cmd))
+        failed = [w for w, p in enumerate(procs) if p.wait() != 0]
+        if failed:
+            raise SystemExit(f"worker processes failed: {failed}")
+    except BaseException:
+        if index_tmp is not None and os.path.exists(index_tmp):
+            os.remove(index_tmp)
+        raise
 
     for output in (settings.remapped_read_output, settings.unassembled_read_output):
         shards = [shard_output_path(output, w, n) for w in range(n)]
         merge_bams(output, shards, n_threads=max(1, settings.thread_count // 2))
         for s in shards:
             os.remove(s)
+    if index_tmp is not None and os.path.exists(index_tmp):
+        os.remove(index_tmp)
     logger.info(f"Merged {n} worker shards")
 
 

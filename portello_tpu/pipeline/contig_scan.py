@@ -94,6 +94,70 @@ def _add_primary_read(
     )
 
 
+_INDEX_VERSION = 1
+
+
+def save_contig_index(
+    path: str, all_info, assembly_contig_list, target_region, max_join_gap
+) -> None:
+    """Serialize the phase-1 result (the one cross-phase artifact,
+    SURVEY.md section 5 'checkpoint': the natural broadcast/cache object).
+    The scan parameters are stored and validated on load — an index built
+    for a different target region or join gap must not be silently reused."""
+    import pickle
+
+    payload = {
+        "version": _INDEX_VERSION,
+        "contig_labels": [c.label for c in assembly_contig_list.data],
+        "target_region": (
+            None if target_region is None
+            else (target_region.chrom_index, target_region.range.start,
+                  target_region.range.end)
+        ),
+        "max_join_gap": max_join_gap,
+        "info": all_info,
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    import os
+
+    os.replace(tmp, path)
+
+
+def load_contig_index(
+    path: str, assembly_contig_list, target_region, max_join_gap
+):
+    """Load and validate a saved phase-1 index; raises ValueError on any
+    parameter/contig-list mismatch."""
+    import pickle
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    if payload.get("version") != _INDEX_VERSION:
+        raise ValueError(f"contig index {path}: unsupported version")
+    labels = [c.label for c in assembly_contig_list.data]
+    if payload["contig_labels"] != labels:
+        raise ValueError(
+            f"contig index {path} was built for a different assembly "
+            "(contig list mismatch)"
+        )
+    want_region = (
+        None if target_region is None
+        else (target_region.chrom_index, target_region.range.start,
+              target_region.range.end)
+    )
+    if payload["target_region"] != want_region:
+        raise ValueError(
+            f"contig index {path} was built with a different --target-region"
+        )
+    if payload["max_join_gap"] != max_join_gap:
+        raise ValueError(
+            f"contig index {path} was built with a different --max-join-gap"
+        )
+    return payload["info"]
+
+
 def scan_contig_bam(
     bam_path: str,
     ref_chrom_list: ChromList,

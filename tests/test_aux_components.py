@@ -176,3 +176,42 @@ def test_colinear_join_gap_config():
     a, b = seg(0), seg(100 + 500)
     assert _are_segments_joinable(a, b, 1000)
     assert not _are_segments_joinable(a, b, 100)
+
+
+def test_contig_index_cache_roundtrip(tmp_path):
+    """--contig-index: written on first run, loaded on the second (skipping
+    the contig scan), byte-identical output; parameter mismatch is an error
+    (the phase-1 index is the natural cross-run cache/broadcast artifact,
+    SURVEY.md section 5)."""
+    import numpy as np
+    import pytest
+
+    from portello_tpu.io.bam import BamReader
+    from portello_tpu.main import main
+    from portello_tpu.testutil.simulate import make_scenario
+
+    make_scenario(str(tmp_path), rng=np.random.default_rng(83))
+    idx = tmp_path / "phase1.ptidx"
+
+    def run(tag, extra=()):
+        out = tmp_path / f"rem_{tag}.bam"
+        main([
+            "--assembly-to-ref", str(tmp_path / "asm_to_ref.bam"),
+            "--read-to-assembly", str(tmp_path / "read_to_asm.bam"),
+            "--remapped-read-output", str(out),
+            "--unassembled-read-output", str(tmp_path / f"un_{tag}.bam"),
+            "--ref", str(tmp_path / "ref.fa"), "--device", "host",
+            *extra,
+        ])
+        with BamReader(str(out)) as r:
+            return sorted(rec.to_sam(r.header) for rec in r)
+
+    plain = run("plain")
+    saved = run("save", ("--contig-index", str(idx)))
+    assert idx.exists()
+    loaded = run("load", ("--contig-index", str(idx)))
+    assert plain == saved == loaded
+
+    # parameter mismatch must refuse the cached index
+    with pytest.raises(SystemExit):
+        run("bad", ("--contig-index", str(idx), "--max-join-gap", "5"))
