@@ -944,6 +944,38 @@ class CramReader:
                 s_start,
             )
 
+    def _resolve_ref(self, tid: int):
+        """Resolve the decode reference for this file's OWN tid, validated
+        against the CRAM's @SQ name/length.
+
+        The provided ``reference`` may be a dict keyed by sequence name or a
+        list positional in THIS FILE's header order — either way the length
+        must match the @SQ record, because decoding a reference-based (RR=1)
+        slice against the wrong sequence silently corrupts every read base
+        (e.g. a read-to-assembly CRAM's tids are assembly contigs, not
+        reference chromosomes)."""
+        if not hasattr(self, "_ref_cache"):
+            self._ref_cache = {}
+        if tid in self._ref_cache:
+            return self._ref_cache[tid]
+        name, length = self.header.refs[tid]
+        seq = None
+        if isinstance(self.reference, dict):
+            seq = self.reference.get(name)
+        elif self.reference is not None and tid < len(self.reference):
+            seq = self.reference[tid]
+        if seq is None or len(seq) != length:
+            have = "no sequence" if seq is None else f"length {len(seq)}"
+            raise CramFormatError(
+                f"reference-based CRAM slice on '{name}' (length {length}) "
+                f"cannot be decoded: {have} available for that name.  The "
+                "decode reference must be the SAME assembly the CRAM was "
+                "compressed against (use embedded-ref/RR=0 CRAM or BAM "
+                "input otherwise)"
+            )
+        self._ref_cache[tid] = seq
+        return seq
+
     def _ref_bases(self, tid: int, start0: int, n: int, embedded, s_start):
         if embedded is not None:
             off = start0 - (s_start - 1)
@@ -953,7 +985,7 @@ class CramReader:
                 "CRAM slice requires the reference (RR=1) but none was "
                 "provided"
             )
-        chrom = self.reference[tid]
+        chrom = self._resolve_ref(tid)
         return np.asarray(chrom[start0 : start0 + n], np.uint8)
 
     def _decode_slice(self, ch, s_ref, s_start, n_rec, core, external,

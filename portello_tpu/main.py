@@ -123,8 +123,8 @@ def run(settings: Settings) -> None:
 
     if settings.contig_index and os.path.exists(settings.contig_index):
         all_contig_mapping_info = load_contig_index(
-            settings.contig_index, assembly_contig_list, target_region,
-            settings.max_join_gap,
+            settings.contig_index, ref_chrom_list, assembly_contig_list,
+            target_region, settings.max_join_gap,
         )
         logger.info(f"Loaded contig mapping index from {settings.contig_index}")
     else:
@@ -139,7 +139,8 @@ def run(settings: Settings) -> None:
         if settings.contig_index:
             save_contig_index(
                 settings.contig_index, all_contig_mapping_info,
-                assembly_contig_list, target_region, settings.max_join_gap,
+                ref_chrom_list, assembly_contig_list, target_region,
+                settings.max_join_gap,
             )
             logger.info(f"Saved contig mapping index to {settings.contig_index}")
 
@@ -202,8 +203,15 @@ def run(settings: Settings) -> None:
             "Transcoding CRAM input to temporary BAM for the native scanner"
         )
         try:
+            # decode reference by NAME (CramReader validates name+length; a
+            # read-to-assembly CRAM's tids are assembly contigs, so RR=1
+            # slices error clearly instead of decoding the wrong sequence)
             cram_to_bam(
-                scan_input, transcode_tmp, reference=reference,
+                scan_input, transcode_tmp,
+                reference={
+                    c.label: seq
+                    for c, seq in zip(ref_chrom_list.data, reference)
+                },
                 n_threads=max(1, settings.thread_count // 2),
             )
         except BaseException:
@@ -310,39 +318,87 @@ def run_local_workers(settings: Settings, argv: list[str]) -> None:
             continue
         base_args.append(a)
 
-    # Scan the contig BAM ONCE and hand the pickled index to every worker
-    # (the duplicated phase-1 scan was the measured fan-out overhead; phase 1
-    # needs no reference sequences for BAM input).  CRAM contig input decodes
-    # against the reference, so workers scan individually there.
-    index_tmp = None
-    from portello_tpu.io.aln_input import is_cram_file
+    # Do the shared one-time work ONCE in the parent instead of N times in
+    # the workers: the phase-1 contig scan (measured fan-out overhead) and,
+    # for CRAM read input, the temp-BAM transcode.  Temps live until the
+    # single try/finally below releases them.
+    import tempfile
 
-    if settings.contig_index is None and not is_cram_file(
-        settings.assembly_to_ref_bam
-    ):
-        import tempfile
+    from portello_tpu.io.aln_input import cram_to_bam, is_cram_file
+    from portello_tpu.utils.genome_segment import GenomeSegment
 
-        from portello_tpu.pipeline.contig_scan import save_contig_index
-        from portello_tpu.utils.genome_segment import GenomeSegment
-
-        ref_cl = ChromList.from_bam_filename(settings.assembly_to_ref_bam)
-        asm_cl = ChromList.from_bam_filename(settings.read_to_assembly_bam)
-        region = (
-            None if settings.target_region is None
-            else GenomeSegment.from_region_str(ref_cl, settings.target_region)
-        )
-        info = scan_contig_bam(
-            settings.assembly_to_ref_bam, ref_cl, asm_cl, region,
-            max_join_gap=settings.max_join_gap,
-        )
-        fd, index_tmp = tempfile.mkstemp(suffix=".ptidx", prefix="ptpu_cidx_")
-        os.close(fd)
-        save_contig_index(index_tmp, info, asm_cl, region, settings.max_join_gap)
-        base_args += ["--contig-index", index_tmp]
-        logger.info("Scanned contig alignments once; index cached for workers")
-
-    logger.info(f"Running phase 2 across {n} local worker processes")
+    temps: list[str] = []
     try:
+        prescan = settings.contig_index is None or not os.path.exists(
+            settings.contig_index
+        )
+        if prescan:
+            from portello_tpu.pipeline.contig_scan import save_contig_index
+
+            ref_cl = ChromList.from_bam_filename(settings.assembly_to_ref_bam)
+            asm_cl = ChromList.from_bam_filename(settings.read_to_assembly_bam)
+            region = (
+                None if settings.target_region is None
+                else GenomeSegment.from_region_str(ref_cl, settings.target_region)
+            )
+            # phase 1 needs sequences only to decode a CRAM contig input
+            ref_seqs = (
+                get_chrom_array(settings.ref_filename, ref_cl, logger)
+                if is_cram_file(settings.assembly_to_ref_bam)
+                else None
+            )
+            info = scan_contig_bam(
+                settings.assembly_to_ref_bam, ref_cl, asm_cl, region,
+                max_join_gap=settings.max_join_gap, reference_seqs=ref_seqs,
+            )
+            if settings.contig_index is not None:
+                # user asked for the cache at this path: build it here so the
+                # workers all LOAD it (never racing to write it)
+                index_path = settings.contig_index
+            else:
+                fd, index_path = tempfile.mkstemp(
+                    suffix=".ptidx", prefix="ptpu_cidx_"
+                )
+                os.close(fd)
+                temps.append(index_path)
+                base_args += ["--contig-index", index_path]
+            save_contig_index(
+                index_path, info, ref_cl, asm_cl, region, settings.max_join_gap
+            )
+            logger.info("Scanned contig alignments once; index cached for workers")
+
+        if is_cram_file(settings.read_to_assembly_bam):
+            # one transcode instead of one per worker; workers consume the
+            # temp BAM directly (RR=0/embedded-ref CRAMs only — RR=1 needs
+            # the assembly reference and errors identically here or there)
+            from portello_tpu.io.index_build import build_bai
+
+            fd, tr = tempfile.mkstemp(suffix=".bam", prefix="ptpu_cram_")
+            os.close(fd)
+            temps.append(tr)
+            logger.info("Transcoding CRAM read input once for all workers")
+            cram_to_bam(settings.read_to_assembly_bam, tr,
+                        n_threads=max(1, settings.thread_count // 2))
+            build_bai(tr)
+            temps.append(tr + ".bai")
+            replaced = []
+            skip2 = False
+            for a in base_args:
+                if skip2:
+                    replaced.append(tr)
+                    skip2 = False
+                    continue
+                if a == "--read-to-assembly":
+                    replaced.append(a)
+                    skip2 = True
+                    continue
+                if a.startswith("--read-to-assembly="):
+                    replaced.append(f"--read-to-assembly={tr}")
+                    continue
+                replaced.append(a)
+            base_args = replaced
+
+        logger.info(f"Running phase 2 across {n} local worker processes")
         procs = []
         for w in range(n):
             cmd = [
@@ -353,19 +409,21 @@ def run_local_workers(settings: Settings, argv: list[str]) -> None:
         failed = [w for w, p in enumerate(procs) if p.wait() != 0]
         if failed:
             raise SystemExit(f"worker processes failed: {failed}")
-    except BaseException:
-        if index_tmp is not None and os.path.exists(index_tmp):
-            os.remove(index_tmp)
-        raise
 
-    for output in (settings.remapped_read_output, settings.unassembled_read_output):
-        shards = [shard_output_path(output, w, n) for w in range(n)]
-        merge_bams(output, shards, n_threads=max(1, settings.thread_count // 2))
-        for s in shards:
-            os.remove(s)
-    if index_tmp is not None and os.path.exists(index_tmp):
-        os.remove(index_tmp)
-    logger.info(f"Merged {n} worker shards")
+        for output in (
+            settings.remapped_read_output, settings.unassembled_read_output
+        ):
+            shards = [shard_output_path(output, w, n) for w in range(n)]
+            merge_bams(
+                output, shards, n_threads=max(1, settings.thread_count // 2)
+            )
+            for s in shards:
+                os.remove(s)
+        logger.info(f"Merged {n} worker shards")
+    finally:
+        for t in temps:
+            if os.path.exists(t):
+                os.remove(t)
 
 
 def main(argv=None) -> None:

@@ -98,17 +98,22 @@ _INDEX_VERSION = 1
 
 
 def save_contig_index(
-    path: str, all_info, assembly_contig_list, target_region, max_join_gap
+    path: str, all_info, ref_chrom_list, assembly_contig_list, target_region,
+    max_join_gap,
 ) -> None:
     """Serialize the phase-1 result (the one cross-phase artifact,
     SURVEY.md section 5 'checkpoint': the natural broadcast/cache object).
-    The scan parameters are stored and validated on load — an index built
-    for a different target region or join gap must not be silently reused."""
+    The scan parameters AND both coordinate systems are stored and validated
+    on load — the cached segments' chrom_index values are indices into the
+    ref chrom list, so an index built against a different contig-to-ref BAM
+    must not be silently reused (it would lift to wrong chromosomes)."""
     import pickle
+    import tempfile
 
     payload = {
         "version": _INDEX_VERSION,
-        "contig_labels": [c.label for c in assembly_contig_list.data],
+        "ref_chroms": [(c.label, c.length) for c in ref_chrom_list.data],
+        "contigs": [(c.label, c.length) for c in assembly_contig_list.data],
         "target_region": (
             None if target_region is None
             else (target_region.chrom_index, target_region.range.start,
@@ -117,27 +122,45 @@ def save_contig_index(
         "max_join_gap": max_join_gap,
         "info": all_info,
     }
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
     import os
 
-    os.replace(tmp, path)
+    # unique temp in the destination dir: concurrent writers (workers racing
+    # on a shared path) each publish atomically via os.replace
+    fd, tmp = tempfile.mkstemp(
+        prefix=os.path.basename(path) + ".", dir=os.path.dirname(path) or "."
+    )
+    try:
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
 
 
 def load_contig_index(
-    path: str, assembly_contig_list, target_region, max_join_gap
+    path: str, ref_chrom_list, assembly_contig_list, target_region,
+    max_join_gap,
 ):
     """Load and validate a saved phase-1 index; raises ValueError on any
-    parameter/contig-list mismatch."""
+    parameter/coordinate-system mismatch."""
     import pickle
 
     with open(path, "rb") as f:
         payload = pickle.load(f)
     if payload.get("version") != _INDEX_VERSION:
         raise ValueError(f"contig index {path}: unsupported version")
-    labels = [c.label for c in assembly_contig_list.data]
-    if payload["contig_labels"] != labels:
+    if payload["ref_chroms"] != [
+        (c.label, c.length) for c in ref_chrom_list.data
+    ]:
+        raise ValueError(
+            f"contig index {path} was built against a different reference "
+            "chromosome list"
+        )
+    if payload["contigs"] != [
+        (c.label, c.length) for c in assembly_contig_list.data
+    ]:
         raise ValueError(
             f"contig index {path} was built for a different assembly "
             "(contig list mismatch)"
@@ -192,7 +215,15 @@ def scan_contig_bam(
 
     from portello_tpu.io.aln_input import open_alignment_input
 
-    with open_alignment_input(bam_path, reference=reference_seqs) as reader:
+    # CRAM decode reference by NAME (validated against the file's own @SQ
+    # name+length; the contig-to-ref CRAM's tids ARE ref chromosomes, but
+    # name-keyed lookup makes wrong-reference decode impossible).
+    ref_arg = reference_seqs
+    if reference_seqs is not None and not isinstance(reference_seqs, dict):
+        ref_arg = {
+            c.label: seq for c, seq in zip(ref_chrom_list.data, reference_seqs)
+        }
+    with open_alignment_input(bam_path, reference=ref_arg) as reader:
         for record in reader:
             if record.is_unmapped() or record.is_secondary():
                 continue

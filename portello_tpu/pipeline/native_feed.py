@@ -64,6 +64,18 @@ class _BatchDesc(ctypes.Structure):
     ]
 
 
+def i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
 def _build() -> str | None:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
     cmd = [
@@ -239,9 +251,6 @@ def create_scanner(
     writer_threads = max(1, thread_count // 2)
     level = 0 if remapped_out == "-" else 6
 
-    i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
-    i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
-    u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))  # noqa: E731
 
     lib.ptscan_create.argtypes = []  # bypass strict typing; pass explicit ctypes
     h = lib.ptscan_create(
@@ -369,9 +378,6 @@ def scan_and_remap_reads_native(
         contig_list, all_contig_mapping_info, buckets, batch_size,
         is_target_region, shard_plan, thread_count,
     )
-    i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
-    i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
-    u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))  # noqa: E731
 
     genome_kb = sum(ci.length for ci in contig_list.data) // 1000
     progress = ProgressReporter(

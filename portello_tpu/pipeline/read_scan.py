@@ -348,8 +348,15 @@ def scan_and_remap_reads(
 
     from portello_tpu.io.aln_input import open_alignment_input
 
+    # CRAM decode reference by NAME: the read-to-assembly file's tids are
+    # its own header's sequences; positional ref-genome arrays would decode
+    # RR=1 slices against the wrong chromosome (CramReader validates
+    # name+length and errors when the needed assembly isn't available).
+    ref_by_name = {
+        c.label: seq for c, seq in zip(ref_chrom_list.data, reference)
+    }
     n_primary = 0
-    with open_alignment_input(read_to_assembly_bam, reference=reference) as reader:
+    with open_alignment_input(read_to_assembly_bam, reference=ref_by_name) as reader:
         for record in reader:
             if record.is_unmapped():
                 # Reference semantics: only the UNPLACED unmapped section is

@@ -51,6 +51,19 @@ def sort_bam(
     """Sort ``input_path`` into ``output`` ('-' = uncompressed stdout BAM).
     Returns the record count."""
     chunks: list[str] = []
+    try:
+        return _sort_bam_inner(
+            input_path, output, n_threads, mem_bytes, tmp_dir, chunks
+        )
+    finally:
+        # spilled temporaries must not outlive the call on ANY exit path
+        # (truncated input mid-scan, Ctrl-C, merge failure)
+        for c in chunks:
+            if os.path.exists(c):
+                os.remove(c)
+
+
+def _sort_bam_inner(input_path, output, n_threads, mem_bytes, tmp_dir, chunks):
     n = 0
     with BamReader(input_path) as reader:
         header = _coordinate_header(reader.header)
@@ -117,8 +130,6 @@ def sort_bam(
     finally:
         for r in readers:
             r.close()
-        for c in chunks:
-            os.remove(c)
     return n
 
 

@@ -88,9 +88,7 @@ def run(so_path: str | None, threads: int, batch_size: int) -> None:
         lib, scn.read_bam, out_r, out_u, header, reference, ref_cl,
         asm_cl, info, buckets, batch_size, False, None, threads,
     )
-    i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
-    i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
-    u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))  # noqa: E731
+    i64p, i32p, u8p = nf.i64p, nf.i32p, nf.u8p
 
     desc = nf._BatchDesc()
     max_out = buckets[0].resolved_max_out()

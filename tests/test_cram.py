@@ -240,3 +240,46 @@ def test_cram_native_feed_matches_python_feed(tmp_path):
     assert len(recs_sam(out_n)) > 0
     # the transcode temporary must be cleaned up
     assert set(glob.glob(tmp_pat)) == before
+
+
+def test_cram_reference_resolution_validates_name_and_length(tmp_path):
+    """RR=1 slice decode must never read the wrong sequence: the decode
+    reference is resolved by the CRAM's OWN @SQ name and validated by
+    length (a read-to-assembly CRAM's tids are assembly contigs — passing
+    ref-genome arrays positionally used to corrupt silently)."""
+    from portello_tpu.testutil.simulate import make_scenario
+
+    make_scenario(str(tmp_path), rng=np.random.default_rng(91))
+    src = str(tmp_path / "read_to_asm.bam")
+    with BamReader(src) as r:
+        recs = list(r)
+        header = r.header
+    path = str(tmp_path / "x.cram")
+    with cram.CramWriter(path, header) as w:
+        for rec in recs:
+            w.write(rec)
+
+    name0, len0 = header.refs[0]
+    ok_seq = np.zeros(len0, np.uint8)
+
+    rd = cram.CramReader(path, reference={name0: ok_seq})
+    assert rd._resolve_ref(0) is ok_seq
+    rd.close()
+
+    # wrong length for the right name -> hard error
+    rd = cram.CramReader(path, reference={name0: np.zeros(len0 + 5, np.uint8)})
+    with pytest.raises(cram.CramFormatError, match="length"):
+        rd._resolve_ref(0)
+    rd.close()
+
+    # name missing entirely -> hard error (not positional fallback)
+    rd = cram.CramReader(path, reference={"chrZZ": ok_seq})
+    with pytest.raises(cram.CramFormatError, match=name0):
+        rd._resolve_ref(0)
+    rd.close()
+
+    # positional list is accepted only when the length matches
+    rd = cram.CramReader(path, reference=[np.zeros(3, np.uint8)])
+    with pytest.raises(cram.CramFormatError):
+        rd._resolve_ref(0)
+    rd.close()
