@@ -314,47 +314,54 @@ def _rans1_decode(buf: bytes, n_out: int) -> bytes:
     R = list(struct.unpack_from("<4I", buf, off))
     off += 16
     out = bytearray(n_out)
-    n4 = (n_out + 3) >> 2
+    # htslib rANS_static.c layout: quarters of floor(n/4) at offsets
+    # 0/Q/2Q/3Q; state 3 decodes the tail [4Q, n) continuing its context
+    # chain (NOT ceil quarters — sizes % 4 != 0 would desynchronize).
+    Q = n_out >> 2
     last = [0, 0, 0, 0]
     ptr = off
-    for i2 in range(n4):
+
+    def step(j, idx):
+        got = Fs.get(last[j])
+        if got is None:
+            raise CramFormatError("rANS order-1 missing context")
+        C, slot, F = got
+        nonlocal ptr
+        r = R[j]
+        f = r & (_TOTFREQ - 1)
+        s = int(slot[f])
+        out[idx] = s
+        r = int(F[s]) * (r >> _TF_SHIFT) + f - int(C[s])
+        while r < _RANS_LOW and ptr < len(buf):
+            r = (r << 8) | buf[ptr]
+            ptr += 1
+        R[j] = r
+        last[j] = s
+
+    for i2 in range(Q):
         for j in range(4):
-            idx = i2 + j * n4
-            if idx >= n_out:
-                continue
-            C, slot, F = Fs.get(last[j], (None, None, None))
-            if C is None:
-                raise CramFormatError("rANS order-1 missing context")
-            r = R[j]
-            f = r & (_TOTFREQ - 1)
-            s = int(slot[f])
-            out[idx] = s
-            r = int(F[s]) * (r >> _TF_SHIFT) + f - int(C[s])
-            while r < _RANS_LOW and ptr < len(buf):
-                r = (r << 8) | buf[ptr]
-                ptr += 1
-            R[j] = r
-            last[j] = s
+            step(j, j * Q + i2)
+    for idx in range(4 * Q, n_out):
+        step(3, idx)
     return bytes(out)
 
 
 def rans_encode_order1(raw: bytes) -> bytes:
     """rANS 4x8 order-1 encoder (round-trip coverage for the O1 decoder;
-    quarter layout mirrors rANS_static.c: 4 states over ceil(n/4) quarters,
-    first byte of each quarter in context 0)."""
+    quarter layout mirrors rANS_static.c: 4 states over floor(n/4) quarters
+    at offsets 0/Q/2Q/3Q, state 3 carrying the tail [4Q, n), first byte of
+    each quarter in context 0)."""
     n = len(raw)
     if n == 0:
         return struct.pack("<BII", 1, 0, 0)
     arr = np.frombuffer(raw, dtype=np.uint8)
-    n4 = (n + 3) >> 2
-    # per-context counts
+    Q = n >> 2
+    # per-state contiguous context ranges: [0,Q) [Q,2Q) [2Q,3Q) [3Q,n)
+    ranges = [(0, Q), (Q, 2 * Q), (2 * Q, 3 * Q), (3 * Q, n)]
     counts = np.zeros((256, 256), dtype=np.int64)
-    for j in range(4):
+    for lo, hi in ranges:
         last = 0
-        for i2 in range(n4):
-            idx = i2 + j * n4
-            if idx >= n:
-                break
+        for idx in range(lo, hi):
             counts[last, arr[idx]] += 1
             last = arr[idx]
     ctxs = [c for c in range(256) if counts[c].sum() > 0]
@@ -388,16 +395,17 @@ def rans_encode_order1(raw: bytes) -> bytes:
     # encode in reverse (LIFO per state)
     R = [_RANS_LOW] * 4
     out_rev = bytearray()
-    # positions in reverse global decode order: decode emits (i2, j) pairs
+    # positions in global decode order: Q interleaved rounds then the tail
+    # on state 3 (see _rans1_decode)
     seq = []
-    for i2 in range(n4):
+    for i2 in range(Q):
         for j in range(4):
-            idx = i2 + j * n4
-            if idx < n:
-                seq.append((j, idx))
+            seq.append((j, j * Q + i2))
+    for idx in range(4 * Q, n):
+        seq.append((3, idx))
     for j, idx in reversed(seq):
         s_ = int(arr[idx])
-        q_start = j * n4
+        q_start = j * Q
         ctx = int(arr[idx - 1]) if idx > q_start else 0
         F, C = Fs[ctx], Cs[ctx]
         f = int(F[s_])
@@ -474,6 +482,7 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
 
 
 def read_block(buf: bytes, off: int) -> tuple[Block, int]:
+    start = off
     method = buf[off]
     ctype = buf[off + 1]
     off += 2
@@ -482,7 +491,17 @@ def read_block(buf: bytes, off: int) -> tuple[Block, int]:
     raw, off = read_itf8(buf, off)
     data = buf[off : off + comp]
     off += comp
-    off += 4  # CRC32
+    # CRAM 3.0 mandates the block CRC32 (over method..compressed data);
+    # htslib validates it on read — a passing size check alone would let
+    # bit flips flow through as silent base/qual corruption
+    stored = struct.unpack_from("<I", buf, off)[0]
+    computed = zlib.crc32(buf[start:off]) & 0xFFFFFFFF
+    if stored != computed:
+        raise CramFormatError(
+            f"CRAM block CRC mismatch (stored {stored:#x}, "
+            f"computed {computed:#x})"
+        )
+    off += 4
     out = _decompress(method, data, raw)
     if len(out) != raw:
         raise CramFormatError("CRAM block raw size mismatch")
@@ -524,21 +543,46 @@ def read_container_header(f) -> ContainerHeader | None:
     if len(head) < 4:
         return None
     length = struct.unpack("<i", head)[0]
-    rest = f.read(128)  # header varints bounded well below this
+    # the varint section is unbounded (the landmark list has one entry per
+    # slice); grow the read window on demand instead of assuming a cap
+    rest = bytearray(f.read(64))
+
+    def r(fn, off):
+        while True:
+            try:
+                return fn(rest, off)
+            except IndexError:
+                more = f.read(64)
+                if not more:
+                    raise CramFormatError("truncated CRAM container header")
+                rest.extend(more)
+
     off = 0
-    ref_id, off = read_itf8(rest, off)
-    start, off = read_itf8(rest, off)
-    span, off = read_itf8(rest, off)
-    n_records, off = read_itf8(rest, off)
-    record_counter, off = read_ltf8(rest, off)
-    bases, off = read_ltf8(rest, off)
-    n_blocks, off = read_itf8(rest, off)
-    n_land, off = read_itf8(rest, off)
+    ref_id, off = r(read_itf8, off)
+    start, off = r(read_itf8, off)
+    span, off = r(read_itf8, off)
+    n_records, off = r(read_itf8, off)
+    record_counter, off = r(read_ltf8, off)
+    bases, off = r(read_ltf8, off)
+    n_blocks, off = r(read_itf8, off)
+    n_land, off = r(read_itf8, off)
     landmarks = []
     for _ in range(n_land):
-        v, off = read_itf8(rest, off)
+        v, off = r(read_itf8, off)
         landmarks.append(v)
-    off += 4  # CRC
+    while len(rest) < off + 4:
+        more = f.read(64)
+        if not more:
+            raise CramFormatError("truncated CRAM container header")
+        rest.extend(more)
+    stored = struct.unpack_from("<I", rest, off)[0]
+    computed = zlib.crc32(head + bytes(rest[:off])) & 0xFFFFFFFF
+    if stored != computed:
+        raise CramFormatError(
+            f"CRAM container header CRC mismatch (stored {stored:#x}, "
+            f"computed {computed:#x})"
+        )
+    off += 4
     f.seek(off - len(rest), 1)  # rewind unread tail
     return ContainerHeader(
         length, ref_id, start, span, n_records, record_counter, bases,
@@ -874,6 +918,13 @@ class CramReader:
         if magic[:4] != CRAM_MAGIC:
             raise CramFormatError(f"{path}: not a CRAM file")
         self.version = (magic[4], magic[5])
+        if self.version[0] != 3:
+            # v2 containers have no CRC32 fields — parsing them with the v3
+            # layout desynchronizes every offset, so reject clearly
+            raise CramFormatError(
+                f"{path}: CRAM version {self.version[0]}.{self.version[1]} "
+                "not supported (this reader implements CRAM 3.x)"
+            )
         self.f.read(20)  # file id
         self.reference = reference
         # first container: SAM header text
@@ -885,6 +936,15 @@ class CramReader:
         ln = struct.unpack_from("<i", blk.data, 0)[0]
         text = blk.data[4 : 4 + ln]
         self.header = _parse_sam_header_text(text)
+        # @RG IDs in header order: the RG data series stores an index into
+        # this list (reconstructed to an RG:Z aux tag per record)
+        self._rg_ids: list[str] = []
+        for line in text.decode(errors="replace").splitlines():
+            if line.startswith("@RG"):
+                for fld in line.split("\t")[1:]:
+                    if fld.startswith("ID:"):
+                        self._rg_ids.append(fld[3:])
+                        break
 
     def close(self):
         self.f.close()
@@ -1012,7 +1072,7 @@ class CramReader:
                 last_pos = pos
             else:
                 pos = dec.read_int(g(b"AP"))
-            _rg = dec.read_int(g(b"RG"))
+            rg = dec.read_int(g(b"RG"))
             qname = b""
             if ch.rn:
                 qname = dec.read_array(g(b"RN"))
@@ -1035,6 +1095,10 @@ class CramReader:
                 key = (tag[0] << 16) | (tag[1] << 8) | ty[0]
                 raw_val = dec.read_array(ch.tags[key])
                 tags.append(_decode_tag_value(tag, ty, raw_val))
+            # RG aux tag reconstructed from the read-group index + @RG header
+            # lines (htslib cram_decode; the index is -1 for 'no group')
+            if 0 <= rg < len(self._rg_ids):
+                tags.append((b"RG", b"Z", self._rg_ids[rg].encode()))
 
             flag = bf
             if mate_flags & 1:
@@ -1083,9 +1147,15 @@ class CramReader:
                     else:
                         raise CramFormatError(f"unknown feature code {fc_ch}")
                 mq = dec.read_int(g(b"MQ"))
+                no_seq = bool(cf & CF_NO_SEQ)
                 seq, cigar = self._reconstruct(
-                    ch, dec, S, tid, pos, rl, feats, embedded_ref, slice_start
+                    ch, dec, S, tid, pos, rl, feats, embedded_ref, slice_start,
+                    no_seq=no_seq, qual=qual,
                 )
+                if no_seq:
+                    # sequence stored as '*' (htslib: cigar comes from the
+                    # features, bases are not reconstructed)
+                    seq = np.zeros(0, np.uint8)
                 if cf & CF_QUAL:
                     qual = np.frombuffer(
                         dec.read_bytes_n(g(b"QS"), rl), np.uint8
@@ -1120,7 +1190,8 @@ class CramReader:
             )
             records.append(rec)
 
-        # NF mate resolution (htslib cram_decode_slice)
+        # NF mate resolution (htslib cram_decode_slice): mate flags AND the
+        # mate-unmapped bit propagate; TLEN is 0 when either end is unmapped
         for i, j in nf_links:
             if j < len(records):
                 a, b = records[i], records[j]
@@ -1130,6 +1201,13 @@ class CramReader:
                     b.flag |= FMREVERSE
                 if b.flag & FREVERSE:
                     a.flag |= FMREVERSE
+                if a.flag & FUNMAP:
+                    b.flag |= FMUNMAP
+                if b.flag & FUNMAP:
+                    a.flag |= FMUNMAP
+                if (a.flag | b.flag) & FUNMAP:
+                    a.tlen = b.tlen = 0
+                    continue
                 aleft = min(a.pos, b.pos)
                 aright = max(a.alignment_end(), b.alignment_end())
                 span = aright - aleft
@@ -1140,8 +1218,14 @@ class CramReader:
         yield from records
 
     def _reconstruct(self, ch, dec, S, tid, pos1, rl, feats, embedded_ref,
-                     slice_start):
-        """Features -> (seq, cigar) (spec section 10.5; htslib cram_decode)."""
+                     slice_start, no_seq: bool = False, qual=None):
+        """Features -> (seq, cigar) (spec section 10.5; htslib cram_decode).
+
+        ``no_seq`` (CF_NO_SEQ on a mapped record): the cigar still comes
+        from the features but no bases are reconstructed — in particular
+        RR=0 match regions must NOT consume BA bytes (none were written;
+        reading them would desynchronize every later record in the slice).
+        ``qual`` receives quality-carrying features (q/Q/B) when given."""
         seq = np.zeros(rl, np.uint8)
         ops: list[tuple[int, int]] = []
         rpos = 0            # read cursor (0-based)
@@ -1155,7 +1239,9 @@ class CramReader:
             nonlocal rpos, ref_cursor
             if n <= 0:
                 return
-            if ch.rr:
+            if no_seq:
+                pass  # cigar only; no base bytes stored for this record
+            elif ch.rr:
                 seq[rpos : rpos + n] = self._ref_bases(
                     tid, ref_cursor, n, embedded_ref, slice_start
                 )
@@ -1177,12 +1263,16 @@ class CramReader:
             take_match(gap)
             if fc_ch == "S":
                 sc = np.frombuffer(val, np.uint8)
-                seq[rpos : rpos + len(sc)] = sc
+                if not no_seq:
+                    seq[rpos : rpos + len(sc)] = sc
                 emit(cg.S, len(sc))
                 rpos += len(sc)
             elif fc_ch == "X":
-                rb = self._ref_bases(tid, ref_cursor, 1, embedded_ref, slice_start)
-                seq[rpos] = _sub_base(ch.sub_matrix, int(rb[0]), val)
+                if not no_seq:
+                    rb = self._ref_bases(
+                        tid, ref_cursor, 1, embedded_ref, slice_start
+                    )
+                    seq[rpos] = _sub_base(ch.sub_matrix, int(rb[0]), val)
                 # merge into M run (substitutions are matches in the cigar)
                 emit(cg.M, 1)
                 rpos += 1
@@ -1195,28 +1285,41 @@ class CramReader:
                 ref_cursor += val
             elif fc_ch == "I":
                 ins = np.frombuffer(val, np.uint8)
-                seq[rpos : rpos + len(ins)] = ins
+                if not no_seq:
+                    seq[rpos : rpos + len(ins)] = ins
                 emit(cg.I, len(ins))
                 rpos += len(ins)
             elif fc_ch == "i":
-                seq[rpos] = val
+                if not no_seq:
+                    seq[rpos] = val
                 emit(cg.I, 1)
                 rpos += 1
             elif fc_ch == "P":
                 emit(cg.P, val)
             elif fc_ch == "B":
-                seq[rpos] = val[0]
+                if not no_seq:
+                    seq[rpos] = val[0]
+                if qual is not None:
+                    qual[fpos - 1] = val[1]
                 emit(cg.M, 1)
                 rpos += 1
                 ref_cursor += 1
             elif fc_ch == "b":
                 bb = np.frombuffer(val, np.uint8)
-                seq[rpos : rpos + len(bb)] = bb
+                if not no_seq:
+                    seq[rpos : rpos + len(bb)] = bb
                 emit(cg.M, len(bb))
                 rpos += len(bb)
                 ref_cursor += len(bb)
-            elif fc_ch in ("q", "Q"):
-                pass  # quality-only features; bases unaffected
+            elif fc_ch == "q":
+                # per-base quality run (QQ series); bases unaffected
+                if qual is not None:
+                    qs = np.frombuffer(val, np.uint8)
+                    qual[fpos - 1 : fpos - 1 + len(qs)] = qs
+            elif fc_ch == "Q":
+                # single quality score (QS series); bases unaffected
+                if qual is not None:
+                    qual[fpos - 1] = val
             else:
                 raise CramFormatError(f"unhandled feature {fc_ch}")
         take_match(rl - rpos)

@@ -53,6 +53,15 @@ def build_bai(bam_path: str, out_path: str | None = None) -> str:
             if op in (0, 2, 3, 7, 8):  # M D N = X
                 ref_len += u >> 4
         end = pos + max(ref_len, 1)
+        if end > (1 << 29):
+            # BAI's 5-level binning tops out at 2^29-1; beyond it reg2bin
+            # emits ids that collide with the 37450 pseudo-bin (whose chunks
+            # readers silently drop) or fall outside the scheme entirely.
+            # htslib refuses and requires CSI here; so do we.
+            raise ValueError(
+                f"Cannot BAI-index '{bam_path}': alignment end {end} on tid "
+                f"{tid} exceeds the BAI limit of 2^29 (use a CSI index)"
+            )
         b = bam_reg2bin(pos, end)
         chunks = bins[tid].setdefault(b, [])
         if chunks and chunks[-1][1] == v_start:

@@ -398,9 +398,22 @@ long long ptio_read_records(void* h, uint8_t* out_buf, long long buf_cap,
     if (reader_read(r, szb, 4) < 4) break;
     int32_t bsz;
     std::memcpy(&bsz, szb, 4);
-    if (bsz < 32 || used + 4 + bsz > buf_cap) {
+    if (bsz < 32) {
+      // corrupt size field: rewinding and returning 0 would read as a clean
+      // EOF upstream, silently dropping the rest of the file
       r->coffset = save_co;
       r->uoffset = save_uo;
+      return -1;
+    }
+    if (used + 4 + bsz > buf_cap) {
+      r->coffset = save_co;
+      r->uoffset = save_uo;
+      if (count == 0) {
+        // first record exceeds the caller's buffer: report the required
+        // capacity so the caller can grow and retry (never a silent stop)
+        *n_bytes = 4 + (long long)bsz;
+        return -2;
+      }
       break;
     }
     std::memcpy(out_buf + used, szb, 4);

@@ -131,6 +131,15 @@ class NativeBgzfReader:
             self._h, buf, buf_cap, max_records, limit_voffset,
             ctypes.byref(n_bytes),
         )
+        if n == -1:
+            raise ValueError("invalid BAM record size (corrupt stream)")
+        if n == -2:
+            # first record exceeds buf_cap: retry at the required capacity
+            # (e.g. an ultralong read; an empty return would look like EOF)
+            return self.read_records_bulk(
+                buf_cap=int(n_bytes.value), max_records=max_records,
+                limit_voffset=limit_voffset,
+            )
         out = []
         mv = memoryview(buf)[: n_bytes.value]
         off = 0

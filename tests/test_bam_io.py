@@ -193,3 +193,65 @@ def test_fasta_roundtrip(tmp_path):
     assert len(g.chroms["chr2"]) == 160
     g.convert_disallowed_characters(b"ACGTN", ord("N"))
     assert g.chroms["chr1"].tobytes() == b"ACGTACGTNN"
+
+
+def test_build_bai_refuses_beyond_bai_limit(tmp_path):
+    """BAI tops out at 2^29-1; beyond it reg2bin collides with the 37450
+    pseudo-bin (silently dropped chunks).  htslib refuses; so do we."""
+    import numpy as np
+    import pytest
+
+    from portello_tpu.io.bam import BamHeader, BamRecord, BamWriter
+    from portello_tpu.io.index_build import build_bai
+    from portello_tpu.ops import cigar as cg
+
+    header = BamHeader.from_refs(
+        [("big", (1 << 30))], b"@SQ\tSN:big\tLN:1073741824\n"
+    )
+    rec = BamRecord(
+        qname=b"far", flag=0, tid=0, pos=(1 << 29) + 10, mapq=60,
+        cigar=cg.cigar((cg.M, 5)),
+        seq=np.frombuffer(b"ACGTA", np.uint8).copy(),
+        qual=np.full(5, 30, np.uint8),
+    )
+    path = str(tmp_path / "big.bam")
+    with BamWriter(path, header) as w:
+        w.write(rec)
+    with pytest.raises(ValueError, match="CSI"):
+        build_bai(path)
+
+
+def test_native_bulk_read_grows_for_oversized_record(tmp_path):
+    """A record larger than the bulk buffer must be returned (grow+retry),
+    never silently treated as EOF; a corrupt size field must raise."""
+    import numpy as np
+    import pytest
+
+    from portello_tpu.io.bam import BamHeader, BamRecord, BamReader, BamWriter
+
+    header = BamHeader.from_refs([("chr1", 10000)], b"@SQ\tSN:chr1\tLN:10000\n")
+    seq = np.frombuffer(b"ACGT" * 500, np.uint8).copy()
+    recs = [
+        BamRecord(
+            qname=f"r{i}".encode(), flag=4, tid=-1, pos=-1, mapq=0,
+            seq=seq, qual=np.full(len(seq), 30, np.uint8),
+        )
+        for i in range(3)
+    ]
+    path = str(tmp_path / "wide.bam")
+    with BamWriter(path, header) as w:
+        for r in recs:
+            w.write(r)
+
+    with BamReader(path) as rd:
+        if rd._native is None:
+            pytest.skip("native codec unavailable")
+        rd._bgzf.seek_voffset(rd._data_voffset)
+        # buffer far smaller than one record: must grow+retry, never EOF
+        total = 0
+        while True:
+            more = rd._native.read_records_bulk(buf_cap=64)
+            if not more:
+                break
+            total += len(more)
+        assert total == 3

@@ -283,3 +283,62 @@ def test_cram_reference_resolution_validates_name_and_length(tmp_path):
     with pytest.raises(cram.CramFormatError):
         rd._resolve_ref(0)
     rd.close()
+
+
+def test_rans_o1_odd_sizes_roundtrip():
+    """Order-1 quarter layout is floor(n/4) with state 3 carrying the tail
+    (htslib rANS_static.c); sizes % 4 != 0 are the regression class."""
+    rng = np.random.default_rng(5)
+    for n in (1, 2, 3, 5, 7, 101, 1023, 4097):
+        d = bytes(rng.integers(60, 75, n, dtype=np.uint8))
+        assert cram.rans_decode(cram.rans_encode_order1(d)) == d, n
+
+
+def test_cram_block_crc_detects_corruption(tmp_path):
+    """CRAM 3.0 block/container CRCs are verified: a bit flip must raise,
+    not decode to silently corrupt records (htslib behavior)."""
+    from portello_tpu.io.bam import BamHeader, BamRecord
+
+    header = BamHeader.from_refs([("chr1", 100)], b"@SQ\tSN:chr1\tLN:100\n")
+    rec = BamRecord(
+        qname=b"r1", flag=0, tid=0, pos=5, mapq=60,
+        cigar=cg.cigar((cg.M, 8)),
+        seq=np.frombuffer(b"ACGTACGT", np.uint8).copy(),
+        qual=np.full(8, 30, np.uint8),
+    )
+    path = str(tmp_path / "c.cram")
+    with cram.CramWriter(path, header) as w:
+        w.write(rec)
+    data = bytearray(open(path, "rb").read())
+    with cram.CramReader(path) as r:
+        assert len(list(r)) == 1  # pristine file reads fine
+    # flip one byte in the middle (inside container/block payload territory)
+    data[len(data) // 2] ^= 0xFF
+    bad = str(tmp_path / "bad.cram")
+    open(bad, "wb").write(bytes(data))
+    with pytest.raises((cram.CramFormatError, Exception)):
+        with cram.CramReader(bad) as r:
+            list(r)
+
+
+def test_cram_rejects_v2(tmp_path):
+    p = tmp_path / "v2.cram"
+    p.write_bytes(b"CRAM\x02\x01" + b"\x00" * 20)
+    with pytest.raises(cram.CramFormatError, match="version 2.1"):
+        cram.CramReader(str(p))
+
+
+def test_container_header_many_landmarks_roundtrip():
+    """The varint section is unbounded (one landmark per slice); parsing
+    must grow its window instead of assuming a byte cap."""
+    import io
+
+    h = cram.ContainerHeader(
+        length=12345, ref_id=3, start=1000, span=500, n_records=77,
+        record_counter=123456789, bases=999999, n_blocks=41,
+        landmarks=[100000 + 137 * i for i in range(40)],
+    )
+    raw = cram.write_container_header(h)
+    got = cram.read_container_header(io.BytesIO(raw))
+    assert got.landmarks == h.landmarks
+    assert (got.ref_id, got.start, got.span, got.n_records) == (3, 1000, 500, 77)
