@@ -551,8 +551,13 @@ void parse_splits(Scanner& sc, ReadState& rs,
       if (semi == std::string::npos) semi = sa.size();
       std::string seg = sa.substr(i0, semi - i0);
       i0 = semi + 1;
-      if (seg.empty()) continue;
-      // 6 comma fields (sa_tag_parser.rs:25-46)
+      // Rust split_terminator(';') drops only the trailing empty; an
+      // interior empty segment (doubled ';') is a hard error there
+      // (sa_tag_parser.rs:54-59 + :27-31) — corrupt tags must abort.
+      if (seg.empty())
+        throw std::runtime_error("Unexpected segment in bam SA tag: " + seg);
+      // 6 comma fields (sa_tag_parser.rs:25-46); split_terminator(',')
+      // tolerates exactly one trailing empty field (trailing comma)
       std::vector<std::string> f;
       size_t p0 = 0;
       while (true) {
@@ -564,8 +569,15 @@ void parse_splits(Scanner& sc, ReadState& rs,
         f.push_back(seg.substr(p0, c - p0));
         p0 = c + 1;
       }
+      if (f.size() == 7 && f.back().empty()) f.pop_back();
       if (f.size() != 6)
         throw std::runtime_error("Unexpected segment in bam SA tag: " + seg);
+      // MAPQ is a u8 in the reference; out-of-range parses panic there
+      {
+        long mq_l = std::stol(f[4]);
+        if (mq_l < 0 || mq_l > 255)
+          throw std::runtime_error("Unexpected segment in bam SA tag: " + seg);
+      }
       std::string cerr;
       Cig sc_cig = cigar_from_string(f[3], &cerr);
       if (!cerr.empty()) throw std::runtime_error(cerr);

@@ -203,6 +203,13 @@ def compress_cigar(cig: np.ndarray) -> np.ndarray:
     out = np.zeros((n_runs, 2), dtype=np.int64)
     out[:, 0] = codes[new_run]
     np.add.at(out[:, 1], run_ids, kept[:, 1])
+    # Reference quirk (cigar/mod.rs:210-215): the run-merge if-let arm omits
+    # Cigar::Pad, so an adjacent-Pad run keeps only its FIRST length (3P4P ->
+    # 3P).  Unreachable through phase 2 (liftover drops Pad,
+    # liftover_read_alignment.rs:213); mirrored for phase-1/library parity.
+    pad_runs = out[:, 0] == P
+    if pad_runs.any():
+        out[pad_runs, 1] = kept[new_run, 1][pad_runs]
     return out
 
 
@@ -273,12 +280,18 @@ def strip_leading_clip(cig: np.ndarray) -> np.ndarray:
 
 
 def strip_trailing_clip(cig: np.ndarray) -> np.ndarray:
-    """Remove all trailing S/H ops (reference cigar/mod.rs:315-327)."""
+    """Remove clip ops per reference cigar/mod.rs:315-327 retain semantics:
+    EVERY clip after the first non-clip element is dropped (interior clips
+    too, not just the trailing run), and an all-clip cigar is returned
+    unchanged (``non_clip_found`` never fires there)."""
     if len(cig) == 0:
         return cig.copy()
-    nonclip = np.flatnonzero(~IS_CLIP[cig[:, 0]])
-    end = int(nonclip[-1]) + 1 if len(nonclip) else 0
-    return cig[:end].copy()
+    clip = IS_CLIP[cig[:, 0]]
+    nonclip = np.flatnonzero(~clip)
+    if len(nonclip) == 0:
+        return cig.copy()
+    keep = (np.arange(len(cig)) <= int(nonclip[0])) | ~clip
+    return cig[keep].copy()
 
 
 def reverse_cigar(cig: np.ndarray) -> np.ndarray:

@@ -29,10 +29,22 @@ def get_edit_distance(
         if code in (cg.I, cg.D, cg.N, cg.X):
             dist += length
         elif code == cg.M:
+            ref_arr = np.asarray(ref_seq)
+            read_arr = np.asarray(read_seq)
+            if rp + length > len(ref_arr):
+                # reference slices ref_seq[pos..pos+len] exactly -> panic
+                raise IndexError(
+                    "ref_seq shorter than the CIGAR's reference span"
+                )
+            # read side mirrors the reference's zip over read_seq[read_pos..]:
+            # a short read truncates the comparison instead of erroring
+            # (read_pos beyond the end would panic there too)
+            if read_pos > len(read_arr):
+                raise IndexError("read_seq shorter than the CIGAR read span")
+            k = min(length, len(read_arr) - read_pos)
             dist += int(
                 np.count_nonzero(
-                    np.asarray(ref_seq)[rp : rp + length]
-                    != np.asarray(read_seq)[read_pos : read_pos + length]
+                    ref_arr[rp : rp + k] != read_arr[read_pos : read_pos + k]
                 )
             )
         rp += int(cg.CONSUMES_REF[code]) * length

@@ -29,23 +29,40 @@ class SplitReadSegment:
 
 
 def parse_sa_segment(seg: str) -> SplitReadSegment:
-    """(sa_tag_parser.rs:25-46)"""
+    """(sa_tag_parser.rs:25-46)
+
+    Field splitting mirrors Rust ``split_terminator(',')``: exactly ONE
+    trailing empty field (a trailing comma) is tolerated; the MAPQ field is
+    a u8 there, so values outside [0, 255] are a hard error."""
     fields = seg.split(",")
+    if fields and fields[-1] == "":
+        fields.pop()
     if len(fields) != 6:
+        raise ValueError(f"Unexpected segment in bam SA tag: {seg}")
+    mapq = int(fields[4])
+    if not 0 <= mapq <= 255:
         raise ValueError(f"Unexpected segment in bam SA tag: {seg}")
     return SplitReadSegment(
         rname=fields[0],
         pos=int(fields[1]) - 1,
         is_fwd_strand=fields[2] == "+",
         cigar=cg.from_string(fields[3]),
-        mapq=int(fields[4]),
+        mapq=mapq,
         nm=int(fields[5]),
     )
 
 
 def parse_sa_aux_val(sa_aux_val: str) -> list[SplitReadSegment]:
-    """(sa_tag_parser.rs:54-59)"""
-    return [parse_sa_segment(s) for s in sa_aux_val.split(";") if s]
+    """(sa_tag_parser.rs:54-59)
+
+    Rust ``split_terminator(';')`` drops only the TRAILING empty segment;
+    an interior empty (doubled ';') reaches the segment parser and fails —
+    a corrupt tag must abort, not silently lift (panic parity, SURVEY 3.5).
+    """
+    segs = sa_aux_val.split(";")
+    if segs and segs[-1] == "":
+        segs.pop()
+    return [parse_sa_segment(s) for s in segs]
 
 
 @dataclass

@@ -142,3 +142,23 @@ def test_offsets():
     assert cg.get_cigar_read_offset(c, False) == 35
     assert cg.get_cigar_read_offset(c, True) == 30
     assert cg.get_cigar_ref_and_read_offset(c, False) == (25, 35)
+
+
+def test_strip_trailing_clip_retain_semantics():
+    """Reference retain semantics (cigar/mod.rs:315-327): every clip AFTER
+    the first non-clip drops (interior included, runs not merged); an
+    all-clip cigar is returned unchanged."""
+    got = cg.strip_trailing_clip(cg.from_string("10S5M2S5M3S"))
+    assert cg.to_string(got) == "10S5M5M"
+    assert cg.to_string(cg.strip_trailing_clip(cg.from_string("5S3H"))) == "5S3H"
+    assert cg.to_string(cg.strip_trailing_clip(cg.from_string("5M2S"))) == "5M"
+
+
+def test_compress_cigar_pad_quirk():
+    """Reference compress_cigar's if-let arm omits Pad, so an adjacent-Pad
+    run keeps only its first length (cigar/mod.rs:210-215)."""
+    got = cg.compress_cigar(cg.cigar((cg.M, 5), (cg.P, 3), (cg.P, 4), (cg.M, 2)))
+    assert cg.to_string(got) == "5M3P2M"
+    # non-Pad runs still sum
+    got = cg.compress_cigar(cg.cigar((cg.I, 3), (cg.I, 4)))
+    assert cg.to_string(got) == "7I"

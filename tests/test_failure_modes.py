@@ -244,3 +244,26 @@ def test_placed_unmapped_record_errors(tmp_path):
                 "--device", "cpu" if feed == "native" else "host",
                 "--feed", feed,
             ])
+
+
+def test_sa_split_terminator_semantics():
+    """Rust split_terminator parity (sa_tag_parser.rs): ONE trailing empty
+    field/segment is tolerated; interior empties and out-of-range MAPQ are
+    hard errors."""
+    from portello_tpu.pipeline.split_read import parse_sa_aux_val
+
+    # trailing ';' and trailing ',' both fine
+    segs = parse_sa_aux_val("chr1,100,+,10M,60,0;")
+    assert len(segs) == 1 and segs[0].mapq == 60
+    segs = parse_sa_aux_val("chr1,100,+,10M,60,0,;")
+    assert len(segs) == 1
+
+    # doubled ';' leaves an interior empty segment -> panic parity
+    with pytest.raises(ValueError, match="Unexpected segment"):
+        parse_sa_aux_val("chr1,100,+,10M,60,0;;chr2,5,-,10M,60,0;")
+    # double trailing comma -> 7 fields after one terminator drop
+    with pytest.raises(ValueError, match="Unexpected segment"):
+        parse_sa_aux_val("chr1,100,+,10M,60,0,,;")
+    # MAPQ is u8 in the reference
+    with pytest.raises(ValueError, match="Unexpected segment"):
+        parse_sa_aux_val("chr1,100,+,10M,300,0;")
