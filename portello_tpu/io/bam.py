@@ -269,6 +269,10 @@ class BamRecord:
             rbin = bam_reg2bin(max(self.pos, 0), max(self.pos, 0) + 1)
         else:
             rbin = bam_reg2bin(self.pos, self.pos + cg.get_cigar_ref_offset(cigar))
+        # the record bin field is u16; past the BAI limit (CSI-scale contigs)
+        # reg2bin exceeds it and htslib truncates on write — readers never
+        # consult the record bin there (the index drives region queries)
+        rbin &= 0xFFFF
         out = bytearray(
             struct.pack(
                 "<iiBBHHHiiii",

@@ -1,58 +1,112 @@
-"""BAI index construction for coordinate-sorted BAMs.
+"""BAI/CSI index construction for coordinate-sorted BAMs.
 
 The reference assumes externally indexed inputs (cli.rs:143-163); this framework
-additionally ships an indexer so fixtures and downstream pipelines don't need
-samtools.  Format per SAM spec section 5.2 (htslib bam_index_core equivalent).
+additionally ships indexers so fixtures and downstream pipelines don't need
+samtools.  Formats per SAM spec section 5.2 (BAI) and the CSIv1 spec (htslib
+hts_idx equivalent; CSI covers contigs past the BAI 2^29 limit).
 """
 
 from __future__ import annotations
 
+import gzip
 import struct
 
-from portello_tpu.io.bai import bam_reg2bin
+from portello_tpu.io.bai import bam_reg2bin, reg2bin
 from portello_tpu.io.bam import BamReader
+
+
+def _scan_records(bam_path: str):
+    """Yield (tid, pos, end, flag, v_start, v_end) for every record, plus a
+    final ('EOF', n_ref, n_no_coor) sentinel; validates coordinate order."""
+    reader = BamReader(bam_path)
+    n_ref = len(reader.header.refs)
+    n_no_coor = 0
+    bgzf = reader._bgzf
+    bgzf.seek_voffset(reader._data_voffset)
+    last_key = (-1, -1)
+    try:
+        while True:
+            v_start = bgzf.tell_voffset()
+            raw = reader._read_record_raw()
+            if raw is None:
+                break
+            v_end = bgzf.tell_voffset()
+            tid, pos = struct.unpack_from("<ii", raw, 0)
+            flag = struct.unpack_from("<H", raw, 14)[0]
+            if tid < 0 or pos < 0:
+                n_no_coor += 1
+                continue
+            if (tid, pos) < last_key:
+                raise ValueError(
+                    f"Cannot index '{bam_path}': records are not "
+                    "coordinate-sorted"
+                )
+            last_key = (tid, pos)
+            # end position from the cigar ops
+            n_cigar = struct.unpack_from("<H", raw, 12)[0]
+            l_read_name = raw[8]
+            ref_len = 0
+            off = 32 + l_read_name
+            for k in range(n_cigar):
+                (u,) = struct.unpack_from("<I", raw, off + 4 * k)
+                op = u & 0xF
+                if op in (0, 2, 3, 7, 8):  # M D N = X
+                    ref_len += u >> 4
+            end = pos + max(ref_len, 1)
+            yield (tid, pos, end, flag, v_start, v_end)
+        yield ("EOF", n_ref, n_no_coor)
+    finally:
+        reader.close()
+
+
+class _RefAccum:
+    __slots__ = ("bins", "linear", "counts", "vrange")
+
+    def __init__(self):
+        self.bins: dict[int, list[list[int]]] = {}
+        self.linear: dict[int, int] = {}
+        self.counts = [0, 0]
+        self.vrange = [None, None]
+
+    def add(self, b, pos, end, flag, v_start, v_end, lin_shift):
+        chunks = self.bins.setdefault(b, [])
+        if chunks and chunks[-1][1] == v_start:
+            chunks[-1][1] = v_end
+        else:
+            chunks.append([v_start, v_end])
+        for w in range(pos >> lin_shift, ((end - 1) >> lin_shift) + 1):
+            if w not in self.linear or self.linear[w] > v_start:
+                self.linear[w] = v_start
+        self.counts[1 if flag & 0x4 else 0] += 1
+        rr = self.vrange
+        rr[0] = v_start if rr[0] is None else min(rr[0], v_start)
+        rr[1] = v_end if rr[1] is None else max(rr[1], v_end)
+
+    def filled_linear(self):
+        if not self.linear:
+            return []
+        n_intv = max(self.linear) + 1
+        out, prev = [], 0
+        for w in range(n_intv):
+            if w in self.linear:
+                prev = self.linear[w]
+            out.append(prev)
+        return out
 
 
 def build_bai(bam_path: str, out_path: str | None = None) -> str:
     out_path = out_path or bam_path + ".bai"
-    reader = BamReader(bam_path)
-    n_ref = len(reader.header.refs)
-    bins: list[dict[int, list[list[int]]]] = [dict() for _ in range(n_ref)]
-    linear: list[dict[int, int]] = [dict() for _ in range(n_ref)]
-    counts = [[0, 0] for _ in range(n_ref)]  # mapped, unmapped per ref
-    ref_range = [[None, None] for _ in range(n_ref)]  # voffset span per ref
+    refs: list[_RefAccum] = []
     n_no_coor = 0
-
-    bgzf = reader._bgzf
-    bgzf.seek_voffset(reader._data_voffset)
-    last_key = (-1, -1)
-    while True:
-        v_start = bgzf.tell_voffset()
-        raw = reader._read_record_raw()
-        if raw is None:
+    for item in _scan_records(bam_path):
+        if item[0] == "EOF":
+            _, n_ref, n_no_coor = item
+            while len(refs) < n_ref:
+                refs.append(_RefAccum())
             break
-        v_end = bgzf.tell_voffset()
-        tid, pos = struct.unpack_from("<ii", raw, 0)
-        flag = struct.unpack_from("<H", raw, 14)[0]
-        if tid < 0 or pos < 0:
-            n_no_coor += 1
-            continue
-        if (tid, pos) < last_key:
-            raise ValueError(
-                f"Cannot index '{bam_path}': records are not coordinate-sorted"
-            )
-        last_key = (tid, pos)
-        # end position from the cigar ops
-        n_cigar = struct.unpack_from("<H", raw, 12)[0]
-        l_read_name = raw[8]
-        ref_len = 0
-        off = 32 + l_read_name
-        for k in range(n_cigar):
-            (u,) = struct.unpack_from("<I", raw, off + 4 * k)
-            op = u & 0xF
-            if op in (0, 2, 3, 7, 8):  # M D N = X
-                ref_len += u >> 4
-        end = pos + max(ref_len, 1)
+        tid, pos, end, flag, v_start, v_end = item
+        while len(refs) <= tid:
+            refs.append(_RefAccum())
         if end > (1 << 29):
             # BAI's 5-level binning tops out at 2^29-1; beyond it reg2bin
             # emits ids that collide with the 37450 pseudo-bin (whose chunks
@@ -60,54 +114,112 @@ def build_bai(bam_path: str, out_path: str | None = None) -> str:
             # htslib refuses and requires CSI here; so do we.
             raise ValueError(
                 f"Cannot BAI-index '{bam_path}': alignment end {end} on tid "
-                f"{tid} exceeds the BAI limit of 2^29 (use a CSI index)"
+                f"{tid} exceeds the BAI limit of 2^29 (build a CSI index: "
+                "python -m portello_tpu.tools.index --csi)"
             )
-        b = bam_reg2bin(pos, end)
-        chunks = bins[tid].setdefault(b, [])
-        if chunks and chunks[-1][1] == v_start:
-            chunks[-1][1] = v_end
-        else:
-            chunks.append([v_start, v_end])
-        for w in range(pos >> 14, ((end - 1) >> 14) + 1):
-            if w not in linear[tid] or linear[tid][w] > v_start:
-                linear[tid][w] = v_start
-        if flag & 0x4:
-            counts[tid][1] += 1
-        else:
-            counts[tid][0] += 1
-        rr = ref_range[tid]
-        rr[0] = v_start if rr[0] is None else min(rr[0], v_start)
-        rr[1] = v_end if rr[1] is None else max(rr[1], v_end)
-    reader.close()
+        refs[tid].add(
+            bam_reg2bin(pos, end), pos, end, flag, v_start, v_end, 14
+        )
 
     out = bytearray(b"BAI\x01")
-    out += struct.pack("<i", n_ref)
-    for tid in range(n_ref):
-        tid_bins = bins[tid]
-        has_meta = ref_range[tid][0] is not None
-        out += struct.pack("<i", len(tid_bins) + (1 if has_meta else 0))
-        for b in sorted(tid_bins):
-            chunks = tid_bins[b]
+    out += struct.pack("<i", len(refs))
+    for ref in refs:
+        has_meta = ref.vrange[0] is not None
+        out += struct.pack("<i", len(ref.bins) + (1 if has_meta else 0))
+        for b in sorted(ref.bins):
+            chunks = ref.bins[b]
             out += struct.pack("<Ii", b, len(chunks))
             for cb, ce in chunks:
                 out += struct.pack("<QQ", cb, ce)
         if has_meta:  # pseudo-bin 37450
             out += struct.pack("<Ii", 37450, 2)
-            out += struct.pack("<QQ", ref_range[tid][0], ref_range[tid][1])
-            out += struct.pack("<QQ", counts[tid][0], counts[tid][1])
-        if linear[tid]:
-            n_intv = max(linear[tid]) + 1
-            ioff = []
-            prev = 0
-            for w in range(n_intv):
-                if w in linear[tid]:
-                    prev = linear[tid][w]
-                ioff.append(prev)
-            out += struct.pack("<i", n_intv)
-            out += struct.pack(f"<{n_intv}Q", *ioff)
-        else:
-            out += struct.pack("<i", 0)
+            out += struct.pack("<QQ", ref.vrange[0], ref.vrange[1])
+            out += struct.pack("<QQ", ref.counts[0], ref.counts[1])
+        lin = ref.filled_linear()
+        out += struct.pack("<i", len(lin))
+        if lin:
+            out += struct.pack(f"<{len(lin)}Q", *lin)
     out += struct.pack("<Q", n_no_coor)
     with open(out_path, "wb") as f:
         f.write(bytes(out))
+    return out_path
+
+
+def _bin_start(b: int, min_shift: int, depth: int) -> int:
+    """Interval start position of bin ``b`` in the (min_shift, depth) scheme."""
+    lvl = 0
+    t = 0
+    while lvl <= depth:
+        n_at = 1 << (3 * lvl)
+        if b < t + n_at:
+            return (b - t) << (min_shift + 3 * (depth - lvl))
+        t += n_at
+        lvl += 1
+    raise ValueError(f"bin {b} outside depth-{depth} scheme")
+
+
+def build_csi(
+    bam_path: str, out_path: str | None = None, min_shift: int = 14,
+    depth: int | None = None,
+) -> str:
+    """Build a CSI index (CSIv1; htslib hts_idx layout).
+
+    ``depth`` defaults to the smallest level count covering the longest
+    reference sequence (htslib's rule: grow from 5 until
+    ``1 << (min_shift + 3*depth)`` fits), so contigs past the BAI 2^29
+    limit index correctly.  Per-bin ``loffset`` comes from a min_shift-
+    granularity linear fill, so spanning records in parent bins are never
+    excluded by the query's lower-bound filter.
+    """
+    out_path = out_path or bam_path + ".csi"
+    with BamReader(bam_path) as r:
+        max_len = max((ln for _, ln in r.header.refs), default=0)
+    if depth is None:
+        depth = 5
+        while max_len > (1 << (min_shift + 3 * depth)):
+            depth += 1
+
+    refs: list[_RefAccum] = []
+    n_no_coor = 0
+    for item in _scan_records(bam_path):
+        if item[0] == "EOF":
+            _, n_ref, n_no_coor = item
+            while len(refs) < n_ref:
+                refs.append(_RefAccum())
+            break
+        tid, pos, end, flag, v_start, v_end = item
+        while len(refs) <= tid:
+            refs.append(_RefAccum())
+        refs[tid].add(
+            reg2bin(pos, end, min_shift, depth), pos, end, flag,
+            v_start, v_end, min_shift,
+        )
+
+    pseudo_bin = ((1 << ((depth + 1) * 3)) - 1) // 7 + 1
+    out = bytearray(b"CSI\x01")
+    out += struct.pack("<iii", min_shift, depth, 0)  # l_aux = 0
+    out += struct.pack("<i", len(refs))
+    for ref in refs:
+        lin = ref.filled_linear()
+
+        def loffset(b):
+            if not lin:
+                return 0
+            w = min(_bin_start(b, min_shift, depth) >> min_shift, len(lin) - 1)
+            return lin[w]
+
+        has_meta = ref.vrange[0] is not None
+        out += struct.pack("<i", len(ref.bins) + (1 if has_meta else 0))
+        for b in sorted(ref.bins):
+            chunks = ref.bins[b]
+            out += struct.pack("<IQi", b, loffset(b), len(chunks))
+            for cb, ce in chunks:
+                out += struct.pack("<QQ", cb, ce)
+        if has_meta:
+            out += struct.pack("<IQi", pseudo_bin, 0, 2)
+            out += struct.pack("<QQ", ref.vrange[0], ref.vrange[1])
+            out += struct.pack("<QQ", ref.counts[0], ref.counts[1])
+    out += struct.pack("<Q", n_no_coor)
+    with open(out_path, "wb") as f:
+        f.write(gzip.compress(bytes(out)))
     return out_path

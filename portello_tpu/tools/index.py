@@ -1,18 +1,30 @@
-"""Build a .bai index for a coordinate-sorted BAM (samtools index equivalent)."""
+"""Build a .bai/.csi index for a coordinate-sorted BAM (samtools index
+equivalent; --csi covers contigs past the BAI 2^29 limit)."""
 
 from __future__ import annotations
 
 import argparse
 
-from portello_tpu.io.index_build import build_bai
+from portello_tpu.io.index_build import build_bai, build_csi
 
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="portello-tpu index")
     p.add_argument("bam")
     p.add_argument("-o", "--output", default=None)
+    p.add_argument(
+        "--csi", action="store_true",
+        help="build a CSI index (required for contigs > 2^29-1 bp)",
+    )
+    p.add_argument(
+        "--min-shift", type=int, default=14,
+        help="CSI minimal interval width as a power of two (default 14)",
+    )
     args = p.parse_args(argv)
-    out = build_bai(args.bam, args.output)
+    if args.csi:
+        out = build_csi(args.bam, args.output, min_shift=args.min_shift)
+    else:
+        out = build_bai(args.bam, args.output)
     print(out)
 
 

@@ -77,3 +77,74 @@ def test_reg2bin_csi_generalized():
     b14 = reg2bin(123456, 123457)
     b16 = reg2bin(123456, 123457, min_shift=16, depth=4)
     assert b14 != b16
+
+
+def test_build_csi_fetch_matches_bai(tmp_path):
+    """build_csi output drives fetch identically to the BAI on the same BAM."""
+    import numpy as np
+
+    from portello_tpu.io.bai import BamIndex
+    from portello_tpu.io.bam import BamReader
+    from portello_tpu.io.index_build import build_csi
+    from portello_tpu.testutil.simulate import make_scenario
+
+    make_scenario(str(tmp_path), rng=np.random.default_rng(19))
+    bam = str(tmp_path / "read_to_asm.bam")
+    with BamReader(bam) as r:
+        via_bai = {
+            (tid, 0, 30000): sorted(
+                rec.qname for rec in r.fetch(tid, 0, 30000)
+            )
+            for tid in range(len(r.header.refs))
+        }
+    import os
+
+    os.rename(bam + ".bai", bam + ".bai.hidden")
+    csi = build_csi(bam)
+    assert csi == bam + ".csi"
+    idx = BamIndex.load(bam)
+    assert idx.is_csi and idx.depth >= 5
+    with BamReader(bam) as r:
+        for (tid, b, e), want in via_bai.items():
+            got = sorted(rec.qname for rec in r.fetch(tid, b, e))
+            assert got == want, (tid, b, e)
+    os.rename(bam + ".bai.hidden", bam + ".bai")
+
+
+def test_build_csi_indexes_past_bai_limit(tmp_path):
+    """A contig longer than 2^29 (BAI-impossible) indexes and fetches via
+    CSI: the depth grows to cover it and spanning-record loffsets stay
+    conservative (linear fill)."""
+    import numpy as np
+    import pytest
+
+    from portello_tpu.io.bam import BamHeader, BamRecord, BamReader, BamWriter
+    from portello_tpu.io.index_build import build_bai, build_csi
+    from portello_tpu.ops import cigar as cg
+
+    ln = (1 << 30) + 1000
+    header = BamHeader.from_refs([("big", ln)], f"@SQ\tSN:big\tLN:{ln}\n".encode())
+    positions = [100, (1 << 29) + 5, (1 << 30) - 50, (1 << 30) + 100]
+    recs = [
+        BamRecord(
+            qname=f"r{i}".encode(), flag=0, tid=0, pos=p, mapq=60,
+            cigar=cg.cigar((cg.M, 50)),
+            seq=np.full(50, ord("A"), np.uint8),
+            qual=np.full(50, 30, np.uint8),
+        )
+        for i, p in enumerate(positions)
+    ]
+    bam = str(tmp_path / "big.bam")
+    with BamWriter(bam, header) as w:
+        for rec in recs:
+            w.write(rec)
+    with pytest.raises(ValueError, match="CSI"):
+        build_bai(bam)
+    build_csi(bam)
+    with BamReader(bam) as r:
+        for i, p in enumerate(positions):
+            got = [rec.qname for rec in r.fetch(0, p, p + 10)]
+            assert got == [f"r{i}".encode()], p
+        assert [rec.qname for rec in r.fetch(0, 0, ln)] == [
+            rec.qname for rec in recs
+        ]
