@@ -70,6 +70,12 @@ def decode_cpg_meth_info(record: BamRecord) -> CpgMethInfo | int:
         word = parts[0]
         if word.startswith("C+m"):
             offsets = [int(x) for x in parts[1:]]
+            if any(o < 0 for o in offsets):
+                # the reference parses offsets as usize (basemod.rs) — a
+                # negative offset is a hard error, never negative indexing
+                raise ValueError(
+                    f"Invalid negative MM tag offset in bam record: {qname}"
+                )
             if len(word) > 3:
                 mode_ch = word[3]
                 if mode_ch == "?":

@@ -78,13 +78,18 @@ def write_bigwig(path: str, chroms: list[tuple[str, int]], intervals) -> None:
         vmin, vmax, vsum, vsumsq = float("inf"), float("-inf"), 0.0, 0.0
         for s0 in range(0, len(items), ITEMS_PER_SECTION):
             chunk = items[s0 : s0 + ITEMS_PER_SECTION]
-            # sections may not span chromosomes
-            first_cid = chunk[0][0]
-            cut = next(
-                (k for k, it in enumerate(chunk) if it[0] != first_cid),
-                len(chunk),
-            )
-            for part in (chunk[:cut], chunk[cut:]):
+            # sections may not span chromosomes: split at EVERY chromosome
+            # change in the chunk (a chunk can cross several small contigs;
+            # cutting only at the first would mix coordinate systems under
+            # one chrom_id)
+            parts = []
+            p0 = 0
+            for k in range(1, len(chunk)):
+                if chunk[k][0] != chunk[k - 1][0]:
+                    parts.append(chunk[p0:k])
+                    p0 = k
+            parts.append(chunk[p0:])
+            for part in parts:
                 if not part:
                     continue
                 cid = part[0][0]
@@ -138,6 +143,12 @@ def write_bigwig(path: str, chroms: list[tuple[str, int]], intervals) -> None:
 
 
 def _encode_chrom_tree(chroms: list[tuple[str, int]]) -> bytes:
+    if len(chroms) > 65535:
+        # node item count is u16; a multi-node B+ tree is not implemented
+        raise ValueError(
+            f"bigwig chrom tree supports at most 65535 sequences "
+            f"(got {len(chroms)})"
+        )
     key_size = max((len(n) for n, _ in chroms), default=1)
     out = bytearray(
         struct.pack(
@@ -171,13 +182,41 @@ def _encode_rtree(sections: list[_Section], index_offset: int) -> bytes:
             end_file, 1, 0,
         )
     )
-    # single leaf node with all sections
-    out += struct.pack("<BBH", 1, 0, n)
-    for s in sections:
-        out += struct.pack(
-            "<IIIIQQ", s.chrom_id, s.start, s.chrom_id, s.end, s.offset,
-            s.size,
+
+    def leaf_bytes(part):
+        b = bytearray(struct.pack("<BBH", 1, 0, len(part)))
+        for s in part:
+            b += struct.pack(
+                "<IIIIQQ", s.chrom_id, s.start, s.chrom_id, s.end, s.offset,
+                s.size,
+            )
+        return b
+
+    LEAF_CAP = 32768  # node item count is u16; cap well below 65535
+    if n <= LEAF_CAP:
+        out += leaf_bytes(sections)
+        return bytes(out)
+
+    # two-level tree: a non-leaf root pointing at <=LEAF_CAP-item leaves
+    # (the section count of a WGS coverage track exceeds one node's u16)
+    parts = [sections[i : i + LEAF_CAP] for i in range(0, n, LEAF_CAP)]
+    if len(parts) > 65535:
+        raise ValueError("bigwig R-tree exceeds two-level capacity")
+    root = bytearray(struct.pack("<BBH", 0, 0, len(parts)))
+    root_size = 4 + 24 * len(parts)
+    child_off = index_offset + 48 + root_size
+    leaves = []
+    for part in parts:
+        lb = leaf_bytes(part)
+        root += struct.pack(
+            "<IIIIQ", part[0].chrom_id, min(s.start for s in part),
+            part[-1].chrom_id, max(s.end for s in part), child_off,
         )
+        leaves.append(lb)
+        child_off += len(lb)
+    out += root
+    for lb in leaves:
+        out += lb
     return bytes(out)
 
 
@@ -277,8 +316,11 @@ class BigWigReader:
         want = None
         if chrom is not None:
             want = next(
-                i for i, (n, _) in enumerate(self.chroms) if n == chrom
+                (i for i, (n, _) in enumerate(self.chroms) if n == chrom),
+                None,
             )
+            if want is None:
+                raise ValueError(f"chromosome '{chrom}' not in bigwig")
         for scid, _sb, ecid, _eb, off, size in self._leaf_items():
             if want is not None and not (scid <= want <= ecid):
                 continue

@@ -1092,6 +1092,14 @@ void prepare_item(const Scanner& sc, ReadState& rs, int seg_index, int64_t g,
   }
   if (bucket >= 0 && !contig_is_fwd && span > sc.buckets[bucket].max_seq)
     bucket = -1;
+  // Pad ops -> exact host path (device compress does not mirror the
+  // reference's adjacent-Pad quirk; pipeline_model._prep_item parity)
+  if (bucket >= 0)
+    for (const Op& o : cig)
+      if (o.code == kP) {
+        bucket = -1;
+        break;
+      }
 
   if (bucket < 0) {
     // exact host path, natively and in-worker (engine marks host_fallback)

@@ -404,6 +404,15 @@ class DeviceEngine:
             pos = contig_length - seg_end
             cigar = cg.reverse_cigar(read_segment.cigar)
 
+        if (cigar[:, 0] == cg.P).any():
+            # Pad ops: the reference's compress keeps only the first length
+            # of an adjacent-Pad run (ops/cigar.py quirk note) while the
+            # device compress sums; aligners never emit P, so route the rare
+            # padded cigar to the exact host path instead of mirroring the
+            # quirk in every kernel formulation.
+            item.host_fallback = True
+            return item
+
         span = cg.get_cigar_ref_offset(cigar)
         lo, hi = bm.range_indices(pos, pos + span)
         keys = np.asarray(bm.keys[lo:hi])

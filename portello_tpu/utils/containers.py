@@ -47,9 +47,18 @@ class SparseWindowSum:
         self._counts = np.zeros(window_size, dtype=np.int64)
         self._pos = 0
         self._sum = 0
+        self._last_add: int | None = None
 
     def add(self, pos: int, value: int = 1) -> None:
-        """Add at absolute position >= current window head."""
+        """Add at a strictly increasing absolute position (the reference
+        asserts pos > last_pos, containers.rs push; an out-of-order add
+        would land in a slot owned by a different absolute position)."""
+        if self._last_add is not None and pos <= self._last_add:
+            raise ValueError(
+                f"SparseWindowSum positions must increase: {pos} after "
+                f"{self._last_add}"
+            )
+        self._last_add = pos
         self.advance(max(pos - self.window_size + 1, self._pos))
         self._counts[pos % self.window_size] += value
         self._sum += value

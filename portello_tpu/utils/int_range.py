@@ -26,7 +26,12 @@ class IntRange:
         return self.end - self.start
 
     def center(self) -> int:
-        return (self.start + self.end) // 2
+        # Rust i64 division truncates toward zero; Python // floors —
+        # they diverge for negative odd sums (e.g. the reference's own
+        # IntRange(-1, 0) default: Rust 0, floor -1)
+        s = self.start + self.end
+        q = abs(s) // 2
+        return q if s >= 0 else -q
 
     def intersect_pos(self, pos: int) -> bool:
         """Position intersects range; adjacency does not count (int_range.rs:49-51)."""

@@ -52,8 +52,14 @@ def test_sparse_window_sum():
 def test_prob_utils():
     vals = np.log([0.1, 0.2, 0.7])
     assert log_sum_exp(vals) == pytest.approx(0.0)
-    out = normalize_ln_distro(np.array([0.0, 0.0]))
+    out, max_i = normalize_ln_distro(np.array([0.0, 0.0]))
     assert out == pytest.approx([0.5, 0.5])
+    assert max_i == 0  # first-max, like the reference (prob_util.rs:24-31)
+    probs, mi = normalize_ln_distro(np.log([0.1, 0.7, 0.2]))
+    assert mi == 1
+    assert probs == pytest.approx([0.1, 0.7, 0.2])
+    empty, none_i = normalize_ln_distro(np.array([]))
+    assert none_i is None and len(empty) == 0
     assert log_sum_exp(np.array([])) == float("-inf")
 
 

@@ -82,3 +82,29 @@ def test_unsorted_rejected(tmp_path):
             str(tmp_path / "x.bw"), [("c", 100)],
             [("c", 50, 60, 1.0), ("c", 10, 20, 1.0)],
         )
+
+
+def test_bigwig_chunk_spanning_three_chromosomes(tmp_path):
+    """A 1024-item section chunk crossing 3+ chromosomes must split at
+    EVERY boundary (one chrom_id per section; a single cut would mix
+    coordinate systems under the second chromosome's id)."""
+    from portello_tpu.auxlib.bigwig import BigWigReader, write_bigwig
+
+    chroms = [("cA", 100000), ("cB", 100000), ("cC", 100000)]
+    ivals = []
+    for cname, _ in chroms:
+        for k in range(400):
+            ivals.append((cname, 10 * k, 10 * k + 10, float(len(ivals))))
+    path = str(tmp_path / "multi.bw")
+    write_bigwig(path, chroms, ivals)
+    with BigWigReader(path) as r:
+        got = list(r.intervals())
+        assert [(c, s, e, v) for c, s, e, v in got] == [
+            (c, s, e, float(i)) for i, (c, s, e, _v) in enumerate(ivals)
+        ]
+        # per-chromosome queries stay clean
+        assert len(list(r.intervals("cC"))) == 400
+        import pytest
+
+        with pytest.raises(ValueError, match="chrUnknown"):
+            list(r.intervals("chrUnknown"))
