@@ -1093,10 +1093,12 @@ void prepare_item(const Scanner& sc, ReadState& rs, int seg_index, int64_t g,
   if (bucket >= 0 && !contig_is_fwd && span > sc.buckets[bucket].max_seq)
     bucket = -1;
   // Pad ops -> exact host path (device compress does not mirror the
-  // reference's adjacent-Pad quirk; pipeline_model._prep_item parity)
+  // reference's adjacent-Pad quirk); rev-path zero-length ops -> host
+  // (phantom clusters in the device left-shift; pipeline_model._prep_item
+  // parity)
   if (bucket >= 0)
     for (const Op& o : cig)
-      if (o.code == kP) {
+      if (o.code == kP || (!contig_is_fwd && o.len == 0)) {
         bucket = -1;
         break;
       }

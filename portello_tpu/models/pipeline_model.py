@@ -412,6 +412,16 @@ class DeviceEngine:
             # quirk in every kernel formulation.
             item.host_fallback = True
             return item
+        if not contig_is_fwd and (cigar[:, 1] == 0).any():
+            # Zero-length ops on the REV path: a 0-length I/D forms a phantom
+            # cluster in the device left-shift (find_clusters is not length-
+            # gated) whose homology cap clamps the pending run — silently
+            # shifting later real clusters differently from the oracle, which
+            # ignores 0-length indels (ops/shift.py).  Legal-but-degenerate
+            # BAM; route to the exact host path.  (Fwd-path kernels handle
+            # zero-length ops exactly — fuzz-verified.)
+            item.host_fallback = True
+            return item
 
         span = cg.get_cigar_ref_offset(cigar)
         lo, hi = bm.range_indices(pos, pos + span)

@@ -353,3 +353,82 @@ def test_native_feed_sharded_multidevice(tmp_path, monkeypatch):
     assert _records(out_m) == _records(out_p)
     assert _records(un_m) == _records(un_p)
     assert len(_records(out_p)) > 0
+
+
+def test_zero_length_indel_rev_path_routes_to_host(tmp_path):
+    """A zero-length I op on a reverse-contig read forms a phantom cluster
+    in the device left-shift (silently divergent from the oracle, which
+    ignores 0-length indels); both feeds must route such items to the exact
+    host path.  Output equality vs the pure-host run is the contract; the
+    stats prove the routing fired."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from portello_tpu.io.bam import BamReader, BamWriter
+    from portello_tpu.io.fasta import get_genome_ref_from_fasta
+    from portello_tpu.io.index_build import build_bai
+    from portello_tpu.ops import cigar as cg
+    from portello_tpu.pipeline.contig_scan import scan_contig_bam
+    from portello_tpu.pipeline.native_feed import scan_and_remap_reads_native
+    from portello_tpu.pipeline.read_scan import scan_and_remap_reads
+    from portello_tpu.utils.chrom_list import ChromList
+
+    scn = make_scenario(str(tmp_path), rng=np.random.default_rng(37))
+    ref_cl = ChromList.from_bam_filename(scn.contig_bam)
+    asm_cl = ChromList.from_bam_filename(scn.read_bam)
+    genome = get_genome_ref_from_fasta(scn.ref_fasta)
+    reference = [genome.chroms[c.label] for c in ref_cl.data]
+    info = scan_contig_bam(scn.contig_bam, ref_cl, asm_cl, None)
+
+    # contigs whose EVERY split segment maps reverse: any read item on them
+    # takes the rev (left-shift) device path
+    rev_tids = [
+        ci for ci in range(len(asm_cl.data))
+        if info[ci].ordered_contig_segment_info
+        and all(
+            not s.seq_order_segment.is_fwd_strand
+            for s in info[ci].ordered_contig_segment_info
+        )
+    ]
+    assert rev_tids, "scenario must contain an all-reverse contig"
+
+    injected = 0
+    with BamReader(scn.read_bam) as r:
+        recs = list(r)
+        header = r.header
+    for rec in recs:
+        if (rec.tid in rev_tids and not rec.is_unmapped()
+                and not rec.is_supplementary()
+                and rec.get_string_tag(b"SA") is None):
+            c = rec.cigar
+            for k in range(len(c)):
+                if c[k, 0] == cg.M and c[k, 1] >= 2:
+                    parts = [c[:k], [[cg.M, 1], [cg.I, 0], [cg.M, c[k, 1] - 1]],
+                             c[k + 1:]]
+                    rec.cigar = np.concatenate(
+                        [np.asarray(p, np.int64).reshape(-1, 2) for p in parts]
+                    )
+                    rec.raw = None  # invalidate the encode cache
+                    injected += 1
+                    break
+    assert injected > 0, "no eligible rev-contig read to inject into"
+    bad = str(tmp_path / "read_to_asm_zl.bam")
+    with BamWriter(bad, header) as w:
+        for rec in recs:
+            w.write(rec)
+    build_bai(bad)
+
+    stats = scan_and_remap_reads_native(
+        bad, str(tmp_path / "zl_native.bam"), str(tmp_path / "zl_un_n.bam"),
+        reference, ref_cl, info, False, batch_size=32, thread_count=2,
+        use_mm=False,
+    )
+    assert stats["host_items"] >= injected
+
+    scan_and_remap_reads(
+        bad, str(tmp_path / "zl_py.bam"), str(tmp_path / "zl_un_p.bam"),
+        reference, ref_cl, info, False,
+    )
+    assert _records(tmp_path / "zl_native.bam") == _records(tmp_path / "zl_py.bam")
+    assert _records(tmp_path / "zl_un_n.bam") == _records(tmp_path / "zl_un_p.bam")
