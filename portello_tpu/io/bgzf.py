@@ -120,6 +120,16 @@ class BgzfReader:
         self._uoffset = voffset & 0xFFFF
 
     def tell_voffset(self) -> int:
+        # htslib normalizes an exhausted block to (next_block << 16 | 0);
+        # matching it keeps boundary voffsets (index chunk ends) compatible
+        # with htslib-built indexes and avoids uoffset==65536 overflowing
+        # into the coffset bits for spec-max blocks (ptio.cc parity).
+        if (
+            self._coffset == self._block_coffset
+            and self._block
+            and self._uoffset >= len(self._block)
+        ):
+            return (self._coffset + self._block_csize) << 16
         return (self._coffset << 16) | self._uoffset
 
     def at_eof(self) -> bool:

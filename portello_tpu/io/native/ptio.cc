@@ -70,6 +70,13 @@ uint32_t block_bsize(const Reader* r, size_t coffset, std::string* err) {
   }
   uint16_t xlen;
   std::memcpy(&xlen, p + 10, 2);
+  // the extra field must be fully mapped BEFORE scanning it: a truncated
+  // tail with garbage xlen would walk up to 64KB past the mapping (SIGBUS
+  // on a page boundary, inside a readahead worker)
+  if (coffset + 12 + (size_t)xlen > r->size) {
+    *err = "truncated BGZF block header";
+    return 0;
+  }
   uint32_t bsize = 0;
   size_t xs = 12, xend = 12 + xlen;
   while (xs + 4 <= xend) {
@@ -82,7 +89,9 @@ uint32_t block_bsize(const Reader* r, size_t coffset, std::string* err) {
     }
     xs += 4 + slen;
   }
-  if (bsize == 0 || coffset + bsize > r->size) {
+  // bsize must cover header (12+xlen), some deflate payload, and the
+  // 8-byte CRC/ISIZE trailer — otherwise avail_in below would underflow
+  if (bsize < 12 + (uint32_t)xlen + 8 || coffset + bsize > r->size) {
     *err = "BGZF block missing/invalid BSIZE";
     return 0;
   }
@@ -97,6 +106,10 @@ bool inflate_block(const Reader* r, size_t coffset, uint32_t bsize,
   std::memcpy(&xlen, p + 10, 2);
   uint32_t isize;
   std::memcpy(&isize, p + bsize - 4, 4);
+  if (isize > 65536) {  // BGZF spec: uncompressed block size <= 64 KiB
+    *err = "BGZF block ISIZE exceeds the 64 KiB spec limit";
+    return false;
+  }
   out->resize(isize);
   if (isize > 0) {
     z_stream zs{};
@@ -314,9 +327,16 @@ void writer_submit(Writer* w, std::vector<uint8_t>&& raw) {
     w->inflight.push_back(job);
   }
   w->cv_work.notify_one();
-  // Bound memory: keep at most 4x pool of blocks in flight.
-  std::unique_lock<std::mutex> lk(w->mu);
-  if (w->inflight.size() > static_cast<size_t>(4 * w->n_threads)) {
+  // Bound memory: keep at most 4x pool of blocks in flight.  Reap the
+  // finished prefix, then BLOCK until under the cap — a non-waiting drain
+  // only trims completed jobs, leaving the queue unbounded whenever the
+  // producer outruns the deflate pool (~64KB+ held per queued job).
+  writer_drain(w, false);
+  for (;;) {
+    std::unique_lock<std::mutex> lk(w->mu);
+    if (w->inflight.size() <= static_cast<size_t>(4 * w->n_threads)) break;
+    if (!w->inflight.front()->done)
+      w->cv_done.wait(lk);  // a worker will notify when the front finishes
     lk.unlock();
     writer_drain(w, false);
   }
@@ -374,6 +394,13 @@ void ptio_seek_voffset(void* h, unsigned long long voffset) {
 
 unsigned long long ptio_tell_voffset(void* h) {
   Reader* r = static_cast<Reader*>(h);
+  // htslib normalizes an exhausted block to (next_block << 16 | 0):
+  // without this, a spec-max 65536-byte block would overflow the uoffset
+  // bits into coffset, and voffsets recorded at exact block boundaries
+  // (index chunk ends) would disagree with htslib-built indexes.
+  if (r->coffset == r->block_coffset && !r->block.empty() &&
+      r->uoffset >= r->block.size())
+    return static_cast<unsigned long long>(r->coffset + r->block_csize) << 16;
   return (static_cast<unsigned long long>(r->coffset) << 16) | r->uoffset;
 }
 

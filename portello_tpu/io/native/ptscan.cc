@@ -302,6 +302,16 @@ bool parse_record(const uint8_t* raw, size_t n, RecView* rv, std::string* err) {
   std::memcpy(&rv->mtid, raw + 20, 4);
   std::memcpy(&rv->mpos, raw + 24, 4);
   std::memcpy(&rv->tlen, raw + 28, 4);
+  // validate record-internal lengths against the record size BEFORE any
+  // dereference: a corrupt l_seq/n_cigar would read far past the buffer
+  // (the Python decode raises a clean error for the same input)
+  if (rv->l_seq < 0 ||
+      32 + (size_t)l_read_name + 4 * (size_t)rv->n_cigar +
+              ((size_t)rv->l_seq + 1) / 2 + (size_t)rv->l_seq >
+          n) {
+    *err = "corrupt BAM record (field lengths exceed record size)";
+    return false;
+  }
   size_t off = 32;
   rv->qname.assign((const char*)raw + off, l_read_name ? l_read_name - 1 : 0);
   off += l_read_name;
@@ -329,6 +339,10 @@ bool parse_record(const uint8_t* raw, size_t n, RecView* rv, std::string* err) {
         raw[voff] == 'I') {
       int32_t cnt;
       std::memcpy(&cnt, raw + voff + 1, 4);
+      if (cnt < 0 || voff + 5 + 4 * (size_t)cnt > n) {
+        *err = "corrupt CG tag (count exceeds record size)";
+        return false;
+      }
       Cig real;
       real.reserve(cnt);
       for (int i = 0; i < cnt; ++i) {
@@ -893,10 +907,6 @@ void encode_record(const ReadState& rs, const OutRecord& r,
   std::memcpy(out->data(), &bsz, 4);
 }
 
-void write_record_bytes(Writer* w, const std::vector<uint8_t>& rec) {
-  ptio_write(w, rec.data(), rec.size());
-}
-
 // finish_remapped_alignment_set (read_scan.py:215-251;
 // read_alignment_scanner.rs:310-366).  Appends the read's encoded output
 // records to *out (pure w.r.t. the scanner — safe to run per-read in
@@ -1212,6 +1222,15 @@ std::unique_ptr<ReadState> prepare_read(
         prepare_item(sc, *rs, (int)si, g, (int32_t)(g - s0));
     }
   }
+  // Materialize the reverse complement HERE, while this read is owned by
+  // one thread: fill_item_row later runs items in parallel, and two
+  // flipped items of the same read would race on the lazy seq_rc init
+  // (resize + concurrent writes = UB / torn output).
+  for (const Item& it : rs->items)
+    if (it.need_flip) {
+      read_seq_oriented(*rs, true);
+      break;
+    }
   return rs;
 }
 
@@ -1326,6 +1345,8 @@ struct ScannerHandle {
   std::map<std::string, int32_t> contig_idx;
 };
 
+void ptscan_destroy(void* hv);  // fwd decl: create's failure paths use it
+
 void* ptscan_create(
     const char* bam_path, const char* remapped_path,
     const char* unassembled_path, const uint8_t* header_bytes,
@@ -1344,35 +1365,48 @@ void* ptscan_create(
     int emit_unmapped, int prep_threads) {
   auto* h = new ScannerHandle();
   Scanner& sc = h->sc;
-  sc.reader = static_cast<Reader*>(ptio_reader_open(bam_path));
-  if (!sc.reader) {
-    delete h;
+  // release any acquired reader/writers on every failure path (writer
+  // pools spawn threads at open; a bare delete would leak fds, the mmap,
+  // and pool threads parked on cv_work)
+  auto fail = [&]() -> void* {
+    ptscan_destroy(h);
     return nullptr;
-  }
-  // skip the BAM header: magic, l_text, text, n_ref, per-ref entries
-  {
-    uint8_t b4[4];
-    reader_read(sc.reader, b4, 4);  // "BAM\1"
-    int32_t l_text;
-    reader_read(sc.reader, (uint8_t*)&l_text, 4);
-    std::vector<uint8_t> skip(l_text);
-    reader_read(sc.reader, skip.data(), l_text);
-    int32_t nref;
-    reader_read(sc.reader, (uint8_t*)&nref, 4);
-    for (int32_t i = 0; i < nref; ++i) {
-      int32_t l_name;
-      reader_read(sc.reader, (uint8_t*)&l_name, 4);
-      skip.resize(l_name + 4);
-      reader_read(sc.reader, skip.data(), l_name + 4);
+  };
+  try {
+    sc.reader = static_cast<Reader*>(ptio_reader_open(bam_path));
+    if (!sc.reader) return fail();
+    // skip the BAM header: magic, l_text, text, n_ref, per-ref entries —
+    // every length is read-checked (a truncated header must fail cleanly,
+    // not size a vector from uninitialized stack memory)
+    {
+      uint8_t b4[4];
+      int32_t l_text = 0, nref = 0;
+      if (reader_read(sc.reader, b4, 4) < 4 ||
+          std::memcmp(b4, "BAM\x01", 4) != 0 ||
+          reader_read(sc.reader, (uint8_t*)&l_text, 4) < 4 || l_text < 0)
+        return fail();
+      std::vector<uint8_t> skip(l_text);
+      if (reader_read(sc.reader, skip.data(), l_text) < (size_t)l_text ||
+          reader_read(sc.reader, (uint8_t*)&nref, 4) < 4 || nref < 0)
+        return fail();
+      for (int32_t i = 0; i < nref; ++i) {
+        int32_t l_name = 0;
+        if (reader_read(sc.reader, (uint8_t*)&l_name, 4) < 4 || l_name < 0)
+          return fail();
+        skip.resize((size_t)l_name + 4);
+        if (reader_read(sc.reader, skip.data(), (size_t)l_name + 4) <
+            (size_t)l_name + 4)
+          return fail();
+      }
     }
-  }
-  sc.remapped = static_cast<Writer*>(
-      ptio_writer_open(remapped_path, compression_level, writer_threads));
-  sc.unassembled = static_cast<Writer*>(
-      ptio_writer_open(unassembled_path, 6, writer_threads));
-  if (!sc.remapped || !sc.unassembled) {
-    delete h;
-    return nullptr;
+    sc.remapped = static_cast<Writer*>(
+        ptio_writer_open(remapped_path, compression_level, writer_threads));
+    sc.unassembled = static_cast<Writer*>(
+        ptio_writer_open(unassembled_path, 6, writer_threads));
+    if (!sc.remapped || !sc.unassembled) return fail();
+  } catch (const std::exception&) {
+    // exceptions must not cross the C ABI into ctypes (std::terminate)
+    return fail();
   }
   ptio_write(sc.remapped, header_bytes, header_len);
   ptio_write(sc.unassembled, header_bytes, header_len);
