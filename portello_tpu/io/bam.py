@@ -409,7 +409,12 @@ def _encode_tag(tag: bytes, ty: bytes, val) -> bytes:
 def _tag_from_sam(tag: str, ty: str, val: str):
     t = tag.encode()
     if ty == "i":
-        return t, b"i", int(val)
+        v = int(val)
+        # SAM 'i' covers the uint32 range; htslib stores the smallest
+        # fitting BAM type (values past int32 encode as 'I')
+        if v > 0x7FFFFFFF:
+            return t, b"I", v
+        return t, b"i", v
     if ty == "f":
         return t, b"f", float(val)
     if ty == "A":
@@ -439,7 +444,10 @@ def _tag_to_sam(tag: bytes, ty: bytes, val) -> str:
         return f"{t}:{ty.decode()}:{val.decode() if isinstance(val, bytes) else val}"
     if ty == b"B":
         sub, arr = val
-        return f"{t}:B:{sub.decode()}," + ",".join(str(x) for x in arr.tolist())
+        # %g for float elements (htslib formatting; str() would expand
+        # float32 values to their full double repr)
+        fmt = (lambda x: f"{x:g}") if sub == b"f" else str
+        return f"{t}:B:{sub.decode()}," + ",".join(fmt(x) for x in arr.tolist())
     raise BamFormatError(f"unknown aux type {ty!r}")
 
 

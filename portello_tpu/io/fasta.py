@@ -1,7 +1,8 @@
 """FASTA loading (reference genome_ref.rs:9-80 equivalent).
 
-Loads chromosome sequences as uint8 arrays, uppercased, optionally using a
-.fai index for per-chromosome access.  Also provides a writer for fixtures.
+Loads chromosome sequences as uint8 arrays, uppercased (whole file — the
+pipeline holds the entire reference in RAM like the reference tool does).
+Also provides a writer for fixtures.
 """
 
 from __future__ import annotations
@@ -38,7 +39,9 @@ def get_genome_ref_from_fasta(path: str) -> GenomeRef:
     while pos >= 0:
         hdr_end = raw.find(b"\n", pos)
         if hdr_end < 0:
-            break
+            # final header with no trailing newline: an empty-sequence
+            # record (rust-bio reader behavior), not a silent drop
+            hdr_end = len(raw)
         header = raw[pos + 1 : hdr_end]
         name = header.split()[0].decode() if header.split() else ""
         nxt = raw.find(b">", hdr_end)

@@ -380,6 +380,8 @@ def scan_and_remap_reads_native(
     )
 
     genome_kb = sum(ci.length for ci in contig_list.data) // 1000
+    cum_len = np.zeros(len(contig_list.data) + 1, np.int64)
+    np.cumsum([ci.length for ci in contig_list.data], out=cum_len[1:])
     progress = ProgressReporter(
         genome_kb, "Remapped read alignments from", "assembly contig kb"
     )
@@ -507,7 +509,7 @@ def scan_and_remap_reads_native(
             lib.ptscan_stats(h, stats_buf)
             tid = int(stats_buf[5])
             if tid > 0:
-                done = sum(ci.length for ci in contig_list.data[:tid]) // 1000
+                done = int(cum_len[tid]) // 1000
                 progress.inc(max(done - progress.count, 0))
         while in_flight:
             post(in_flight.popleft())

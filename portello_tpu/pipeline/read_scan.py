@@ -341,6 +341,11 @@ def scan_and_remap_reads(
     from portello_tpu.utils.progress import ProgressReporter
 
     genome_kb = sum(c.length for c in contig_list.data) // 1000
+    # exclusive cumulative contig lengths: progress transitions are O(1)
+    # (recomputing the prefix sum per transition is O(contigs^2) on a
+    # fragmented draft assembly)
+    cum_len = np.zeros(len(contig_list.data) + 1, np.int64)
+    np.cumsum([c.length for c in contig_list.data], out=cum_len[1:])
     progress = ProgressReporter(
         genome_kb, "Remapped read alignments from", "assembly contig kb"
     )
@@ -377,9 +382,7 @@ def scan_and_remap_reads(
             if record.is_supplementary():
                 continue
             if record.tid != last_progress[0]:
-                done = sum(
-                    c.length for c in contig_list.data[: record.tid]
-                ) // 1000
+                done = int(cum_len[record.tid]) // 1000
                 progress.inc(max(done - progress.count, 0))
                 last_progress = [record.tid, record.pos]
             if shard_plan is not None and not shard_plan.owns(record.tid):

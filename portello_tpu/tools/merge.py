@@ -18,23 +18,35 @@ def merge_bams(output: str, shards: list[str], n_threads: int = 1) -> int:
     writer = None
     refs = None
     n = 0
-    for shard in shards:
-        with BamReader(shard) as reader:
-            if writer is None:
-                refs = reader.header.refs
-                dest = sys.stdout.buffer if output == "-" else output
-                level = 0 if output == "-" else 6
-                writer = BamWriter(
-                    dest, reader.header, level=level, n_threads=n_threads
-                )
-            elif reader.header.refs != refs:
-                raise ValueError(
-                    f"Shard '{shard}' reference sequences disagree with the "
-                    "first shard"
-                )
-            for raw in reader.iter_raw():
-                writer.write_raw(raw)
-                n += 1
+    try:
+        for shard in shards:
+            with BamReader(shard) as reader:
+                if writer is None:
+                    refs = reader.header.refs
+                    dest = sys.stdout.buffer if output == "-" else output
+                    level = 0 if output == "-" else 6
+                    writer = BamWriter(
+                        dest, reader.header, level=level, n_threads=n_threads
+                    )
+                elif reader.header.refs != refs:
+                    raise ValueError(
+                        f"Shard '{shard}' reference sequences disagree with "
+                        "the first shard"
+                    )
+                for raw in reader.iter_raw():
+                    writer.write_raw(raw)
+                    n += 1
+    except BaseException:
+        # close (flush + EOF) then remove the incomplete destination so a
+        # failed merge never leaves a truncated output at the target path
+        if writer is not None:
+            writer.close()
+            if output != "-":
+                import os
+
+                if os.path.exists(output):
+                    os.remove(output)
+        raise
     if writer is not None:
         writer.close()
     return n

@@ -18,7 +18,12 @@ def main(argv=None) -> None:
 
     with open_alignment_input(args.bam) as reader:
         if not args.no_header:
-            sys.stdout.write(reader.header.text.decode())
+            # the BAM text block may be NUL-padded and need not end in a
+            # newline (spec-legal); normalize so the dump stays valid SAM
+            text = reader.header.text.rstrip(b"\x00").decode()
+            if text and not text.endswith("\n"):
+                text += "\n"
+            sys.stdout.write(text)
         if args.region:
             from portello_tpu.utils.chrom_list import ChromList
             from portello_tpu.utils.genome_segment import parse_samtools_region_string
