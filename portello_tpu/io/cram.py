@@ -127,9 +127,6 @@ def write_ltf8(val: int) -> bytes:
     val &= (1 << 64) - 1
     if val < 0x80:
         return bytes([val])
-    for n in range(1, 8):
-        if val < 1 << (7 * (n + 1) - n):
-            pass
     # choose smallest n extra bytes such that value fits in (7-n)+8n bits
     for n in range(1, 8):
         if val < 1 << (7 - n + 8 * n):
@@ -1472,14 +1469,32 @@ class CramWriter:
             cf = CF_QUAL
             detached = (
                 r.mtid != -1 or r.mpos != -1 or r.tlen != 0 or (r.flag & 0x1)
+                # unpaired records carrying mate bits: BF strips them, and
+                # only the detached path's MF restores them on decode
+                or (r.flag & (FMUNMAP | FMREVERSE)) != 0
             )
             if detached:
                 cf |= CF_DETACHED
+            # mapped record with SEQ '*' (empty seq, real cigar): CF_NO_SEQ.
+            # Without the flag, the features would imply BA match bases that
+            # are never written, desynchronizing every later record's bases
+            # in the shared BA stream.
+            no_seq = (
+                not (r.flag & FUNMAP) and len(r.seq) == 0 and len(r.cigar) > 0
+            )
+            if no_seq:
+                cf |= CF_NO_SEQ
             put_itf8(b"BF", bf)
             put_itf8(b"CF", cf)
             if multi_ref:
                 put_itf8(b"RI", r.tid)
             rl = r.seq_len()
+            if no_seq:
+                # RL is the cigar's read length for '*'-seq records
+                rl = int(sum(
+                    int(ln) for code, ln in r.cigar
+                    if cg.CONSUMES_READ[int(code)]
+                ))
             n_bases += rl
             put_itf8(b"RL", rl)
             put_itf8(b"AP", r.pos + 1)
@@ -1523,10 +1538,14 @@ class CramWriter:
                     if cg.IS_ALIGN_MATCH[code]:
                         rpos += ln
                     elif code == cg.S:
-                        feats.append((b"S", rpos + 1, r.seq[rpos : rpos + ln]))
+                        val = (b"N" * ln if no_seq
+                               else r.seq[rpos : rpos + ln])
+                        feats.append((b"S", rpos + 1, val))
                         rpos += ln
                     elif code == cg.I:
-                        feats.append((b"I", rpos + 1, r.seq[rpos : rpos + ln]))
+                        val = (b"N" * ln if no_seq
+                               else r.seq[rpos : rpos + ln])
+                        feats.append((b"I", rpos + 1, val))
                         rpos += ln
                     elif code == cg.D:
                         feats.append((b"D", rpos + 1, ln))
@@ -1538,32 +1557,33 @@ class CramWriter:
                         feats.append((b"P", rpos + 1, ln))
                 put_itf8(b"FN", len(feats))
                 prev = 0
-                match_bases = rl
                 for fch, fpos, val in feats:
                     put_byte(b"FC", fch[0])
                     put_itf8(b"FP", fpos - prev)
                     prev = fpos
                     if fch == b"S":
                         put_raw(_SC_ID, bytes(val) + b"\x00")
-                        match_bases -= len(val)
                     elif fch == b"I":
                         put_raw(_IN_ID, bytes(val) + b"\x00")
-                        match_bases -= len(val)
                     elif fch in (b"D", b"N", b"H", b"P"):
                         put_itf8({b"D": b"DL", b"N": b"RS", b"H": b"HC",
                                   b"P": b"PD"}[fch], val)
                 put_itf8(b"MQ", r.mapq)
-                # match-region bases go through BA (RR=0)
-                rpos = 0
-                for code, ln in r.cigar:
-                    code, ln = int(code), int(ln)
-                    if cg.IS_ALIGN_MATCH[code]:
-                        put_raw(
-                            _SERIES_IDS[b"BA"],
-                            bytes(np.asarray(r.seq[rpos : rpos + ln], np.uint8)),
-                        )
-                    if cg.CONSUMES_READ[code]:
-                        rpos += ln
+                # match-region bases go through BA (RR=0); a CF_NO_SEQ
+                # record stores none (the reader skips take_match reads)
+                if not no_seq:
+                    rpos = 0
+                    for code, ln in r.cigar:
+                        code, ln = int(code), int(ln)
+                        if cg.IS_ALIGN_MATCH[code]:
+                            put_raw(
+                                _SERIES_IDS[b"BA"],
+                                bytes(np.asarray(
+                                    r.seq[rpos : rpos + ln], np.uint8
+                                )),
+                            )
+                        if cg.CONSUMES_READ[code]:
+                            rpos += ln
                 qual = r.qual if len(r.qual) == rl else np.full(rl, 0xFF, np.uint8)
                 put_raw(_SERIES_IDS[b"QS"], bytes(np.asarray(qual, np.uint8)))
                 if r.tid >= 0:
@@ -1577,10 +1597,13 @@ class CramWriter:
 
         # compression header
         pres = bytearray()
-        n_pres = 4
+        n_pres = 5
         pres += b"RN" + b"\x01"
         pres += b"AP" + b"\x00"
         pres += b"RR" + b"\x00"
+        # SM is mandatory (spec 8.4); the zero matrix is consistent with
+        # verbatim-base (RR=0) slices, which never emit X features
+        pres += b"SM" + b"\x00" * 5
         td_blob = b"".join(line + b"\x00" for line in td_lines)
         pres += b"TD" + write_itf8(len(td_blob)) + td_blob
         pres_map = write_itf8(n_pres) + bytes(pres)
@@ -1628,13 +1651,16 @@ class CramWriter:
         sh += write_itf8(len(recs))
         sh += write_ltf8(self.counter)
         sh += write_itf8(len(blocks))
-        sh += write_itf8(len(ext_ids) + 1)
-        sh += write_itf8(0)
+        # content-id list covers EXTERNAL blocks only (htslib convention:
+        # num_content_ids = num_blocks - 1; the core block has no id)
+        sh += write_itf8(len(ext_ids))
         for cid in ext_ids:
             sh += write_itf8(cid)
         sh += write_itf8(-1)  # no embedded reference
         sh += b"\x00" * 16    # MD5 (unchecked by this reader)
-        sh_blk = write_block(GZIP, SLICE_HEADER, 0, bytes(sh))
+        # spec section 8.5: the slice header block MUST be uncompressed
+        # (htslib rejects non-RAW slice headers)
+        sh_blk = write_block(RAW, SLICE_HEADER, 0, bytes(sh))
 
         body = chdr_blk + sh_blk + b"".join(blocks)
         h = ContainerHeader(

@@ -342,3 +342,68 @@ def test_container_header_many_landmarks_roundtrip():
     got = cram.read_container_header(io.BytesIO(raw))
     assert got.landmarks == h.landmarks
     assert (got.ref_id, got.start, got.span, got.n_records) == (3, 1000, 500, 77)
+
+
+def test_cram_writer_no_seq_record_roundtrip(tmp_path):
+    """A mapped record with SEQ '*' (empty seq, real cigar) must carry
+    CF_NO_SEQ and consume no BA bytes — without it, the shared BA stream
+    desynchronizes and corrupts every later record in the slice."""
+    from portello_tpu.io.bam import BamHeader, BamRecord
+
+    header = BamHeader.from_refs([("chr1", 1000)], b"@SQ\tSN:chr1\tLN:1000\n")
+    recs = [
+        BamRecord(
+            qname=b"noseq", flag=0, tid=0, pos=10, mapq=60,
+            cigar=cg.cigar((cg.M, 10), (cg.S, 5)),
+            seq=np.zeros(0, np.uint8), qual=np.zeros(0, np.uint8),
+        ),
+        BamRecord(
+            qname=b"normal", flag=0, tid=0, pos=50, mapq=60,
+            cigar=cg.cigar((cg.M, 8)),
+            seq=np.frombuffer(b"ACGTACGT", np.uint8).copy(),
+            qual=np.full(8, 30, np.uint8),
+        ),
+    ]
+    path = str(tmp_path / "noseq.cram")
+    with cram.CramWriter(path, header) as w:
+        for r in recs:
+            w.write(r)
+    with cram.CramReader(path) as r:
+        got = list(r)
+    assert len(got) == 2
+    # the '*'-seq record keeps its cigar shape, sequence stays absent
+    assert cg.to_string(got[0].cigar) == "10M5S"
+    assert len(got[0].seq) == 0
+    # the FOLLOWING record's bases are intact (the BA stream stayed in sync)
+    assert got[1].seq.tobytes() == b"ACGTACGT"
+    assert cg.to_string(got[1].cigar) == "8M"
+
+
+def test_cram_writer_slice_header_is_raw(tmp_path):
+    """Spec section 8.5: the slice header block must be uncompressed
+    (htslib rejects non-RAW slice headers)."""
+    from portello_tpu.io.bam import BamHeader, BamRecord
+
+    header = BamHeader.from_refs([("chr1", 1000)], b"@SQ\tSN:chr1\tLN:1000\n")
+    rec = BamRecord(
+        qname=b"r", flag=0, tid=0, pos=1, mapq=60,
+        cigar=cg.cigar((cg.M, 4)),
+        seq=np.frombuffer(b"ACGT", np.uint8).copy(),
+        qual=np.full(4, 30, np.uint8),
+    )
+    path = str(tmp_path / "raw.cram")
+    with cram.CramWriter(path, header) as w:
+        w.write(rec)
+    with open(path, "rb") as f:
+        f.read(26)  # magic + file id
+        # file-header container
+        h = cram.read_container_header(f)
+        f.read(h.length)
+        # first data container
+        h = cram.read_container_header(f)
+        body = f.read(h.length)
+        blk, off = cram.read_block(body, 0)  # compression header
+        assert blk.content_type == cram.COMPRESSION_HEADER
+        # slice header block: method byte must be RAW
+        assert body[off] == cram.RAW
+        assert body[off + 1] == cram.SLICE_HEADER
