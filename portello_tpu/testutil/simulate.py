@@ -129,7 +129,8 @@ def make_scenario(
     read_snp_rate: float = 0.002,
     read_indel_rate: float = 0.002,
 ) -> Scenario:
-    """Build a 3-contig scenario: forward, reverse, and ref-split contigs."""
+    """Build a 4-contig scenario: forward, reverse, ref-split, and
+    reverse-split (inversion) contigs."""
     import os
 
     rng = rng or np.random.default_rng(42)
@@ -156,7 +157,10 @@ def make_scenario(
     )
 
     # ctg3: split contig: two segments on chr2 separated by a 2000bp deletion
-    # (wider than the 1000bp colinear-join threshold so the contig stays split)
+    # (wider than the 1000bp colinear-join threshold so the contig stays
+    # split).  segB's recorded position MUST equal the slice start so the
+    # BAM agrees with the ref FASTA — sequence-dependent passes (simplify
+    # homology windows, GCI scoring) then run on homologous bases, not noise.
     segA = chr2[500:4000]
     segB = chr2[6000:9500]
     seqA, cigA_core = apply_edits(segA, rng, 0.001, 0.0005)
@@ -170,7 +174,32 @@ def make_scenario(
             seq3,
             [
                 (1, 500, cigA, True, (0, len(seqA))),
-                (1, 5500, cigB, True, (len(seqA), len(seq3))),
+                (1, 6000, cigB, True, (len(seqA), len(seq3))),
+            ],
+        )
+    )
+
+    # ctg4: split contig with an INVERSION: forward first half, REVERSE
+    # second half (chr1[16500:18300) fwd + chr1[18500:19800) rev) — covers
+    # '-' SA strands, reverse supplementary patch-in, and reverse x split
+    # read items, which no other contig exercises.
+    ref_a4 = chr1[16500:18300]
+    ref_b4 = chr1[18500:19800]
+    seqA4, cigA4_core = apply_edits(ref_a4, rng, 0.001, 0.0005)
+    derB4, cigB4_core = apply_edits(ref_b4, rng, 0.001, 0.0005)
+    seqB4 = rev_comp(derB4)  # contig orientation of the inverted part
+    seq4 = np.concatenate([seqA4, seqB4])
+    cigA4 = np.concatenate([cigA4_core, cg.cigar((cg.S, len(seqB4)))])
+    # rev record read = revcomp(seq4) = derB4 + revcomp(seqA4): aligned
+    # prefix derB4 (ref-forward cigar), trailing soft clip of the A part
+    cigB4 = np.concatenate([cigB4_core, cg.cigar((cg.S, len(seqA4)))])
+    contigs.append(
+        SimContig(
+            "ctg4",
+            seq4,
+            [
+                (0, 16500, cigA4, True, (0, len(seqA4))),
+                (0, 18500, cigB4, False, (len(seqA4), len(seq4))),
             ],
         )
     )
