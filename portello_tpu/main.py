@@ -379,6 +379,9 @@ def run_local_workers(settings: Settings, argv: list[str]) -> None:
             logger.info("Transcoding CRAM read input once for all workers")
             cram_to_bam(settings.read_to_assembly_bam, tr,
                         n_threads=max(1, settings.thread_count // 2))
+            # each worker's validate_settings_data calls load_index() on its
+            # BAM inputs (cli.rs:143-163 parity), so the temp BAM needs a
+            # .bai; this also enforces coordinate order for the fan-out
             build_bai(tr)
             temps.append(tr + ".bai")
             replaced = []
