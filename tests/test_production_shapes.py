@@ -44,9 +44,19 @@ def _check(out, i, expect):
     assert np.array_equal(got, cig)
 
 
-def test_fwd_production_shapes_match_oracle():
+# (read_error, contig_var_rate): the HiFi profile the bucket is sized for,
+# plus a near-cap density (~109 ops / ~41 blocks / ~150 grid rows of the
+# 128/48/176 budgets) so the cap-adjacent arithmetic is exercised too
+RATES = [(0.0025, 0.0012), (0.003, 0.0022)]
+
+
+@pytest.mark.parametrize("read_error,contig_rate", RATES)
+def test_fwd_production_shapes_match_oracle(read_error, contig_rate):
     rng = np.random.default_rng(20260817)
-    args = make_item_arrays(rng, B, HIFI_BUCKET, read_len=18000, rev=False)
+    args = make_item_arrays(
+        rng, B, HIFI_BUCKET, read_len=18000, rev=False,
+        read_error=read_error, contig_var_rate=contig_rate,
+    )
     ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq = args
     out = fwd_batch(*args, **KW)
     fb = np.asarray(out["fallback"])
@@ -69,9 +79,13 @@ def test_fwd_production_shapes_match_oracle():
         _check(out, i, (int(ref_base[i]) + rp, rc))
 
 
-def test_rev_production_shapes_match_oracle():
+@pytest.mark.parametrize("read_error,contig_rate", RATES)
+def test_rev_production_shapes_match_oracle(read_error, contig_rate):
     rng = np.random.default_rng(20260818)
-    args = make_item_arrays(rng, B, HIFI_BUCKET, read_len=18000, rev=True)
+    args = make_item_arrays(
+        rng, B, HIFI_BUCKET, read_len=18000, rev=True,
+        read_error=read_error, contig_var_rate=contig_rate,
+    )
     (ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
      ref_win, ref_base, read_seq) = args
     out = rev_batch(*args, **KW)
