@@ -153,10 +153,15 @@ def sustained_batch_time(single_fn, args, reps, pos_index,
             f"[bench] rep-differencing inverted (t_lo={t_lo:.4f} >= "
             f"t_hi={t_hi:.4f}); retry {attempt + 1}\n"
         )
-    raise RuntimeError(
-        "sustained_batch_time: rep differencing stayed inverted after 3 "
-        "attempts (relay drift too large for this measurement)"
+    # persistent inversion: fall back to the undifferenced hi-rep time — a
+    # CONSERVATIVE overestimate of batch time (it still contains the fixed
+    # dispatch cost, spread over hi reps), never an absurd inflation, and
+    # the bench completes instead of crashing under extreme relay drift
+    sys.stderr.write(
+        "[bench] WARNING: differencing stayed inverted; reporting the "
+        "conservative undifferenced hi-rep time\n"
     )
+    return t_hi / hi
 
 
 def _fetch_time(f, args):
