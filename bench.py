@@ -100,6 +100,9 @@ def fast_item_arrays(rng, b, bcfg, read_len, rev, read_rate=0.0025, contig_rate=
     return ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq
 
 
+_PROTOCOLS_USED: set[str] = set()
+
+
 def sustained_batch_time(single_fn, args, reps, pos_index,
                          already_batched=False):
     """True per-batch device time via in-jit repetition.
@@ -113,6 +116,10 @@ def sustained_batch_time(single_fn, args, reps, pos_index,
     - completion is observed by FETCHING the scalar result to host
       (block_until_ready does not reliably wait through the axon relay);
     - the fixed dispatch/RTT cost cancels by differencing two rep counts.
+
+    Records which protocol produced each number in ``_PROTOCOLS_USED``
+    ("differenced" | "undifferenced-fallback") so the bench JSON is
+    self-describing (VERDICT r2 #8).
     """
     import jax
     import jax.numpy as jnp
@@ -148,6 +155,7 @@ def sustained_batch_time(single_fn, args, reps, pos_index,
             t_his.append(_fetch_time(f_hi, args))
         t_lo, t_hi = min(t_los), min(t_his)
         if t_hi > t_lo:
+            _PROTOCOLS_USED.add("differenced")
             return (t_hi - t_lo) / (hi - lo)
         sys.stderr.write(
             f"[bench] rep-differencing inverted (t_lo={t_lo:.4f} >= "
@@ -161,6 +169,7 @@ def sustained_batch_time(single_fn, args, reps, pos_index,
         "[bench] WARNING: differencing stayed inverted; reporting the "
         "conservative undifferenced hi-rep time\n"
     )
+    _PROTOCOLS_USED.add("undifferenced-fallback")
     return t_hi / hi
 
 
@@ -209,6 +218,37 @@ def native_baseline_time(items_fwd, max_out, n_threads):
         native_core.lift_simplify_batch(*args, max_out, n_threads=n_threads)
         best = min(best, time.perf_counter() - t0)
     return len(n_ops) / best
+
+
+def native_mix_time_median5(items_fwd, rev_fwd_items, rev_shift_args, max_out):
+    """PINNED vs_baseline denominator protocol (VERDICT r2 #3):
+    median-of-5 SINGLE-THREAD runs of the native reference-exact work for the
+    50/50 mix — lift+simplify on the fwd half, shift + lift+simplify on the
+    rev half — scaled by hardware threads (idealized linear scaling, i.e. the
+    most favorable credible all-cores figure for the baseline).  Single-thread
+    median is stable on this contended 4-core box where threaded runs swing
+    2x+ (BASELINE.md r2 table).  Returns (mix_reads_per_s_1t, n_threads)."""
+    from portello_tpu.ops import native_core
+
+    if native_core.get_lib() is None:
+        return None, 0
+    ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq = items_fwd
+    fwd_args = (ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq)
+    s_ops, s_lens, s_rel_pos, contig_win, s_read_seq = rev_shift_args
+    samples = []
+    native_core.lift_simplify_batch(*fwd_args, max_out, n_threads=1)  # warm
+    for _ in range(5):
+        t0 = time.perf_counter()
+        native_core.lift_simplify_batch(*fwd_args, max_out, n_threads=1)
+        native_core.shift_batch(
+            s_ops, s_lens, n_ops, s_rel_pos, contig_win, s_read_seq,
+            ops.shape[1], n_threads=1,
+        )
+        native_core.lift_simplify_batch(*rev_fwd_items, max_out, n_threads=1)
+        samples.append(time.perf_counter() - t0)
+    t_med = sorted(samples)[2]
+    n_reads = 2 * len(n_ops)
+    return n_reads / t_med, max(native_core.hw_threads(), 1)
 
 
 def e2e_main():

@@ -154,6 +154,91 @@ bool liftover_one(const int32_t* ops, const int32_t* lens, int64_t n_ops,
   return true;
 }
 
+// ---- homology + left shift (ops/homology.py, ops/shift.py; reference
+//      indel_breakend_homology.rs:24-73, shift_indels/) ----
+
+int64_t homology_left(const uint8_t* ref_seq, int64_t ref_len,
+                      const uint8_t* read_seq, int64_t read_len,
+                      int64_t ref_start, int64_t ref_end, int64_t read_start,
+                      int64_t read_end) {
+  (void)ref_len;
+  (void)read_len;
+  int64_t max_left = std::min(ref_start, read_start);
+  int64_t left = 0;
+  while (left < max_left &&
+         ref_seq[ref_end - left - 1] == read_seq[read_end - left - 1])
+    ++left;
+  return left;
+}
+
+// left_shift_indels (shift_indels/left_shift_indels.rs:17-39 +
+// cigar_indel_shifter.rs:10-165); returns shifted (pos, cigar) after the
+// cleanup+compress finishing pair.
+void left_shift_indels_native(int64_t ref_pos, const std::vector<Op>& cig,
+                              const uint8_t* ref_seq, int64_t ref_len,
+                              const uint8_t* read_seq, int64_t read_len,
+                              int64_t* out_pos, std::vector<Op>* out) {
+  int64_t match_block = 0;
+  bool in_indel = false;
+  int64_t i_ref = 0, i_read = 0, i_del = 0, i_ins = 0;
+  out->clear();
+
+  auto end_indel = [&]() {
+    if (!in_indel) return;
+    in_indel = false;
+    int64_t left = homology_left(ref_seq, ref_len, read_seq, read_len, i_ref,
+                                 i_ref + i_del, i_read, i_read + i_ins);
+    int64_t shift_len = left;  // LEFT direction: max(0, -(-left))
+    int64_t actual = std::min(match_block, shift_len);
+    int64_t remaining = match_block - actual;
+    if (remaining > 0) out->push_back({kM, remaining});
+    match_block = actual;
+    if (i_ins > 0) out->push_back({kI, i_ins});
+    if (i_del > 0) out->push_back({kD, i_del});
+    i_ins = i_del = 0;
+  };
+  auto add_other = [&](const Op* seg) {
+    end_indel();
+    if (match_block > 0) {
+      out->push_back({kM, match_block});
+      match_block = 0;
+    }
+    if (seg) out->push_back(*seg);
+  };
+
+  int64_t rp = ref_pos, dp = 0;
+  for (const Op& o : cig) {
+    if (o.code == kD) {
+      if (o.len > 0) {
+        if (!in_indel) {
+          i_ref = rp;
+          i_read = dp;
+          in_indel = true;
+        }
+        i_del += o.len;
+      }
+    } else if (o.code == kI) {
+      if (o.len > 0) {
+        if (!in_indel) {
+          i_ref = rp;
+          i_read = dp;
+          in_indel = true;
+        }
+        i_ins += o.len;
+      }
+    } else if (is_align_match(o.code)) {
+      end_indel();
+      match_block += o.len;
+    } else {
+      add_other(&o);
+    }
+    if (consumes_ref(o.code)) rp += o.len;
+    if (consumes_read_hard(o.code)) dp += o.len;
+  }
+  add_other(nullptr);
+  *out_pos = ref_pos + cleanup_and_compress(out);
+}
+
 // _end_indel (simplify_alignment_indels.rs:35-111): greedy right-edge then
 // left-edge re-match against actual sequence, SNP preference.
 void end_indel(const uint8_t* ref_seq, const uint8_t* read_seq,
@@ -325,6 +410,56 @@ long long ptcore_lift_simplify_batch(
 
 int ptcore_hw_threads() {
   return static_cast<int>(std::thread::hardware_concurrency());
+}
+
+// Batch left-shift (the rev-item host-shift prep step; reference
+// read_alignment_scanner.rs:159-176 + shift_indels/).  Positions are
+// RELATIVE to the per-row contig window (contig_win must cover
+// [0, pos+ref_span) of the reversed contig).  out_n[i]: -2 overflow, else op
+// count; out_pos[i] = shifted relative pos.  Returns 0 on success.
+long long ptcore_shift_batch(
+    long long b, const int32_t* ops, const int32_t* lens,
+    const int32_t* n_ops, long long max_ops, const int32_t* pos,
+    const uint8_t* contig_win, const uint8_t* read_seq, long long max_seq,
+    int n_threads, int32_t* out_codes, int32_t* out_lens, int32_t* out_n,
+    int32_t* out_pos, long long max_out) {
+  auto run = [&](int64_t i0, int64_t i1) {
+    std::vector<Op> cig, shifted;
+    for (int64_t i = i0; i < i1; ++i) {
+      cig.clear();
+      for (int64_t j = 0; j < n_ops[i]; ++j)
+        cig.push_back({ops[i * max_ops + j], (int64_t)lens[i * max_ops + j]});
+      int64_t spos = 0;
+      left_shift_indels_native(pos[i], cig, contig_win + i * max_seq, max_seq,
+                               read_seq + i * max_seq, max_seq, &spos,
+                               &shifted);
+      int64_t n = (int64_t)shifted.size();
+      if (n > max_out) {
+        out_n[i] = -2;
+        out_pos[i] = -1;
+        continue;
+      }
+      for (int64_t j = 0; j < n; ++j) {
+        out_codes[i * max_out + j] = shifted[j].code;
+        out_lens[i * max_out + j] = (int32_t)shifted[j].len;
+      }
+      out_n[i] = (int32_t)n;
+      out_pos[i] = (int32_t)spos;
+    }
+  };
+  if (n_threads <= 1 || b < 2) {
+    run(0, b);
+    return 0;
+  }
+  int nt = std::min<long long>(n_threads, b);
+  std::vector<std::thread> pool;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    int64_t i0 = b * t / nt, i1 = b * (t + 1) / nt;
+    pool.emplace_back([&run, i0, i1] { run(i0, i1); });
+  }
+  for (auto& th : pool) th.join();
+  return 0;
 }
 
 }  // extern "C"

@@ -32,6 +32,7 @@
 #include "ptcore.cc"
 
 #include <chrono>
+#include <cstdlib>
 #include <deque>
 #include <functional>
 #include <map>
@@ -134,90 +135,8 @@ std::string cig_to_string(const Cig& c) {
   return out;
 }
 
-// ---- homology + left shift (ops/homology.py, ops/shift.py; reference
-//      indel_breakend_homology.rs:24-73, shift_indels/) ----
-
-int64_t homology_left(const uint8_t* ref_seq, int64_t ref_len,
-                      const uint8_t* read_seq, int64_t read_len,
-                      int64_t ref_start, int64_t ref_end, int64_t read_start,
-                      int64_t read_end) {
-  (void)ref_len;
-  (void)read_len;
-  int64_t max_left = std::min(ref_start, read_start);
-  int64_t left = 0;
-  while (left < max_left &&
-         ref_seq[ref_end - left - 1] == read_seq[read_end - left - 1])
-    ++left;
-  return left;
-}
-
-// left_shift_indels (shift_indels/left_shift_indels.rs:17-39 +
-// cigar_indel_shifter.rs:10-165); returns shifted (pos, cigar) after the
-// cleanup+compress finishing pair.
-void left_shift_indels_native(int64_t ref_pos, const Cig& cig,
-                              const uint8_t* ref_seq, int64_t ref_len,
-                              const uint8_t* read_seq, int64_t read_len,
-                              int64_t* out_pos, Cig* out) {
-  int64_t match_block = 0;
-  bool in_indel = false;
-  int64_t i_ref = 0, i_read = 0, i_del = 0, i_ins = 0;
-  out->clear();
-
-  auto end_indel = [&]() {
-    if (!in_indel) return;
-    in_indel = false;
-    int64_t left = homology_left(ref_seq, ref_len, read_seq, read_len, i_ref,
-                                 i_ref + i_del, i_read, i_read + i_ins);
-    int64_t shift_len = left;  // LEFT direction: max(0, -(-left))
-    int64_t actual = std::min(match_block, shift_len);
-    int64_t remaining = match_block - actual;
-    if (remaining > 0) out->push_back({kM, remaining});
-    match_block = actual;
-    if (i_ins > 0) out->push_back({kI, i_ins});
-    if (i_del > 0) out->push_back({kD, i_del});
-    i_ins = i_del = 0;
-  };
-  auto add_other = [&](const Op* seg) {
-    end_indel();
-    if (match_block > 0) {
-      out->push_back({kM, match_block});
-      match_block = 0;
-    }
-    if (seg) out->push_back(*seg);
-  };
-
-  int64_t rp = ref_pos, dp = 0;
-  for (const Op& o : cig) {
-    if (o.code == kD) {
-      if (o.len > 0) {
-        if (!in_indel) {
-          i_ref = rp;
-          i_read = dp;
-          in_indel = true;
-        }
-        i_del += o.len;
-      }
-    } else if (o.code == kI) {
-      if (o.len > 0) {
-        if (!in_indel) {
-          i_ref = rp;
-          i_read = dp;
-          in_indel = true;
-        }
-        i_ins += o.len;
-      }
-    } else if (is_align_match(o.code)) {
-      end_indel();
-      match_block += o.len;
-    } else {
-      add_other(&o);
-    }
-    if (consumes_ref(o.code)) rp += o.len;
-    if (consumes_read_hard(o.code)) dp += o.len;
-  }
-  add_other(nullptr);
-  *out_pos = ref_pos + cleanup_and_compress(out);
-}
+// (homology_left + left_shift_indels_native live in ptcore.cc — shared with
+// the standalone ptcore.so for baseline/host-shift measurement.)
 
 // ---- raw BAM record view ----
 
@@ -503,6 +422,9 @@ struct Scanner {
   const uint8_t* owned = nullptr;  // per-contig ownership bitmap (or null)
   bool emit_unmapped = true;
   bool is_target_region = false;
+  // Rev-item routing: true (default) = left-shift on host during prep and
+  // dispatch the fwd graph; false (PTPU_HOST_SHIFT=0) = device shift chain.
+  bool host_shift = true;
 
   std::vector<BucketCfg> buckets;
   int64_t batch_size = 512;
@@ -1006,6 +928,11 @@ void drain_fifo(Scanner& sc) {
 // models/pipeline_model.py:217-287).
 void prepare_item(const Scanner& sc, ReadState& rs, int seg_index, int64_t g,
                   int32_t local) {
+  // Host-shift routing (default): the reverse-contig re-normalization
+  // (reference read_alignment_scanner.rs:159-176) runs here on the host —
+  // a few microseconds of byte compares — so rev items dispatch the SAME
+  // fwd device graph as fwd items instead of the 3x-cost device shift
+  // chain.  PTPU_HOST_SHIFT=0 restores the device-shift routing.
   bool contig_is_fwd = sc.seg_fwd[g] != 0;
   bool rec_rev = (rs.rv.flag & kFREVERSE) != 0;
   const SegView& rseg = rs.splits[seg_index];
@@ -1029,6 +956,20 @@ void prepare_item(const Scanner& sc, ReadState& rs, int seg_index, int64_t g,
     int64_t seg_end = rseg.pos + cig_ref_span(rseg.cigar);
     pos = contig_length - seg_end;
     cig.assign(rseg.cigar.rbegin(), rseg.cigar.rend());
+    if (sc.host_shift) {
+      // exact oracle shift against the reversed contig; the item then
+      // proceeds through the fwd prep below (same device graph as fwd)
+      const uint8_t* rc = sc.rc_bytes + sc.rc_off[rseg.chrom];
+      int64_t rc_len = sc.rc_off[rseg.chrom + 1] - sc.rc_off[rseg.chrom];
+      const std::vector<uint8_t>& rseq = read_seq_oriented(rs, need_flip);
+      Cig shifted;
+      int64_t spos;
+      left_shift_indels_native(pos, cig, rc, rc_len, rseq.data(),
+                               (int64_t)rseq.size(), &spos, &shifted);
+      pos = spos;
+      cig = std::move(shifted);
+      it.is_rev_contig = false;  // routes through the fwd accumulator/graph
+    }
   }
   int64_t span = cig_ref_span(cig);
   int64_t bm_o = sc.bm_off[g], bm_n = sc.bm_off[g + 1] - bm_o;
@@ -1100,7 +1041,12 @@ void prepare_item(const Scanner& sc, ReadState& rs, int seg_index, int64_t g,
       break;
     }
   }
-  if (bucket >= 0 && !contig_is_fwd && span > sc.buckets[bucket].max_seq)
+  // Device-shift routing only: the reversed-contig window must fit the
+  // bucket, and zero-length ops form phantom clusters in the device
+  // left-shift.  Neither applies under host shift (the shift already ran;
+  // fwd-path kernels handle zero-length ops exactly — fuzz-verified).
+  bool dev_shift_item = !contig_is_fwd && !sc.host_shift;
+  if (bucket >= 0 && dev_shift_item && span > sc.buckets[bucket].max_seq)
     bucket = -1;
   // Pad ops -> exact host path (device compress does not mirror the
   // reference's adjacent-Pad quirk); rev-path zero-length ops -> host
@@ -1108,7 +1054,7 @@ void prepare_item(const Scanner& sc, ReadState& rs, int seg_index, int64_t g,
   // parity)
   if (bucket >= 0)
     for (const Op& o : cig)
-      if (o.code == kP || (!contig_is_fwd && o.len == 0)) {
+      if (o.code == kP || (dev_shift_item && o.len == 0)) {
         bucket = -1;
         break;
       }
@@ -1446,6 +1392,12 @@ void* ptscan_create(
   sc.owned = owned;
   sc.emit_unmapped = emit_unmapped != 0;
   sc.prep_threads = prep_threads < 1 ? 1 : prep_threads;
+  {
+    // read per-create (not a function-local static) so tests can toggle the
+    // routing between runs within one process
+    const char* e = getenv("PTPU_HOST_SHIFT");
+    sc.host_shift = !(e && e[0] == '0');
+  }
   // Parallel BGZF readahead: the serial inflate in the framing loop was the
   // measured host-feed ceiling (~42 us/item at 18 kb; PERF.md phase split).
   ptio_reader_set_threads(sc.reader, sc.prep_threads);

@@ -347,6 +347,7 @@ class DeviceEngine:
         platform: str | None = None,
         is_target_region: bool = False,
         use_mm: bool | None = None,
+        host_shift: bool | None = None,
     ):
         self.reference = reference
         self.contig_list = contig_list
@@ -354,6 +355,19 @@ class DeviceEngine:
         self.batch_size = batch_size
         self.buckets = list(buckets)
         self.is_target_region = is_target_region
+        # Rev-item routing: True (default) runs the reverse-contig indel
+        # left-shift (reference read_alignment_scanner.rs:159-176) on the
+        # host during prep — a few microseconds of byte compares — so rev
+        # items dispatch the SAME fwd device graph as fwd items.  The device
+        # shift chain costs ~3x the fwd graph on-chip (PERF.md round 3);
+        # PTPU_HOST_SHIFT=0 (or host_shift=False) restores it.
+        import os as _os
+
+        self.host_shift = (
+            host_shift
+            if host_shift is not None
+            else _os.environ.get("PTPU_HOST_SHIFT", "1") != "0"
+        )
         self.stats = {"device_items": 0, "host_items": 0, "fallback_items": 0}
         self._pending: list[tuple] = []  # (record, ordered_splits, [_Item])
         self._n_items = 0
@@ -403,6 +417,16 @@ class DeviceEngine:
             seg_end = read_segment.pos + cg.get_cigar_ref_offset(read_segment.cigar)
             pos = contig_length - seg_end
             cigar = cg.reverse_cigar(read_segment.cigar)
+            if self.host_shift:
+                # Host-shift routing (default): run the exact oracle shift
+                # here and dispatch the item through the fwd graph.
+                from portello_tpu.ops.shift import left_shift_indels
+
+                read_seq = rev_comp(record.seq) if need_flip else record.seq
+                pos, cigar = left_shift_indels(
+                    pos, cigar, rev_contig_seq, read_seq
+                )
+                item.is_rev_contig = False  # fwd-graph routing
 
         if (cigar[:, 0] == cg.P).any():
             # Pad ops: the reference's compress keeps only the first length
@@ -412,8 +436,9 @@ class DeviceEngine:
             # quirk in every kernel formulation.
             item.host_fallback = True
             return item
-        if not contig_is_fwd and (cigar[:, 1] == 0).any():
-            # Zero-length ops on the REV path: a 0-length I/D forms a phantom
+        if item.is_rev_contig and (cigar[:, 1] == 0).any():
+            # Zero-length ops on the DEVICE-SHIFT rev path: a 0-length I/D
+            # forms a phantom
             # cluster in the device left-shift (find_clusters is not length-
             # gated) whose homology cap clamps the pending run — silently
             # shifting later real clusters differently from the oracle, which
@@ -459,8 +484,9 @@ class DeviceEngine:
             "cigar": cigar, "pos": pos, "keys": keys, "vals": vals,
             "ref_win": ref_win, "ref_base": ref_lo, "read_seq": read_seq,
         }
-        if not contig_is_fwd:
-            # reversed-contig window for the left shift
+        if item.is_rev_contig:
+            # reversed-contig window for the DEVICE left shift (host-shift
+            # routing never reaches here: the shift already ran on host)
             cwin = np.zeros(bcfg.max_seq, dtype=np.uint8)
             src = rev_contig_seq[pos : pos + span]
             if span > bcfg.max_seq:

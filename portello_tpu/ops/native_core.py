@@ -72,6 +72,16 @@ def get_lib():
         ]
         lib.ptcore_hw_threads.restype = ctypes.c_int
         lib.ptcore_hw_threads.argtypes = []
+        lib.ptcore_shift_batch.restype = ctypes.c_longlong
+        lib.ptcore_shift_batch.argtypes = [
+            ctypes.c_longlong,                       # b
+            _I32P, _I32P, _I32P, ctypes.c_longlong,  # ops, lens, n_ops, max_ops
+            _I32P,                                   # pos (window-relative)
+            _U8P, _U8P, ctypes.c_longlong,           # contig_win, read_seq, max_seq
+            ctypes.c_int,                            # n_threads
+            _I32P, _I32P, _I32P, _I32P,              # out codes/lens/n/pos
+            ctypes.c_longlong,                       # max_out
+        ]
         _lib = lib
         return _lib
 
@@ -116,6 +126,42 @@ def lift_simplify_batch(
     )
     if rc != 0:
         raise RuntimeError(f"ptcore_lift_simplify_batch failed rc={rc}")
+    return out_codes, out_lens, out_n, out_pos
+
+
+def shift_batch(
+    ops, lens, n_ops, pos, contig_win, read_seq, max_out: int,
+    n_threads: int = 1,
+):
+    """Native batch left-shift (the rev-item host-shift prep step; reference
+    read_alignment_scanner.rs:159-176).  ``pos`` is relative to each row's
+    ``contig_win`` (which must cover ``[0, pos + ref_span)`` of the reversed
+    contig).  Returns (out_codes, out_lens, out_n, out_pos); out_n[i] == -2
+    marks an output overflow.  Bit-identical to ops/shift.left_shift_indels
+    (tests/test_native_core.py)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"ptcore unavailable: {build_error()}")
+    b, max_ops = ops.shape
+    max_seq = contig_win.shape[1]
+    out_codes = np.zeros((b, max_out), dtype=np.int32)
+    out_lens = np.zeros((b, max_out), dtype=np.int32)
+    out_n = np.zeros(b, dtype=np.int32)
+    out_pos = np.zeros(b, dtype=np.int32)
+    asc = np.ascontiguousarray
+    rc = lib.ptcore_shift_batch(
+        b,
+        asc(ops, dtype=np.int32), asc(lens, dtype=np.int32),
+        asc(n_ops, dtype=np.int32), max_ops,
+        asc(pos, dtype=np.int32),
+        asc(contig_win, dtype=np.uint8), asc(read_seq, dtype=np.uint8),
+        max_seq,
+        int(n_threads),
+        out_codes, out_lens, out_n, out_pos,
+        max_out,
+    )
+    if rc != 0:
+        raise RuntimeError(f"ptcore_shift_batch failed rc={rc}")
     return out_codes, out_lens, out_n, out_pos
 
 

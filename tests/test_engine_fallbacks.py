@@ -197,7 +197,11 @@ def test_fallback_paths_actually_exercised(tmp_path):
     genome = get_genome_ref_from_fasta(fasta)
     reference = [genome.chroms[c.label] for c in ref_chrom_list.data]
     info = scan_contig_bam(contig_bam, ref_chrom_list, contig_list, None)
-    engine = DeviceEngine(reference, contig_list, info, batch_size=16)
+    # device-shift routing: this test pins the rev-path fallback counters
+    # (host-shift routing never saturates the device homology window)
+    engine = DeviceEngine(
+        reference, contig_list, info, batch_size=16, host_shift=False
+    )
     scan_and_remap_reads(
         read_bam, str(tmp_path / "rs.bam"), str(tmp_path / "us.bam"),
         reference, ref_chrom_list, info, False, engine=engine,
@@ -226,7 +230,8 @@ def test_mixed_cluster_budget_overflow(tmp_path):
     reference = [genome.chroms[c.label] for c in ref_chrom_list.data]
     info = scan_contig_bam(contig_bam, ref_chrom_list, contig_list, None)
     engine = DeviceEngine(
-        reference, contig_list, info, batch_size=16, use_mm=True
+        reference, contig_list, info, batch_size=16, use_mm=True,
+        host_shift=False,
     )
     scan_and_remap_reads(
         read_bam, str(tmp_path / "rsm.bam"), str(tmp_path / "usm.bam"),

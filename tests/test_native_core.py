@@ -82,3 +82,35 @@ def test_native_unmapped_item():
         bcfg.resolved_max_out(),
     )
     assert on[0] == -1 and op[0] == -1
+
+
+def test_native_shift_batch_matches_oracle():
+    """ptcore_shift_batch (the rev-item host-shift prep step) must be
+    bit-identical to ops/shift.left_shift_indels."""
+    from portello_tpu.models.batch import BucketConfig
+    from portello_tpu.ops.shift import left_shift_indels
+    from portello_tpu.testutil.batchgen import make_item_arrays
+
+    bcfg = BucketConfig(
+        max_ops=128, max_blocks=64, max_seq=4096, max_clusters=64, window=24
+    )
+    rng = np.random.default_rng(7)
+    (ops, lens, n_ops, pos, win_base, contig_win, _bk, _bv, _nb,
+     _rw, _rb, read_seq) = make_item_arrays(
+        rng, 48, bcfg, read_len=3000, read_error=0.01, rev=True
+    )
+    rel_pos = pos - win_base
+    max_out = bcfg.max_ops + 8
+    oc, ol, on, op = native_core.shift_batch(
+        ops, lens, n_ops, rel_pos, contig_win, read_seq, max_out, n_threads=3
+    )
+    for i in range(len(n_ops)):
+        n = int(n_ops[i])
+        cig = np.stack([ops[i, :n], lens[i, :n]], axis=1).astype(np.int64)
+        wp, wc = left_shift_indels(
+            int(rel_pos[i]), cig, contig_win[i], read_seq[i]
+        )
+        assert on[i] == len(wc), i
+        assert op[i] == wp, i
+        got = np.stack([oc[i, : on[i]], ol[i, : on[i]]], axis=1)
+        assert np.array_equal(got, wc.astype(np.int32)), i

@@ -2,6 +2,8 @@
 to the Python engine path (and therefore to the host oracle, which the
 engine path is conformance-tested against)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -419,11 +421,17 @@ def test_zero_length_indel_rev_path_routes_to_host(tmp_path):
             w.write(rec)
     build_bai(bad)
 
-    stats = scan_and_remap_reads_native(
-        bad, str(tmp_path / "zl_native.bam"), str(tmp_path / "zl_un_n.bam"),
-        reference, ref_cl, info, False, batch_size=32, thread_count=2,
-        use_mm=False,
-    )
+    # device-shift routing: zero-length rev ops must route to the exact host
+    # path there (host-shift routing runs the shift on host and is immune)
+    os.environ["PTPU_HOST_SHIFT"] = "0"
+    try:
+        stats = scan_and_remap_reads_native(
+            bad, str(tmp_path / "zl_native.bam"), str(tmp_path / "zl_un_n.bam"),
+            reference, ref_cl, info, False, batch_size=32, thread_count=2,
+            use_mm=False,
+        )
+    finally:
+        del os.environ["PTPU_HOST_SHIFT"]
     assert stats["host_items"] >= injected
 
     scan_and_remap_reads(
