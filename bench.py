@@ -343,8 +343,6 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from portello_tpu.kernels.shift_kernel import (
-        _shift_stage_a,
-        _shift_stage_b,
         shift_stage_a_batch,
         shift_stage_b_batch,
     )
@@ -368,96 +366,122 @@ def main():
     rev_items = fast_item_arrays(rng, batch, bcfg, read_len, rev=True)
 
     device = jax.devices()[0]
-    sys.stderr.write(f"[bench] device: {device}, batch={batch}, reps={reps}\n")
+    host_shift = os.environ.get("PTPU_HOST_SHIFT", "1") != "0"
+    sys.stderr.write(
+        f"[bench] device: {device}, batch={batch}, reps={reps}, "
+        f"host_shift={host_shift}\n"
+    )
 
     dev_fwd = tuple(jax.device_put(a, device) for a in fwd_items)
-    dev_shift_args = tuple(
+
+    # ---- rev-item host shift (the PRODUCTION routing since round 3):
+    # the reverse-contig left-shift runs on the host during prep
+    # (ptcore_shift_batch in both feeds), so rev items dispatch the SAME
+    # fwd graph as fwd items.  Build the shifted rev batch here with the
+    # production native shifter and measure its host cost (median-of-5).
+    from portello_tpu.ops import native_core
+
+    (r_ops, r_lens, r_n_ops, r_pos, r_wb, r_cwin, r_bk, r_bv, r_nb,
+     r_rwin, r_rbase, r_rseq) = rev_items
+    rel_pos = (r_pos - r_wb).astype(np.int32)
+    shift_args = (r_ops, r_lens, r_n_ops, rel_pos, r_cwin, r_rseq)
+    have_native = native_core.get_lib() is not None
+    host_shift_1t_rps = host_shift_nt_rps = None
+    nthreads = max(native_core.hw_threads(), 1)
+    if have_native:
+        def _shift_median5(n_threads):
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                native_core.shift_batch(
+                    *shift_args, bcfg.max_ops, n_threads=n_threads
+                )
+                ts.append(time.perf_counter() - t0)
+            return batch / sorted(ts)[2]
+
+        sh_codes, sh_lens, sh_n, sh_pos = native_core.shift_batch(
+            *shift_args, bcfg.max_ops, n_threads=nthreads
+        )
+        host_shift_1t_rps = _shift_median5(1)
+        host_shift_nt_rps = _shift_median5(nthreads)
+        # overflow rows (shifted runs > max_ops; host-fallback in
+        # production) keep their unshifted cigar for shape-honest timing
+        ov = sh_n < 0
+        sh_codes[ov], sh_lens[ov] = r_ops[ov], r_lens[ov]
+        sh_n[ov], sh_pos[ov] = r_n_ops[ov], rel_pos[ov]
+    else:
+        # pure-Python envs: fall back to the device stage-B shifter just to
+        # BUILD the shifted cigars (timing below still times the fwd graph)
+        dev_sa = tuple(
+            jax.device_put(np.asarray(a), device)
+            for a in (r_ops, r_lens, rel_pos, r_wb, r_cwin, r_rseq)
+        )
+        st = shift_stage_a_batch(
+            *dev_sa, max_clusters=bcfg.max_clusters, window=bcfg.window, mm=mm
+        )
+        bound = _rev_ops_bound(bcfg.max_ops, kw["max_out"])
+        c_, l_, n_, p_, _fb = shift_stage_b_batch(
+            dev_sa[0], dev_sa[1], dev_sa[2], st,
+            window=bcfg.window, max_out=bound, mm=mm,
+        )
+        sh_codes = np.asarray(c_)[:, : bcfg.max_ops]
+        sh_lens = np.asarray(l_)[:, : bcfg.max_ops]
+        sh_n, sh_pos = np.asarray(n_), np.asarray(p_)
+
+    rev_fwd_args = tuple(
         jax.device_put(np.asarray(a), device)
         for a in (
-            rev_items[0], rev_items[1],
-            rev_items[3] - rev_items[4], rev_items[4], rev_items[5], rev_items[11],
+            sh_codes, sh_lens, sh_n, sh_pos + r_wb,
+            r_bk, r_bv, r_nb, r_rwin, r_rbase, r_rseq,
         )
     )
 
-    # sustained per-batch times (fwd pipeline; two shift stages for rev).
-    # fwd legs time the PRODUCTION batch graph (fwd_batch: batch-compacted
-    # mixed-cluster windows on the mm path), not the per-item form.
-    t_fwd = sustained_batch_time(
-        lambda *a: fwd_batch(*a, **kw), dev_fwd, reps, 3, already_batched=True
-    )
-    t_fwd_passes = [t_fwd]
-    t_shift_a = sustained_batch_time(
-        lambda *a: _shift_stage_a(
-            *a, max_clusters=bcfg.max_clusters, window=bcfg.window, mm=mm
-        ),
-        dev_shift_args, reps, 2,
-    )
-    st = shift_stage_a_batch(
-        *dev_shift_args, max_clusters=bcfg.max_clusters, window=bcfg.window, mm=mm
-    )
-    # anti-hoist chain must thread through arg 0 (codes): stage B's outputs do
-    # not depend on ref_pos, so perturbing it would let XLA hoist the loop.
-    # Stage B runs at the proven shifted-run width (pipeline_model.rev_batch).
-    bound = _rev_ops_bound(bcfg.max_ops, kw["max_out"])
-    t_shift_b = sustained_batch_time(
-        lambda c, l, p, s: _shift_stage_b(
-            c, l, p, s, window=bcfg.window, max_out=bound, mm=mm
-        ),
-        (dev_shift_args[0], dev_shift_args[1], dev_shift_args[2], st),
-        reps, 0,
-    )
-    # rev items' fwd leg runs on the SHIFTED cigars (max_ops-capped, the
-    # same graph shape as the fwd leg); measure it on real stage-B outputs
-    # so the mix stays honest.
-    sh_codes, sh_lens, sh_n, sh_pos, _sh_fb = shift_stage_b_batch(
-        dev_shift_args[0], dev_shift_args[1], dev_shift_args[2], st,
-        window=bcfg.window, max_out=bound, mm=mm,
-    )
-    # production rev leg: max_ops-capped shifted cigars through the SAME
-    # fwd graph (pipeline_model.rev_batch)
-    rev_fwd_args = (
-        sh_codes[:, : bcfg.max_ops], sh_lens[:, : bcfg.max_ops], sh_n,
-        sh_pos + dev_shift_args[3],
-        *(jax.device_put(np.asarray(a), device) for a in
-          (rev_items[6], rev_items[7], rev_items[8],
-           rev_items[9], rev_items[10], rev_items[11])),
-    )
-    t_rev_fwd = sustained_batch_time(
-        lambda *a: fwd_batch(*a, **kw), rev_fwd_args, reps, 3,
-        already_batched=True,
-    )
-    t_shift = t_shift_a + t_shift_b
-    # PRODUCTION rev graph: the fused single-program chain (shift A + B +
-    # capped fwd leg) the engine dispatches on the mm path
-    # (pipeline_model.rev_chain_batch); stage timings above are diagnostics.
-    from portello_tpu.models.pipeline_model import rev_batch
-
-    dev_rev = tuple(jax.device_put(np.asarray(a), device) for a in rev_items)
-    if mm:
-        # The two mix terms are measured in TWO interleaved passes (fwd,
-        # rev, fwd, rev) and each takes its best: relay-side clock/contention
-        # drift between calls swings single draws +-30-50% (PERF.md), and
-        # the best sustained rate is the honest chip capability under this
-        # protocol (each pass is itself an in-jit min-of-3 measurement).
-        t_rev_chain = sustained_batch_time(
-            lambda *a: rev_batch(*a, **kw), dev_rev, reps, 3,
-            already_batched=True,
-        )
-        t_rev_passes = [t_rev_chain]
+    # ---- sustained per-batch chip times, interleaved passes (fwd, rev,
+    # fwd, rev) with best-of per term: relay-side drift between calls swings
+    # single draws +-30-50% (PERF.md); each pass is itself an in-jit
+    # min-of-3.  Both legs time the PRODUCTION fwd batch graph (fwd_batch:
+    # batch-compacted mixed-cluster windows on the mm path).
+    t_fwd_passes, t_rev_passes = [], []
+    n_passes = 2 if mm else 1
+    for _ in range(n_passes):
         t_fwd_passes.append(sustained_batch_time(
             lambda *a: fwd_batch(*a, **kw), dev_fwd, reps, 3,
             already_batched=True,
         ))
         t_rev_passes.append(sustained_batch_time(
-            lambda *a: rev_batch(*a, **kw), dev_rev, reps, 3,
+            lambda *a: fwd_batch(*a, **kw), rev_fwd_args, reps, 3,
             already_batched=True,
         ))
-        t_fwd = min(t_fwd_passes)
-        t_rev_chain = min(t_rev_passes)
+    t_fwd, t_rev_fwd = min(t_fwd_passes), min(t_rev_passes)
+
+    # DIAGNOSTIC: the device-shift rev chain (the PTPU_HOST_SHIFT=0
+    # routing), one pass — kept so round-over-round chain numbers stay
+    # comparable and the alternate routing stays measured.
+    from portello_tpu.models.pipeline_model import rev_batch
+
+    if mm:
+        dev_rev = tuple(
+            jax.device_put(np.asarray(a), device) for a in rev_items
+        )
+        t_rev_devshift = sustained_batch_time(
+            lambda *a: rev_batch(*a, **kw), dev_rev, reps, 3,
+            already_batched=True,
+        )
     else:
-        t_rev_chain = t_shift + t_rev_fwd
-    # 50/50 fwd/rev mix: rev = the fused chain (or staged sum off-mm)
-    t_mix = 0.5 * t_fwd + 0.5 * t_rev_chain
+        # gather path (CPU smoke): the staged device-shift diagnostic is
+        # omitted — rev_batch there is 3 separate dispatches, which the
+        # in-jit repetition protocol cannot wrap
+        t_rev_devshift = None
+
+    # 50/50 fwd/rev mix under the selected routing
+    if host_shift:
+        t_mix = 0.5 * t_fwd + 0.5 * t_rev_fwd
+        mix_formula = "v3-host-shift: 0.5*t_fwd + 0.5*t_rev_fwd(shifted)"
+    else:
+        t_mix = 0.5 * t_fwd + 0.5 * (
+            t_rev_devshift if t_rev_devshift is not None else t_rev_fwd
+        )
+        mix_formula = "v2-device-shift: 0.5*t_fwd + 0.5*t_rev_chain"
     reads_per_s = batch / t_mix
 
     # real single-dispatch overhead (transfer + tunnel RTT), reported
@@ -474,37 +498,52 @@ def main():
 
     host_rps = host_oracle_time(fwd_items, n_sample=min(24, batch))
 
-    # Measured native baseline (C++ reference-exact inner loop; BASELINE.md):
-    # single thread and all hardware threads (the reference defaults to all
-    # logical CPUs, cli.rs:127).
-    from portello_tpu.ops import native_core
-
-    nthreads = max(native_core.hw_threads(), 1)
+    # ---- PINNED vs_baseline (VERDICT r2 #3): denominator = median-of-5
+    # single-thread native reference-exact mix rate x hardware threads
+    # (idealized linear scaling — the most favorable credible all-cores
+    # figure for the baseline; threaded draws on this contended box swing
+    # 2x+ and made r1/r2 vs_baseline unstable).  Numerator = the chip's
+    # 50/50 mix rate.  Like-for-like: the native loop does the shift for
+    # the rev half too; the chip number excludes the (host-side,
+    # pipelined-overlapped) shift cost, which is reported separately as
+    # host_shift_*_reads_per_s.
+    native_mix_1t, _nt = native_mix_time_median5(
+        fwd_items, tuple(np.asarray(a) for a in rev_fwd_args),
+        (r_ops, r_lens, rel_pos, r_cwin, r_rseq), kw["max_out"],
+    )
     native_1 = native_baseline_time(fwd_items, kw["max_out"], 1)
     native_n = native_baseline_time(fwd_items, kw["max_out"], nthreads)
-    fwd_reads_per_s = batch / t_fwd
-    if native_n:
-        # best native config (the threaded run can lose to 1T under CPU
-        # contention from the relay process; the baseline is the best the
-        # host can do).  LIKE-FOR-LIKE: the native loop runs the fwd
-        # workload (lift+simplify), so the numerator is the chip's fwd rate
-        # — the headline `value` stays the honest 50/50 mix.
-        native_best = max(native_n, native_1 or 0)
-        vs_baseline = fwd_reads_per_s / native_best
+    if native_mix_1t:
+        baseline_rps = native_mix_1t * nthreads
+        vs_baseline = reads_per_s / baseline_rps
+        baseline_protocol = (
+            f"median5-1t-native-mix x {nthreads} hw threads "
+            "(pinned; BASELINE.md r3)"
+        )
         note = (
-            f"baseline = native C++ reference-exact inner loop (fwd "
-            f"workload, like-for-like vs the chip's fwd rate; best of "
-            f"1/{nthreads} threads on this host — Rust reference not "
-            "buildable in image, BASELINE.md); headline value is the "
-            "50/50 fwd+rev mix; sustained on-chip time via in-jit repetition"
+            "baseline = native C++ reference-exact inner loop on the same "
+            "50/50 mix (shift+lift+simplify; median-of-5 single-thread x "
+            f"{nthreads} threads, idealized scaling — Rust reference not "
+            "buildable in image, BASELINE.md); chip value is the production "
+            "host-shift routing mix; sustained on-chip time via in-jit "
+            "repetition"
         )
     else:
-        vs_baseline = fwd_reads_per_s / host_rps
+        baseline_rps = host_rps
+        vs_baseline = (batch / t_fwd) / host_rps
+        baseline_protocol = "python-host-oracle (native core unavailable)"
         note = (
             "baseline = exact single-thread Python host oracle (native core "
             "unavailable); sustained on-chip time via in-jit repetition"
         )
 
+    protocol = (
+        "differenced"
+        if _PROTOCOLS_USED == {"differenced"}
+        else "undifferenced-fallback"
+        if "undifferenced-fallback" in _PROTOCOLS_USED
+        else "unknown"
+    )
     print(
         json.dumps(
             {
@@ -516,16 +555,29 @@ def main():
                 "unit": "reads/s",
                 "vs_baseline": round(vs_baseline, 2),
                 "note": note,
+                "protocol": protocol,
+                "mix_formula": mix_formula,
+                "baseline_protocol": baseline_protocol,
+                "baseline_reads_per_s": round(baseline_rps, 1),
                 "device": str(device),
                 "batch": batch,
                 "t_fwd_ms": round(t_fwd * 1e3, 3),
-                "t_rev_chain_ms": round(t_rev_chain * 1e3, 3),
                 "t_rev_fwd_ms": round(t_rev_fwd * 1e3, 3),
-                "t_shift_ms": round(t_shift * 1e3, 3),
-                "t_shift_a_ms": round(t_shift_a * 1e3, 3),
-                "t_shift_b_ms": round(t_shift_b * 1e3, 3),
+                "t_rev_devshift_chain_ms": (
+                    round(t_rev_devshift * 1e3, 3)
+                    if t_rev_devshift is not None else None
+                ),
                 "dispatch_overhead_ms": round(dispatch_overhead * 1e3, 1),
+                "host_shift_1t_reads_per_s": (
+                    round(host_shift_1t_rps, 1) if host_shift_1t_rps else None
+                ),
+                "host_shift_nt_reads_per_s": (
+                    round(host_shift_nt_rps, 1) if host_shift_nt_rps else None
+                ),
                 "host_oracle_reads_per_s": round(host_rps, 1),
+                "native_mix_1t_reads_per_s": (
+                    round(native_mix_1t, 1) if native_mix_1t else None
+                ),
                 "native_1t_reads_per_s": round(native_1, 1) if native_1 else None,
                 "native_nt_reads_per_s": round(native_n, 1) if native_n else None,
                 "native_threads": nthreads,
