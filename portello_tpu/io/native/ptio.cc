@@ -233,6 +233,7 @@ struct Writer {
   FILE* f = nullptr;
   int level = 6;
   int n_threads = 1;
+  size_t max_inflight = 64;  // blocks (~64 KB raw each) queued to the pool
   std::vector<std::thread> pool;
   std::mutex mu;
   std::condition_variable cv_work, cv_done;
@@ -327,14 +328,14 @@ void writer_submit(Writer* w, std::vector<uint8_t>&& raw) {
     w->inflight.push_back(job);
   }
   w->cv_work.notify_one();
-  // Bound memory: keep at most 4x pool of blocks in flight.  Reap the
+  // Bound memory: keep at most max_inflight blocks queued.  Reap the
   // finished prefix, then BLOCK until under the cap — a non-waiting drain
   // only trims completed jobs, leaving the queue unbounded whenever the
   // producer outruns the deflate pool (~64KB+ held per queued job).
   writer_drain(w, false);
   for (;;) {
     std::unique_lock<std::mutex> lk(w->mu);
-    if (w->inflight.size() <= static_cast<size_t>(4 * w->n_threads)) break;
+    if (w->inflight.size() <= w->max_inflight) break;
     if (!w->inflight.front()->done)
       w->cv_done.wait(lk);  // a worker will notify when the front finishes
     lk.unlock();
@@ -483,6 +484,10 @@ void* ptio_writer_open(const char* path, int level, int n_threads) {
   }
   w->level = level;
   w->n_threads = n_threads < 1 ? 1 : n_threads;
+  // deep enough that encode bursts never stall on a momentarily-busy pool
+  // (~4 MB raw at 64: deflate is the dominant host cost and the producer
+  // must be able to run ahead through device-compute windows)
+  w->max_inflight = std::max<size_t>(64, 8 * w->n_threads);
   if (w->n_threads > 1) {
     for (int i = 0; i < w->n_threads; ++i)
       w->pool.emplace_back(worker_main, w);

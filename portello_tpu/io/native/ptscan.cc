@@ -32,13 +32,16 @@
 #include "ptcore.cc"
 
 #include <chrono>
+#include <condition_variable>
 #include <cstdlib>
 #include <deque>
 #include <functional>
 #include <map>
 #include <memory>
+#include <mutex>
 #include <sstream>
 #include <stdexcept>
+#include <thread>
 
 namespace {
 
@@ -53,6 +56,7 @@ const char kSeqChars[17] = "=ACMGRSVTWYHKDBN";
 struct SeqLuts {
   uint8_t comp[256];
   uint8_t enc[256];
+  uint8_t enc_comp[256];  // enc[comp[b]]: one lookup in the rev-pack loop
   SeqLuts() {
     for (int i = 0; i < 256; ++i) comp[i] = 'N';
     const char* pairs = "ATCGGCTANN";
@@ -66,6 +70,7 @@ struct SeqLuts {
       enc[(uint8_t)kSeqChars[i]] = i;
       enc[(uint8_t)std::tolower(kSeqChars[i])] = i;
     }
+    for (int i = 0; i < 256; ++i) enc_comp[i] = enc[comp[i]];
   }
 };
 const SeqLuts kLut;
@@ -430,6 +435,18 @@ struct Scanner {
   int64_t batch_size = 512;
 
   std::deque<std::unique_ptr<ReadState>> fifo;
+  // Asynchronous finisher: encode + BGZF write of resolved reads runs on a
+  // dedicated thread, so deflate backpressure never blocks the prep/dispatch
+  // path (the round-2 profile put ~2/3 of all host feed time in the
+  // synchronous drain, almost all of it deflate).  Ready reads are enqueued
+  // in FIFO order and the single finisher preserves it, so output bytes are
+  // identical to the synchronous form.
+  std::thread finisher;
+  std::mutex fin_mu;
+  std::condition_variable fin_cv, fin_space;
+  std::deque<std::unique_ptr<ReadState>> fin_q;
+  bool fin_closing = false;
+  std::string fin_error;
   std::vector<Accum> accums;  // n_buckets * 2 (fwd, rev)
   bool eof = false;
   // emitted batches awaiting post_results, in emission order (the feed may
@@ -778,20 +795,25 @@ void encode_record(const ReadState& rs, const OutRecord& r,
     out->resize(b + 4);
     std::memcpy(out->data() + b, &u, 4);
   }
-  // seq (possibly revcomp) 4-bit packed
+  // seq (possibly revcomp) 4-bit packed — two bases per output byte,
+  // branchless (this loop is on the finisher's encode path)
   {
     const std::vector<uint8_t>& fwd = rs.seq_fwd;
     size_t b = out->size();
     out->resize(b + (l_seq + 1) / 2, 0);
     uint8_t* dst = out->data() + b;
-    for (int64_t i = 0; i < l_seq; ++i) {
-      uint8_t base =
-          r.flipped ? kLut.comp[fwd[l_seq - 1 - i]] : fwd[i];
-      uint8_t code = kLut.enc[base];
-      if (i % 2)
-        dst[i / 2] |= code;
-      else
-        dst[i / 2] = code << 4;
+    int64_t i = 0;
+    if (r.flipped) {
+      const uint8_t* s = fwd.data() + l_seq - 1;
+      for (; i + 1 < l_seq; i += 2)
+        dst[i / 2] =
+            (kLut.enc_comp[s[-i]] << 4) | kLut.enc_comp[s[-(i + 1)]];
+      if (i < l_seq) dst[i / 2] = kLut.enc_comp[s[-i]] << 4;
+    } else {
+      const uint8_t* s = fwd.data();
+      for (; i + 1 < l_seq; i += 2)
+        dst[i / 2] = (kLut.enc[s[i]] << 4) | kLut.enc[s[i + 1]];
+      if (i < l_seq) dst[i / 2] = kLut.enc[s[i]] << 4;
     }
   }
   // qual (possibly reversed)
@@ -800,8 +822,10 @@ void encode_record(const ReadState& rs, const OutRecord& r,
     size_t b = out->size();
     out->resize(b + l_seq);
     uint8_t* dst = out->data() + b;
-    for (int64_t i = 0; i < l_seq; ++i)
-      dst[i] = r.flipped ? q[l_seq - 1 - i] : q[i];
+    if (r.flipped)
+      std::reverse_copy(q, q + l_seq, dst);
+    else
+      std::memcpy(dst, q, l_seq);
   }
   append_tags_filtered(rs, out);
   if (!r.ps.empty()) {
@@ -905,21 +929,74 @@ void finish_read(const Scanner& sc, ReadState& rs, std::vector<uint8_t>* out) {
 
 void parallel_for(int n_threads, int64_t n, const std::function<void(int64_t)>& fn);
 
+// Queue cap for the finisher handoff: bounds resident ReadStates (each holds
+// the raw record + oriented sequence, ~60 KB at 18 kb reads => ~60 MB).
+// Blocking here is honest backpressure when deflate is the true bottleneck.
+constexpr size_t kFinQCap = 1024;
+
+void finisher_main(Scanner* scp) {
+  Scanner& sc = *scp;
+  std::vector<std::unique_ptr<ReadState>> grab;
+  std::vector<uint8_t> buf;
+  for (;;) {
+    bool failed;
+    {
+      std::unique_lock<std::mutex> lk(sc.fin_mu);
+      sc.fin_cv.wait(lk, [&] { return !sc.fin_q.empty() || sc.fin_closing; });
+      if (sc.fin_q.empty() && sc.fin_closing) return;
+      while (!sc.fin_q.empty() && grab.size() < 256) {
+        grab.push_back(std::move(sc.fin_q.front()));
+        sc.fin_q.pop_front();
+      }
+      failed = !sc.fin_error.empty();
+    }
+    sc.fin_space.notify_all();
+    if (!failed) {
+      try {
+        for (auto& r : grab) {
+          buf.clear();
+          finish_read(sc, *r, &buf);
+          if (!buf.empty()) ptio_write(sc.remapped, buf.data(), buf.size());
+        }
+      } catch (const std::exception& e) {
+        std::lock_guard<std::mutex> lk(sc.fin_mu);
+        if (sc.fin_error.empty()) sc.fin_error = e.what();
+        sc.fin_space.notify_all();
+        // keep draining (discarding) so enqueuers never deadlock; the error
+        // surfaces on the next drain_fifo / ptscan_finish
+      }
+    }
+    grab.clear();
+  }
+}
+
+void stop_finisher(Scanner& sc) {
+  if (!sc.finisher.joinable()) return;
+  {
+    std::lock_guard<std::mutex> lk(sc.fin_mu);
+    sc.fin_closing = true;
+  }
+  sc.fin_cv.notify_all();
+  sc.finisher.join();
+}
+
 void drain_fifo(Scanner& sc) {
-  // Encode ready reads in parallel (finish_read is pure per read); write the
-  // buffers serially in FIFO order so output matches the serial form exactly.
+  // Hand the resolved FIFO prefix to the finisher thread (encode + write
+  // happen off the prep/dispatch path; order preserved).
   std::vector<std::unique_ptr<ReadState>> ready;
   while (!sc.fifo.empty() && sc.fifo.front()->unresolved == 0) {
     ready.push_back(std::move(sc.fifo.front()));
     sc.fifo.pop_front();
   }
   if (ready.empty()) return;
-  std::vector<std::vector<uint8_t>> bufs(ready.size());
-  parallel_for(sc.prep_threads, (int64_t)ready.size(), [&](int64_t i) {
-    finish_read(sc, *ready[i], &bufs[i]);
+  std::unique_lock<std::mutex> lk(sc.fin_mu);
+  sc.fin_space.wait(lk, [&] {
+    return sc.fin_q.size() < kFinQCap || !sc.fin_error.empty();
   });
-  for (const auto& b : bufs)
-    if (!b.empty()) ptio_write(sc.remapped, b.data(), b.size());
+  if (!sc.fin_error.empty()) throw std::runtime_error(sc.fin_error);
+  for (auto& r : ready) sc.fin_q.push_back(std::move(r));
+  lk.unlock();
+  sc.fin_cv.notify_one();
 }
 
 // DeviceEngine._prep_item semantics (models/pipeline_model.py:217-287)
@@ -1401,6 +1478,7 @@ void* ptscan_create(
   // Parallel BGZF readahead: the serial inflate in the framing loop was the
   // measured host-feed ceiling (~42 us/item at 18 kb; PERF.md phase split).
   ptio_reader_set_threads(sc.reader, sc.prep_threads);
+  sc.finisher = std::thread(finisher_main, &sc);
   return h;
 }
 
@@ -1648,6 +1726,8 @@ int ptscan_finish(void* hv) {
     drain_fifo(sc);
     if (!sc.fifo.empty())
       throw std::runtime_error("finish with unresolved reads");
+    stop_finisher(sc);
+    if (!sc.fin_error.empty()) throw std::runtime_error(sc.fin_error);
     if (!ptio_writer_close(sc.remapped)) {
       sc.remapped = nullptr;
       throw std::runtime_error("remapped writer failed");
@@ -1690,6 +1770,7 @@ void ptscan_timing(void* hv, long long* out6) {
 
 void ptscan_destroy(void* hv) {
   auto* h = static_cast<ScannerHandle*>(hv);
+  stop_finisher(h->sc);  // must stop before the writers close
   if (h->sc.reader) ptio_reader_close(h->sc.reader);
   if (h->sc.remapped) ptio_writer_close(h->sc.remapped);
   if (h->sc.unassembled) ptio_writer_close(h->sc.unassembled);

@@ -248,7 +248,12 @@ def create_scanner(
         owned_ptr = owned.ctypes.data_as(ctypes.c_void_p)
         emit_unmapped = 1 if shard_plan.host_id == 0 else 0
 
-    writer_threads = max(1, thread_count // 2)
+    # Deflate is the dominant host cost at long read lengths (round-3
+    # profile: ~2/3 of host feed time), so the BGZF pool gets the full
+    # thread budget — the pool threads park when idle, and prep/fill are
+    # bursty.  (The reference gives htslib threads/2; this is a deliberate
+    # rebalance, not parity.)
+    writer_threads = max(1, thread_count)
     level = 0 if remapped_out == "-" else 6
 
 
