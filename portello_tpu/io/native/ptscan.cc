@@ -31,6 +31,7 @@
 #include "ptio.cc"
 #include "ptcore.cc"
 
+#include <atomic>
 #include <chrono>
 #include <condition_variable>
 #include <cstdlib>
@@ -371,7 +372,10 @@ struct ReadState {
   std::vector<uint8_t> seq_fwd, seq_rc;  // ASCII; rc lazily filled
   std::vector<SegView> splits;
   std::vector<Item> items;
-  int unresolved = 0;
+  // set by prep (producer thread), decremented by result intake (caller
+  // thread); the drain pops a read only at 0, and the seq_cst atomics order
+  // the intake's result writes before the finisher's reads
+  std::atomic<int> unresolved{0};
   long long n_host = 0;  // fallback items computed natively during prep
 };
 
@@ -380,24 +384,28 @@ struct PendingRef {
   int item;
 };
 
-// One record can append several items after the batch-size check, so the
-// accumulator carries slack rows; batches are emitted at exactly batch_size
-// (fixed compiled shapes) and the tail is shifted down after post_results.
-// Sized so an accumulator can keep filling while one emitted batch is in
-// flight (pipelined feed: Python keeps up to 2 batches outstanding).
-constexpr int64_t kAccumSlack = 1024;
 // Records prepped per parallel chunk (decode + split parse + item prep +
 // fallback compute run across prep threads; commit stays ordered).
 constexpr int64_t kChunk = 128;
 
-struct Accum {
+// A slot is one dispatch-ready batch arena (exactly batch_size rows).
+// Python wraps the buffers ZERO-COPY (jax aliases aligned numpy arrays on
+// CPU) and the slot stays frozen from emit until its results are posted, so
+// nothing mutates memory an async dispatch may still read.  Slots replace
+// the round-2 single-buffer accumulator: no tail-shift memmove, no
+// Python-side defensive batch copies.
+struct Slot {
   std::vector<int32_t> ops, lens, n_ops, pos, bk, bv, nb, ref_base, win_base;
   std::vector<uint8_t> ref_win, read_seq, contig_win;
-  std::vector<PendingRef> refs;
-  int64_t count = 0;
-  // rows already emitted to in-flight batches (posted FIFO, so outstanding
-  // batches always occupy the row prefix; further emits start at this offset)
-  int64_t pending_rows = 0;
+  std::vector<PendingRef> refs;  // row -> (read, item)
+  int64_t count = 0;             // rows assigned
+  int accum = 0;
+};
+
+struct Accum {
+  std::vector<std::unique_ptr<Slot>> all;  // owned slots (lazily grown)
+  std::deque<Slot*> free_slots;
+  Slot* filling = nullptr;
 };
 
 struct Scanner {
@@ -434,6 +442,11 @@ struct Scanner {
   std::vector<BucketCfg> buckets;
   int64_t batch_size = 512;
 
+  // finish FIFO: producer pushes at commit; the intake thread pops the
+  // resolved prefix (fifo_mu guards the deque; drain_mu serializes whole
+  // drains so the finisher receives reads in input order — see drain_fifo)
+  std::mutex fifo_mu;
+  std::mutex drain_mu;
   std::deque<std::unique_ptr<ReadState>> fifo;
   // Asynchronous finisher: encode + BGZF write of resolved reads runs on a
   // dedicated thread, so deflate backpressure never blocks the prep/dispatch
@@ -447,22 +460,39 @@ struct Scanner {
   std::deque<std::unique_ptr<ReadState>> fin_q;
   bool fin_closing = false;
   std::string fin_error;
+  // Producer thread: runs the whole scan loop (read, prep, commit, fill,
+  // emit) so ptscan_next_batch only pops ready batches — the host pipeline
+  // overlaps device compute instead of serializing with it.
+  std::thread producer;
+  std::mutex q_mu;
+  std::condition_variable q_cv, q_space;
+  struct EmittedBatch {
+    int accum;
+    Slot* slot;
+    int64_t count;
+  };
+  std::deque<EmittedBatch> ready_q;   // emitted, not yet handed to Python
+  std::deque<EmittedBatch> posted_q;  // handed out, awaiting post_results
+  bool prod_done = false;
+  bool shutdown = false;
+  std::string prod_error;
+
   std::vector<Accum> accums;  // n_buckets * 2 (fwd, rev)
   bool eof = false;
-  // emitted batches awaiting post_results, in emission order (the feed may
-  // keep several outstanding to overlap device compute with prep)
-  std::deque<std::pair<int, int64_t>> emitted;
-  // parallel prep chunk + commit cursor
+  // parallel prep chunk + commit cursor (producer thread only)
   std::vector<std::unique_ptr<ReadState>> chunk;
   size_t chunk_cursor = 0;
   int prep_threads = 1;
 
-  long long n_primary = 0, device_items = 0, host_items = 0,
-            fallback_items = 0, n_unassembled = 0, cur_tid = -1;
+  // live counters (read by ptscan_stats while the producer runs)
+  std::atomic<long long> n_primary{0}, device_items{0}, host_items{0},
+      fallback_items{0}, n_unassembled{0}, cur_tid{-1};
 
   // wall-clock phase split (ns), reported via ptscan_timing for the feed's
   // PTPU_FEED_TIMING log: serial record framing/BGZF, parallel record prep,
-  // parallel item-row fill, finish+write (drain), result intake, tail shift
+  // parallel item-row fill, drain handoff, result intake, EOF padding.
+  // read/prepare/fill/drain/shift are producer-thread-only; post is
+  // intake-thread-only (read after the producer joins).
   long long t_read_ns = 0, t_prepare_ns = 0, t_fill_ns = 0, t_drain_ns = 0,
             t_post_ns = 0, t_shift_ns = 0;
 };
@@ -982,11 +1012,19 @@ void stop_finisher(Scanner& sc) {
 
 void drain_fifo(Scanner& sc) {
   // Hand the resolved FIFO prefix to the finisher thread (encode + write
-  // happen off the prep/dispatch path; order preserved).
+  // happen off the prep/dispatch path; order preserved).  Runs on both the
+  // producer (after fills) and the intake thread (after posts): drain_mu
+  // serializes the whole pop->enqueue so two concurrent drains cannot
+  // interleave their prefixes out of order at the finisher queue.
+  std::lock_guard<std::mutex> dlk(sc.drain_mu);
   std::vector<std::unique_ptr<ReadState>> ready;
-  while (!sc.fifo.empty() && sc.fifo.front()->unresolved == 0) {
-    ready.push_back(std::move(sc.fifo.front()));
-    sc.fifo.pop_front();
+  {
+    std::lock_guard<std::mutex> flk(sc.fifo_mu);
+    while (!sc.fifo.empty() &&
+           sc.fifo.front()->unresolved.load(std::memory_order_acquire) == 0) {
+      ready.push_back(std::move(sc.fifo.front()));
+      sc.fifo.pop_front();
+    }
   }
   if (ready.empty()) return;
   std::unique_lock<std::mutex> lk(sc.fin_mu);
@@ -1162,10 +1200,10 @@ void prepare_item(const Scanner& sc, ReadState& rs, int seg_index, int64_t g,
   rs.unresolved += 1;
 }
 
-// Fill one accumulator row from a prepared item (worker-parallel; rows are
+// Fill one slot row from a prepared item (worker-parallel; rows are
 // disjoint, so no synchronization is needed).
 void fill_item_row(const Scanner& sc, ReadState& rs, const Item& it,
-                   Accum& ac, const BucketCfg& c, int64_t i) {
+                   Slot& ac, const BucketCfg& c, int64_t i) {
   const SegView& rseg = rs.splits[it.seg_index];
   const Cig& cig = it.dev_cig;
   int64_t n_cig = (int64_t)cig.size();
@@ -1260,54 +1298,97 @@ std::unique_ptr<ReadState> prepare_read(
 struct FillJob {
   ReadState* read;
   int item;
-  int accum;
+  Slot* slot;
   int64_t row;
 };
 
-void ensure_accum(Scanner& sc, int ai) {
+// Pop a free slot for accumulator ai, or allocate one.  Allocation is
+// unbounded on purpose: within one commit group a single read can complete
+// several slots that cannot be emitted until their fills run, so a hard cap
+// could deadlock.  Steady-state slot count is bounded by the emit-side
+// ready_q cap (producer stalls at ~2 ready + 2 in-flight + 1 filling).
+Slot* get_free_slot(Scanner& sc, int ai) {
   Accum& ac = sc.accums[ai];
-  if (!ac.ops.empty()) return;
+  {
+    std::lock_guard<std::mutex> lk(sc.q_mu);
+    if (!ac.free_slots.empty()) {
+      Slot* s = ac.free_slots.front();
+      ac.free_slots.pop_front();
+      return s;
+    }
+  }
   const BucketCfg& c = sc.buckets[ai / 2];
   bool rev = ai % 2;
-  // two outstanding batches (pipelined feed) + one-record slack
-  int64_t rows = 2 * sc.batch_size + kAccumSlack;
-  ac.ops.assign(rows * c.max_ops, 9 /*PAD*/);
-  ac.lens.assign(rows * c.max_ops, 0);
-  ac.n_ops.assign(rows, 0);
-  ac.pos.assign(rows, 0);
-  ac.bk.assign(rows * c.max_blocks, INT32_MAX);
-  ac.bv.assign(rows * c.max_blocks, -1);
-  ac.nb.assign(rows, 0);
-  ac.ref_win.assign(rows * c.max_seq, 0);
-  ac.ref_base.assign(rows, 0);
-  ac.read_seq.assign(rows * c.max_seq, 0);
+  int64_t rows = sc.batch_size;
+  auto s = std::make_unique<Slot>();
+  s->accum = ai;
+  s->ops.assign(rows * c.max_ops, 9 /*PAD*/);
+  s->lens.assign(rows * c.max_ops, 0);
+  s->n_ops.assign(rows, 0);
+  s->pos.assign(rows, 0);
+  s->bk.assign(rows * c.max_blocks, INT32_MAX);
+  s->bv.assign(rows * c.max_blocks, -1);
+  s->nb.assign(rows, 0);
+  s->ref_win.assign(rows * c.max_seq, 0);
+  s->ref_base.assign(rows, 0);
+  s->read_seq.assign(rows * c.max_seq, 0);
   if (rev) {
-    ac.contig_win.assign(rows * c.max_seq, 0);
-    ac.win_base.assign(rows, 0);
+    s->contig_win.assign(rows * c.max_seq, 0);
+    s->win_base.assign(rows, 0);
+  }
+  Slot* p = s.get();
+  std::lock_guard<std::mutex> lk(sc.q_mu);
+  ac.all.push_back(std::move(s));
+  return p;
+}
+
+// Pad rows [count, batch_size) of a partial slot (EOF flush; reused slots
+// carry stale rows).  Pad rows lift to unmapped and are ignored by intake.
+void pad_slot_tail(Scanner& sc, Slot& s) {
+  const BucketCfg& c = sc.buckets[s.accum / 2];
+  bool rev = s.accum % 2;
+  for (int64_t i = s.count; i < sc.batch_size; ++i) {
+    std::fill_n(&s.ops[i * c.max_ops], c.max_ops, 9 /*PAD*/);
+    std::fill_n(&s.lens[i * c.max_ops], c.max_ops, 0);
+    s.n_ops[i] = 0;
+    s.pos[i] = 0;
+    std::fill_n(&s.bk[i * c.max_blocks], c.max_blocks, INT32_MAX);
+    std::fill_n(&s.bv[i * c.max_blocks], c.max_blocks, -1);
+    s.nb[i] = 0;
+    s.ref_base[i] = 0;
+    std::memset(&s.ref_win[i * c.max_seq], 0, c.max_seq);
+    std::memset(&s.read_seq[i * c.max_seq], 0, c.max_seq);
+    if (rev) {
+      std::memset(&s.contig_win[i * c.max_seq], 0, c.max_seq);
+      s.win_base[i] = 0;
+    }
   }
 }
 
-// Commit one prepped read in input order: assign accumulator rows, queue
-// fill jobs, update counters, append to the finish FIFO.
+// Commit one prepped read in input order: assign slot rows, queue fill
+// jobs, update counters, append to the finish FIFO.  Slots that reach
+// batch_size are appended to *completed (emitted after their fills run).
 void commit_read(Scanner& sc, std::unique_ptr<ReadState> rs,
-                 std::vector<FillJob>* jobs) {
+                 std::vector<FillJob>* jobs, std::vector<Slot*>* completed) {
   ReadState* rp = rs.get();
   sc.host_items += rp->n_host;
   for (int k = 0; k < (int)rp->items.size(); ++k) {
     Item& it = rp->items[k];
     if (it.resolved || it.bucket < 0) continue;
     int ai = it.bucket * 2 + (it.is_rev_contig ? 1 : 0);
-    ensure_accum(sc, ai);
     Accum& ac = sc.accums[ai];
-    if (ac.count >= 2 * sc.batch_size + kAccumSlack)
-      throw std::runtime_error(
-          "work-item accumulator overflow (one record produced too many "
-          "items)");
-    int64_t row = ac.count++;
-    ac.refs.push_back({rp, k});
-    jobs->push_back({rp, k, ai, row});
+    if (!ac.filling) ac.filling = get_free_slot(sc, ai);
+    Slot* s = ac.filling;
+    int64_t row = s->count++;
+    s->refs.push_back({rp, k});
+    jobs->push_back({rp, k, s, row});
     sc.device_items += 1;
+    if (s->count == sc.batch_size) {
+      completed->push_back(s);
+      ac.filling = nullptr;
+    }
   }
+  std::lock_guard<std::mutex> flk(sc.fifo_mu);
   sc.fifo.push_back(std::move(rs));
 }
 
@@ -1464,7 +1545,9 @@ void* ptscan_create(
     sc.buckets.push_back({bucket_dims[4 * b], bucket_dims[4 * b + 1],
                           bucket_dims[4 * b + 2], bucket_dims[4 * b + 3]});
   sc.batch_size = batch_size;
-  sc.accums.resize(n_buckets * 2);
+  // direct-construct at size (Accum holds unique_ptrs; resize would need a
+  // noexcept move, which deque lacks)
+  sc.accums = std::vector<Accum>(n_buckets * 2);
   sc.is_target_region = is_target_region != 0;
   sc.owned = owned;
   sc.emit_unmapped = emit_unmapped != 0;
@@ -1486,70 +1569,50 @@ const char* ptscan_error(void* hv) {
   return static_cast<ScannerHandle*>(hv)->sc.error.c_str();
 }
 
-// 1 = batch ready, 0 = done, -1 = error
-int ptscan_next_batch(void* hv, PtscanBatchDesc* out) {
-  auto* h = static_cast<ScannerHandle*>(hv);
-  Scanner& sc = h->sc;
+// Block until the ready queue has room (<= 2 emitted-unclaimed batches:
+// bounds how far the producer runs ahead, and with it slot/FIFO memory),
+// then publish the slot.  Throws on shutdown so the producer unwinds.
+void emit_slot(Scanner& sc, Slot* s) {
+  std::unique_lock<std::mutex> lk(sc.q_mu);
+  sc.q_space.wait(lk, [&] { return sc.ready_q.size() < 2 || sc.shutdown; });
+  if (sc.shutdown) throw std::runtime_error("scanner shut down");
+  sc.ready_q.push_back({s->accum, s, s->count});
+  lk.unlock();
+  sc.q_cv.notify_one();
+}
+
+// The scan loop (runs on the producer thread): read + prep chunks, commit
+// in input order, fill slot rows in parallel, emit completed slots.
+void producer_main(Scanner* scp, ScannerHandle* h) {
+  Scanner& sc = *scp;
   try {
-    auto emit_ready = [&](int ai) {
-      Accum& ac = sc.accums[ai];
-      const BucketCfg& c = sc.buckets[ai / 2];
-      int64_t off = ac.pending_rows;  // in-flight batches occupy the prefix
-      out->bucket = ai / 2;
-      out->is_rev = ai % 2;
-      out->count = std::min(ac.count - off, sc.batch_size);
-      out->ops = ac.ops.data() + off * c.max_ops;
-      out->lens = ac.lens.data() + off * c.max_ops;
-      out->n_ops = ac.n_ops.data() + off;
-      out->pos = ac.pos.data() + off;
-      out->bk = ac.bk.data() + off * c.max_blocks;
-      out->bv = ac.bv.data() + off * c.max_blocks;
-      out->nb = ac.nb.data() + off;
-      out->ref_win = ac.ref_win.data() + off * c.max_seq;
-      out->ref_base = ac.ref_base.data() + off;
-      out->read_seq = ac.read_seq.data() + off * c.max_seq;
-      out->contig_win =
-          (ai % 2) ? ac.contig_win.data() + off * c.max_seq : nullptr;
-      out->win_base = (ai % 2) ? ac.win_base.data() + off : nullptr;
-      ac.pending_rows += out->count;
-      sc.emitted.emplace_back(ai, out->count);
-      return 1;
-    };
-
-    auto any_full = [&]() -> int {
-      for (size_t ai = 0; ai < sc.accums.size(); ++ai)
-        if (sc.accums[ai].count - sc.accums[ai].pending_rows
-            >= sc.batch_size)
-          return (int)ai;
-      return -1;
-    };
-
+    std::deque<Slot*> completed;
     for (;;) {
-      // a batch may already be ready (emitted exactly batch_size; commit can
-      // leave accumulators at/over the threshold)
-      int full = any_full();
-      if (full >= 0) return emit_ready(full);
+      while (!completed.empty()) {
+        emit_slot(sc, completed.front());
+        completed.pop_front();
+      }
 
-      // commit prepped records (input order) until a bucket fills
+      // commit prepped records (input order) until a slot completes
       if (sc.chunk_cursor < sc.chunk.size()) {
         std::vector<FillJob> jobs;
-        while (sc.chunk_cursor < sc.chunk.size()) {
-          commit_read(sc, std::move(sc.chunk[sc.chunk_cursor++]), &jobs);
-          if (any_full() >= 0) break;
-        }
+        std::vector<Slot*> comp;
+        while (sc.chunk_cursor < sc.chunk.size() && comp.empty())
+          commit_read(sc, std::move(sc.chunk[sc.chunk_cursor++]), &jobs,
+                      &comp);
         // fill assigned rows in parallel (disjoint rows)
         long long t0 = now_ns();
         parallel_for(sc.prep_threads, (int64_t)jobs.size(), [&](int64_t j) {
           const FillJob& fj = jobs[j];
-          fill_item_row(sc, *fj.read, fj.read->items[fj.item],
-                        sc.accums[fj.accum], sc.buckets[fj.accum / 2],
-                        fj.row);
+          fill_item_row(sc, *fj.read, fj.read->items[fj.item], *fj.slot,
+                        sc.buckets[fj.slot->accum / 2], fj.row);
         });
         long long t1 = now_ns();
         drain_fifo(sc);
         long long t2 = now_ns();
         sc.t_fill_ns += t1 - t0;
         sc.t_drain_ns += t2 - t1;
+        for (Slot* s : comp) completed.push_back(s);
         continue;
       }
 
@@ -1606,29 +1669,94 @@ int ptscan_next_batch(void* hv, PtscanBatchDesc* out) {
       sc.chunk_cursor = 0;
       long long t_load1 = now_ns();
       parallel_for(sc.prep_threads, (int64_t)raws.size(), [&](int64_t i) {
-        sc.chunk[i] =
-            prepare_read(sc, std::move(raws[i]), h->contig_idx);
+        sc.chunk[i] = prepare_read(sc, std::move(raws[i]), h->contig_idx);
       });
       long long t_load2 = now_ns();
       sc.t_read_ns += t_load1 - t_load0;
       sc.t_prepare_ns += t_load2 - t_load1;
     }
-    // EOF: flush non-empty accumulators one at a time
-    for (size_t ai = 0; ai < sc.accums.size(); ++ai)
-      if (sc.accums[ai].count - sc.accums[ai].pending_rows > 0)
-        return emit_ready((int)ai);
-    if (!sc.emitted.empty())
-      return 2;  // results still outstanding; post them, then call again
+    // EOF: pad + emit partial slots (accumulator order, deterministic)
+    for (size_t ai = 0; ai < sc.accums.size(); ++ai) {
+      Slot* s = sc.accums[ai].filling;
+      if (!s || s->count == 0) continue;
+      long long tp0 = now_ns();
+      pad_slot_tail(sc, *s);
+      sc.t_shift_ns += now_ns() - tp0;
+      sc.accums[ai].filling = nullptr;
+      emit_slot(sc, s);
+    }
+    // best-effort final drain (reads resolved entirely during prep); the
+    // caller's post_results drains the rest, ptscan_finish is the backstop
     drain_fifo(sc);
-    if (!sc.fifo.empty())
-      throw std::runtime_error("internal: unresolved reads at EOF");
-    return 0;
   } catch (const std::exception& e) {
-    sc.error = e.what();
-    return -1;
+    std::lock_guard<std::mutex> lk(sc.q_mu);
+    if (sc.prod_error.empty()) sc.prod_error = e.what();
   }
+  {
+    std::lock_guard<std::mutex> lk(sc.q_mu);
+    sc.prod_done = true;
+  }
+  sc.q_cv.notify_all();
 }
 
+void stop_producer(Scanner& sc) {
+  if (!sc.producer.joinable()) return;
+  {
+    std::lock_guard<std::mutex> lk(sc.q_mu);
+    sc.shutdown = true;
+  }
+  sc.q_space.notify_all();
+  sc.producer.join();
+}
+
+// 1 = batch ready, 0 = done, -1 = error,
+// 2 = EOF with results outstanding (post them, then call again)
+int ptscan_next_batch(void* hv, PtscanBatchDesc* out) {
+  auto* h = static_cast<ScannerHandle*>(hv);
+  Scanner& sc = h->sc;
+  // lazy start: the first batch request launches the scan loop
+  if (!sc.producer.joinable() && !sc.prod_done)
+    sc.producer = std::thread(producer_main, &sc, h);
+  Scanner::EmittedBatch eb;
+  {
+    std::unique_lock<std::mutex> lk(sc.q_mu);
+    sc.q_cv.wait(lk, [&] { return !sc.ready_q.empty() || sc.prod_done; });
+    if (!sc.prod_error.empty()) {
+      sc.error = sc.prod_error;
+      return -1;
+    }
+    if (sc.ready_q.empty()) {
+      if (!sc.posted_q.empty()) return 2;
+      return 0;
+    }
+    eb = sc.ready_q.front();
+    sc.ready_q.pop_front();
+    sc.posted_q.push_back(eb);
+  }
+  sc.q_space.notify_all();
+  Slot* s = eb.slot;
+  out->bucket = eb.accum / 2;
+  out->is_rev = eb.accum % 2;
+  out->count = eb.count;
+  out->ops = s->ops.data();
+  out->lens = s->lens.data();
+  out->n_ops = s->n_ops.data();
+  out->pos = s->pos.data();
+  out->bk = s->bk.data();
+  out->bv = s->bv.data();
+  out->nb = s->nb.data();
+  out->ref_win = s->ref_win.data();
+  out->ref_base = s->ref_base.data();
+  out->read_seq = s->read_seq.data();
+  out->contig_win = (eb.accum % 2) ? s->contig_win.data() : nullptr;
+  out->win_base = (eb.accum % 2) ? s->win_base.data() : nullptr;
+  return 1;
+}
+
+// Intake: write device results back into items (FIFO order — the oldest
+// posted batch), then recycle the slot.  Runs on the caller thread while
+// the producer keeps prepping; the atomic unresolved decrement publishes
+// the result writes to the finisher.
 int ptscan_post_results(void* hv, const int32_t* codes, const int32_t* lens,
                         const int32_t* n_out, const int32_t* res_pos,
                         const uint8_t* mapped, const uint8_t* fallback,
@@ -1636,13 +1764,17 @@ int ptscan_post_results(void* hv, const int32_t* codes, const int32_t* lens,
   auto* h = static_cast<ScannerHandle*>(hv);
   Scanner& sc = h->sc;
   try {
-    if (sc.emitted.empty())
-      throw std::runtime_error("post_results without pending batch");
+    Scanner::EmittedBatch eb;
+    {
+      std::lock_guard<std::mutex> lk(sc.q_mu);
+      if (sc.posted_q.empty())
+        throw std::runtime_error("post_results without pending batch");
+      eb = sc.posted_q.front();
+      sc.posted_q.pop_front();
+    }
     long long tp0 = now_ns();
-    auto [out_accum, emitted] = sc.emitted.front();
-    sc.emitted.pop_front();
-    Accum& ac = sc.accums[out_accum];
-    for (int64_t i = 0; i < emitted; ++i) {
+    Slot& ac = *eb.slot;
+    for (int64_t i = 0; i < eb.count; ++i) {
       ReadState& rs = *ac.refs[i].read;
       Item& it = rs.items[ac.refs[i].item];
       if (fallback[i]) {
@@ -1674,44 +1806,16 @@ int ptscan_post_results(void* hv, const int32_t* codes, const int32_t* lens,
       it.resolved = true;
       rs.unresolved -= 1;
     }
-    long long tp1 = now_ns();
-    sc.t_post_ns += tp1 - tp0;
-    // shift any tail rows (items past the emitted batch) down to row 0
-    int64_t tail = ac.count - emitted;
-    if (tail > 0) {
-      const BucketCfg& c = sc.buckets[out_accum / 2];
-      bool rev = out_accum % 2;
-      auto shift32 = [&](std::vector<int32_t>& v, int64_t stride) {
-        std::memmove(v.data(), v.data() + emitted * stride,
-                     tail * stride * sizeof(int32_t));
-      };
-      auto shift8 = [&](std::vector<uint8_t>& v, int64_t stride) {
-        std::memmove(v.data(), v.data() + emitted * stride, tail * stride);
-      };
-      shift32(ac.ops, c.max_ops);
-      shift32(ac.lens, c.max_ops);
-      shift32(ac.n_ops, 1);
-      shift32(ac.pos, 1);
-      shift32(ac.bk, c.max_blocks);
-      shift32(ac.bv, c.max_blocks);
-      shift32(ac.nb, 1);
-      shift8(ac.ref_win, c.max_seq);
-      shift32(ac.ref_base, 1);
-      shift8(ac.read_seq, c.max_seq);
-      if (rev) {
-        shift8(ac.contig_win, c.max_seq);
-        shift32(ac.win_base, 1);
-      }
-      ac.refs.erase(ac.refs.begin(), ac.refs.begin() + emitted);
-    } else {
-      ac.refs.clear();
+    sc.t_post_ns += now_ns() - tp0;
+    // recycle the slot: its buffers are free to refill the moment this
+    // returns (Python drops its array views before calling post_results)
+    ac.count = 0;
+    ac.refs.clear();
+    {
+      std::lock_guard<std::mutex> lk(sc.q_mu);
+      sc.accums[eb.accum].free_slots.push_back(eb.slot);
     }
-    ac.count = tail;
-    ac.pending_rows -= emitted;
-    long long tp2 = now_ns();
-    sc.t_shift_ns += tp2 - tp1;
     drain_fifo(sc);
-    sc.t_drain_ns += now_ns() - tp2;
     return 0;
   } catch (const std::exception& e) {
     sc.error = e.what();
@@ -1723,8 +1827,15 @@ int ptscan_finish(void* hv) {
   auto* h = static_cast<ScannerHandle*>(hv);
   Scanner& sc = h->sc;
   try {
+    stop_producer(sc);  // normally already exited (next_batch returned 0)
+    if (!sc.prod_error.empty()) throw std::runtime_error(sc.prod_error);
     drain_fifo(sc);
-    if (!sc.fifo.empty())
+    bool fifo_empty;
+    {
+      std::lock_guard<std::mutex> flk(sc.fifo_mu);
+      fifo_empty = sc.fifo.empty();
+    }
+    if (!fifo_empty)
       throw std::runtime_error("finish with unresolved reads");
     stop_finisher(sc);
     if (!sc.fin_error.empty()) throw std::runtime_error(sc.fin_error);
@@ -1770,6 +1881,7 @@ void ptscan_timing(void* hv, long long* out6) {
 
 void ptscan_destroy(void* hv) {
   auto* h = static_cast<ScannerHandle*>(hv);
+  stop_producer(h->sc);  // must stop before slots/fifo are destroyed
   stop_finisher(h->sc);  // must stop before the writers close
   if (h->sc.reader) ptio_reader_close(h->sc.reader);
   if (h->sc.remapped) ptio_writer_close(h->sc.remapped);

@@ -12,11 +12,15 @@ Python only moves padded batches through the jitted kernels:
         out = fwd_batch/rev_batch(desc)  # device round trip (fixed shapes)
         ptscan_post_results(h, out)      # C++ finishes + writes ready reads
 
-Batches are emitted at exactly ``batch_size`` rows (the C++ side carries
-slack and shifts the tail), so each bucket compiles exactly two programs
-(fwd/rev) for the whole run.  Output is record-identical to the Python
-engine path (tests/test_native_feed.py compares CLI outputs byte-for-byte
-after sorting).
+The C++ side runs the whole scan loop on a dedicated producer thread and
+publishes dispatch-ready slots (fixed ``batch_size``-row arenas, EOF
+partials pre-padded), so ``ptscan_next_batch`` just pops a ready batch:
+host prep overlaps device compute with no Python-side copies — the feed
+wraps each slot zero-copy and the slot stays frozen until its results are
+posted.  Each bucket compiles exactly two programs (fwd/rev) for the whole
+run.  Output is record-identical to the Python engine path
+(tests/test_native_feed.py compares CLI outputs byte-for-byte after
+sorting).
 """
 
 from __future__ import annotations
@@ -408,26 +412,18 @@ def scan_and_remap_reads_native(
         b = int(d.bucket)
         bcfg = buckets[b]
         is_rev = bool(d.is_rev)
-        n = int(d.count)
-        bs = batch_size  # fixed compiled shape; C++ emits <= batch_size
+        bs = batch_size  # fixed compiled shape; slots are always bs rows
 
-        # MUST copy out of the C++ buffers: jax zero-copies aligned numpy
-        # arrays on CPU, and with pipelining the scanner shifts/refills these
-        # rows while the (async) dispatch may still be reading them.
+        # ZERO-COPY views into the C++ slot arena (jax aliases aligned numpy
+        # arrays on CPU).  Safe because a slot stays frozen from emit until
+        # its post_results call, which runs only after this dispatch's
+        # outputs are materialized (computation complete, inputs dead); pad
+        # rows of EOF-partial slots are pre-padded by the C++ side.
         def grab2(ptr, cols, dtype=np.int32):
-            if n == bs:
-                return np.array(_as_np(ptr, (bs, cols), dtype))
-            full = _as_np(ptr, (n, cols), dtype)
-            out = np.zeros((bs, cols), dtype)
-            out[:n] = full
-            return out
+            return _as_np(ptr, (bs, cols), dtype)
 
         def grab1(ptr, dtype=np.int32):
-            if n == bs:
-                return np.array(_as_np(ptr, (bs,), dtype))
-            out = np.zeros(bs, dtype)
-            out[:n] = _as_np(ptr, (n,), dtype)
-            return out
+            return _as_np(ptr, (bs,), dtype)
 
         ops = grab2(d.ops, bcfg.max_ops)
         lens = grab2(d.lens, bcfg.max_ops)
@@ -439,11 +435,6 @@ def scan_and_remap_reads_native(
         ref_win = grab2(d.ref_win, bcfg.max_seq, np.uint8)
         ref_base = grab1(d.ref_base)
         read_seq = grab2(d.read_seq, bcfg.max_seq, np.uint8)
-        if n < bs:
-            # padding rows: empty cigars lift to unmapped and are ignored
-            bk[n:] = np.iinfo(np.int32).max
-            bv[n:] = -1
-            ops[n:] = 9  # PAD
         kw = dict(
             max_out=bcfg.resolved_max_out(),
             max_clusters=bcfg.max_clusters,
