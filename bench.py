@@ -288,6 +288,63 @@ def e2e_main():
     device = "cpu" if os.environ.get("PTPU_BENCH_CPU") == "1" else "auto"
     from portello_tpu.main import main as cli_main
 
+    def run_cli(threads=None):
+        o = tempfile.mkdtemp()
+        args = [
+            "--assembly-to-ref", os.path.join(cache, "asm_to_ref.bam"),
+            "--read-to-assembly", os.path.join(cache, "read_to_asm.bam"),
+            "--remapped-read-output", os.path.join(o, "remapped.bam"),
+            "--unassembled-read-output", os.path.join(o, "unassembled.bam"),
+            "--ref", os.path.join(cache, "ref.fa"),
+            "--device", device, "--feed", "native",
+        ]
+        if threads:
+            args += ["--threads", str(threads)]
+        t0 = time.perf_counter()
+        cli_main(args)
+        w = time.perf_counter() - t0
+        shutil.rmtree(o, ignore_errors=True)
+        import portello_tpu.pipeline.native_feed as nf
+
+        return w, dict(getattr(nf, "_last_stats", {}))
+
+    if os.environ.get("PTPU_BENCH_OFFLOAD") == "1":
+        # Offload A/B (BASELINE.md): (a) native feed + exact host compute on
+        # all cores, no device dispatches; (b) the production feed+device
+        # path.  Same scenario, same process, interleaved A,B,A,B.
+        ncpu = os.cpu_count() or 4
+        walls_a, walls_b = [], []
+        for _ in range(2):
+            os.environ["PTPU_ALL_HOST"] = "1"
+            walls_a.append(run_cli(threads=ncpu)[0])
+            os.environ["PTPU_ALL_HOST"] = "0"
+            walls_b.append(run_cli(threads=max(1, ncpu - 2))[0])
+        del os.environ["PTPU_ALL_HOST"]
+        wall_a, wall_b = min(walls_a), min(walls_b)
+        print(
+            json.dumps(
+                {
+                    "metric": f"offload A/B ({read_len//1000}kb, {n_reads} reads)",
+                    "value": round(wall_a / wall_b, 3),
+                    "unit": "no-chip wall / chip wall (same box)",
+                    "vs_baseline": None,
+                    "wall_allhost_s": round(wall_a, 2),
+                    "wall_device_s": round(wall_b, 2),
+                    "allhost_threads": ncpu,
+                    "device_feed_threads": max(1, ncpu - 2),
+                    "note": (
+                        "A = native feed + exact host path on all cores "
+                        "(PTPU_ALL_HOST=1); B = feed on ncpu-2 threads + "
+                        "device; per-dispatch relay RTT inflates B here"
+                    ),
+                }
+            )
+        )
+        return
+
+    e2e_threads = int(
+        os.environ.get("PTPU_BENCH_E2E_THREADS", str(os.cpu_count() or 4))
+    )
     t0 = time.perf_counter()
     cli_main([
         "--assembly-to-ref", os.path.join(cache, "asm_to_ref.bam"),
@@ -296,14 +353,24 @@ def e2e_main():
         "--unassembled-read-output", os.path.join(out, "unassembled.bam"),
         "--ref", os.path.join(cache, "ref.fa"),
         "--device", device, "--feed", "native",
+        "--threads", str(e2e_threads),
     ])
     wall = time.perf_counter() - t0
     import portello_tpu.pipeline.native_feed as nf
 
     stats = getattr(nf, "_last_stats", {})
     n_primary = stats.get("n_primary", n_reads)
-    t_host = stats.get("t_prep", 0.0) + stats.get("t_post", 0.0)
-    feed_rps = n_primary / t_host if t_host > 0 else None
+    # Feed capacity under the async producer: the scan loop (read + prepare +
+    # fill + drain handoff) and the finisher (encode + write) each run on
+    # their own thread, so the feed's sustainable rate is bounded by the
+    # slower of the two pipelines — NOT by time blocked in next_batch (which
+    # only measures how often the producer failed to stay ahead).
+    t_producer = sum(
+        stats.get(f"t_native_{k}", 0.0) for k in ("read", "prepare", "fill", "drain")
+    )
+    t_finisher = stats.get("t_native_finish_enc", 0.0)
+    t_cap = max(t_producer, t_finisher)
+    feed_rps = n_primary / t_cap if t_cap > 0 else None
     shutil.rmtree(out, ignore_errors=True)
     print(
         json.dumps(
@@ -315,9 +382,15 @@ def e2e_main():
                 "wall_s": round(wall, 2),
                 "n_primary": n_primary,
                 "feed_reads_per_s": round(feed_rps, 1) if feed_rps else None,
-                "t_prep_s": round(stats.get("t_prep", 0.0), 3),
+                "feed_capacity_protocol": (
+                    "n / max(producer scan-loop time, finisher encode+write "
+                    "time); threads share cores with the device under "
+                    "PTPU_BENCH_CPU, so the CPU number is a lower bound"
+                ),
+                "t_producer_s": round(t_producer, 3),
+                "t_finisher_s": round(t_finisher, 3),
+                "t_blocked_prep_s": round(stats.get("t_prep", 0.0), 3),
                 "t_device_s": round(stats.get("t_dev", 0.0), 3),
-                "t_finish_s": round(stats.get("t_post", 0.0), 3),
                 "note": (
                     "device time includes relay RTT per dispatch in this "
                     "environment; feed_reads_per_s is the host-side capacity"

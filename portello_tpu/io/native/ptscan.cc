@@ -438,6 +438,7 @@ struct Scanner {
   // Rev-item routing: true (default) = left-shift on host during prep and
   // dispatch the fwd graph; false (PTPU_HOST_SHIFT=0) = device shift chain.
   bool host_shift = true;
+  bool all_host = false;  // PTPU_ALL_HOST=1: no-chip leg of the offload A/B
 
   std::vector<BucketCfg> buckets;
   int64_t batch_size = 512;
@@ -495,6 +496,10 @@ struct Scanner {
   // intake-thread-only (read after the producer joins).
   long long t_read_ns = 0, t_prepare_ns = 0, t_fill_ns = 0, t_drain_ns = 0,
             t_post_ns = 0, t_shift_ns = 0;
+  // finisher-thread busy time (encode + BGZF write), finisher-only writes,
+  // read after stop_finisher — with the producer path it bounds the feed's
+  // capacity: reads/s <= n / max(producer path, t_finish)
+  long long t_finish_ns = 0;
 };
 
 long long now_ns() {
@@ -983,11 +988,13 @@ void finisher_main(Scanner* scp) {
     sc.fin_space.notify_all();
     if (!failed) {
       try {
+        long long tf0 = now_ns();
         for (auto& r : grab) {
           buf.clear();
           finish_read(sc, *r, &buf);
           if (!buf.empty()) ptio_write(sc.remapped, buf.data(), buf.size());
         }
+        sc.t_finish_ns += now_ns() - tf0;
       } catch (const std::exception& e) {
         std::lock_guard<std::mutex> lk(sc.fin_mu);
         if (sc.fin_error.empty()) sc.fin_error = e.what();
@@ -1173,6 +1180,12 @@ void prepare_item(const Scanner& sc, ReadState& rs, int seg_index, int64_t g,
         bucket = -1;
         break;
       }
+
+  // PTPU_ALL_HOST=1: route every item through the exact host path (no
+  // device dispatches).  This is the measured "native feed + ptcore on all
+  // cores, no chip" leg of the offload A/B (BASELINE.md) — the work runs on
+  // the same prep pool the production feed uses.
+  if (sc.all_host) bucket = -1;
 
   if (bucket < 0) {
     // exact host path, natively and in-worker (engine marks host_fallback)
@@ -1557,6 +1570,8 @@ void* ptscan_create(
     // routing between runs within one process
     const char* e = getenv("PTPU_HOST_SHIFT");
     sc.host_shift = !(e && e[0] == '0');
+    const char* ah = getenv("PTPU_ALL_HOST");
+    sc.all_host = ah && ah[0] == '1';
   }
   // Parallel BGZF readahead: the serial inflate in the framing loop was the
   // measured host-feed ceiling (~42 us/item at 18 kb; PERF.md phase split).
@@ -1867,16 +1882,18 @@ void ptscan_stats(void* hv, long long* out6) {
 }
 
 // Wall-clock phase split in ns: [serial record framing/BGZF read,
-// parallel prepare_read, parallel fill_item_row, finish+write (drain),
-// result intake, accumulator tail shift].
-void ptscan_timing(void* hv, long long* out6) {
+// parallel prepare_read, parallel fill_item_row, drain handoff, result
+// intake, EOF slot padding, finisher encode+write].  Producer fields are
+// valid after the producer joins; t_finish after stop_finisher.
+void ptscan_timing(void* hv, long long* out7) {
   Scanner& sc = static_cast<ScannerHandle*>(hv)->sc;
-  out6[0] = sc.t_read_ns;
-  out6[1] = sc.t_prepare_ns;
-  out6[2] = sc.t_fill_ns;
-  out6[3] = sc.t_drain_ns;
-  out6[4] = sc.t_post_ns;
-  out6[5] = sc.t_shift_ns;
+  out7[0] = sc.t_read_ns;
+  out7[1] = sc.t_prepare_ns;
+  out7[2] = sc.t_fill_ns;
+  out7[3] = sc.t_drain_ns;
+  out7[4] = sc.t_post_ns;
+  out7[5] = sc.t_shift_ns;
+  out7[6] = sc.t_finish_ns;
 }
 
 void ptscan_destroy(void* hv) {

@@ -513,7 +513,7 @@ def scan_and_remap_reads_native(
         if lib.ptscan_finish(h) < 0:
             raise RuntimeError(lib.ptscan_error(h).decode())
         lib.ptscan_stats(h, stats_buf)
-        timing_buf = (ctypes.c_longlong * 6)()
+        timing_buf = (ctypes.c_longlong * 7)()
         lib.ptscan_timing.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong)
         ]
@@ -540,7 +540,7 @@ def scan_and_remap_reads_native(
             f"feed timing: prep {t_prep:.2f}s, device {t_dev:.2f}s, "
             f"finish {t_post:.2f}s over {n_batches} batches"
         )
-        names = ("read", "prepare", "fill", "drain", "post", "shift")
+        names = ("read", "prepare", "fill", "drain", "post", "shift", "finish_enc")
         logger.info(
             "native phase split: "
             + ", ".join(f"{n} {v / 1e9:.3f}s" for n, v in zip(names, timing_buf))

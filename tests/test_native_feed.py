@@ -440,3 +440,23 @@ def test_zero_length_indel_rev_path_routes_to_host(tmp_path):
     )
     assert _records(tmp_path / "zl_native.bam") == _records(tmp_path / "zl_py.bam")
     assert _records(tmp_path / "zl_un_n.bam") == _records(tmp_path / "zl_un_p.bam")
+
+
+def test_native_feed_all_host_routing(tmp_path):
+    """PTPU_ALL_HOST=1 (the no-chip offload-A/B leg) routes every item
+    through the exact host path with zero device dispatches; output must be
+    record-identical to the device-routed run."""
+    rng = np.random.default_rng(17)
+    make_scenario(str(tmp_path), rng=rng, n_reads_per_contig=50, read_len=400)
+    out_d, un_d = _run_cli(tmp_path, "dev_ah", "native")
+    os.environ["PTPU_ALL_HOST"] = "1"
+    try:
+        out_h, un_h = _run_cli(tmp_path, "allhost", "native", ("--threads", "4"))
+    finally:
+        del os.environ["PTPU_ALL_HOST"]
+    assert _records(out_h) == _records(out_d)
+    assert _records(un_h) == _records(un_d)
+    from portello_tpu.pipeline.native_feed import _last_stats
+
+    assert _last_stats["device_items"] == 0
+    assert _last_stats["host_items"] > 0
