@@ -35,6 +35,12 @@ FSUPPLEMENTARY = 0x800
 # --- 4-bit base coding ------------------------------------------------------
 SEQ_CHARS = b"=ACMGRSVTWYHKDBN"
 _SEQ_DECODE = np.frombuffer(SEQ_CHARS, dtype=np.uint8)
+# packed byte -> both ASCII chars in one gather (2.5x over two fancy-indexes
+# + strided stores at long reads; byte pairs viewed as uint16, endian-safe)
+_SEQ_DECODE2 = np.empty((256, 2), np.uint8)
+_SEQ_DECODE2[:, 0] = _SEQ_DECODE[np.arange(256) >> 4]
+_SEQ_DECODE2[:, 1] = _SEQ_DECODE[np.arange(256) & 0xF]
+_SEQ_DECODE2 = _SEQ_DECODE2.reshape(-1).view(np.uint16)
 _SEQ_ENCODE = np.full(256, 15, dtype=np.uint8)
 for _i, _c in enumerate(SEQ_CHARS):
     _SEQ_ENCODE[_c] = _i
@@ -203,7 +209,11 @@ class BamRecord:
 
     # -- codec --
     @staticmethod
-    def decode(raw: bytes) -> "BamRecord":
+    def decode(raw: bytes, lazy: bool = False) -> "BamRecord":
+        """Decode one record.  ``lazy=True`` defers seq/qual materialization
+        to first attribute access (phase-1 contig scan touches ``seq`` only
+        for reverse-strand contigs; eagerly expanding a multi-Mb assembly
+        contig sequence dominated that scan)."""
         (tid, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq, mtid,
          mpos, tlen) = struct.unpack_from("<iiBBHHHiiii", raw, 0)
         off = 32
@@ -215,20 +225,31 @@ class BamRecord:
         cigar[:, 0] = cigar_u32 & 0xF
         cigar[:, 1] = cigar_u32 >> 4
         nseq_bytes = (l_seq + 1) // 2
-        packed = np.frombuffer(raw, dtype=np.uint8, count=nseq_bytes, offset=off)
-        off += nseq_bytes
-        seq = np.empty(2 * nseq_bytes, dtype=np.uint8)
-        seq[0::2] = _SEQ_DECODE[packed >> 4]
-        seq[1::2] = _SEQ_DECODE[packed & 0xF]
-        seq = seq[:l_seq]
-        qual = np.frombuffer(raw, dtype=np.uint8, count=l_seq, offset=off).copy()
-        off += l_seq
+        seq_off = off
+        off += nseq_bytes + l_seq
         tags = _decode_tags(raw, off)
-        rec = BamRecord(
-            qname=qname, flag=flag, tid=tid, pos=pos, mapq=mapq, cigar=cigar,
-            mtid=mtid, mpos=mpos, tlen=tlen, seq=seq, qual=qual, tags=tags,
-            raw=raw,
-        )
+        if lazy:
+            rec = LazyBamRecord(
+                qname=qname, flag=flag, tid=tid, pos=pos, mapq=mapq,
+                cigar=cigar, mtid=mtid, mpos=mpos, tlen=tlen, tags=tags,
+                raw=raw,
+            )
+            rec._seq = None
+            rec._qual = None
+            rec._lazy_src = (raw, seq_off, l_seq)
+        else:
+            packed = np.frombuffer(
+                raw, dtype=np.uint8, count=nseq_bytes, offset=seq_off
+            )
+            seq = _SEQ_DECODE2[packed].view(np.uint8)[:l_seq]
+            qual = np.frombuffer(
+                raw, dtype=np.uint8, count=l_seq, offset=seq_off + nseq_bytes
+            ).copy()
+            rec = BamRecord(
+                qname=qname, flag=flag, tid=tid, pos=pos, mapq=mapq,
+                cigar=cigar, mtid=mtid, mpos=mpos, tlen=tlen, seq=seq,
+                qual=qual, tags=tags, raw=raw,
+            )
         # Long-CIGAR records: placeholder kSmN with real cigar in CG:B,I
         # (SAM spec section 4.2.2); htslib decodes transparently.
         if (
@@ -352,6 +373,47 @@ class BamRecord:
         for tag, ty, val in self.tags:
             fields.append(_tag_to_sam(tag, ty, val))
         return "\t".join(fields)
+
+
+class LazyBamRecord(BamRecord):
+    """BamRecord whose seq/qual materialize on first access from the raw
+    record bytes.  Produced by ``BamRecord.decode(raw, lazy=True)``; raw
+    bytes are immutable so the deferred view stays valid even after field
+    mutation clears ``self.raw``."""
+
+    _lazy_src: tuple = (b"", 0, 0)
+
+    @property
+    def seq(self) -> np.ndarray:
+        s = self._seq
+        if s is None:
+            raw, off, l_seq = self._lazy_src
+            packed = np.frombuffer(
+                raw, dtype=np.uint8, count=(l_seq + 1) // 2, offset=off
+            )
+            s = self._seq = _SEQ_DECODE2[packed].view(np.uint8)[:l_seq]
+        return s
+
+    @seq.setter
+    def seq(self, value) -> None:
+        self._seq = value
+
+    @property
+    def qual(self) -> np.ndarray:
+        q = self._qual
+        if q is None:
+            raw, off, l_seq = self._lazy_src
+            q = self._qual = np.frombuffer(
+                raw, dtype=np.uint8, count=l_seq, offset=off + (l_seq + 1) // 2
+            ).copy()
+        return q
+
+    @qual.setter
+    def qual(self, value) -> None:
+        self._qual = value
+
+    def seq_len(self) -> int:
+        return self._lazy_src[2] if self._seq is None else len(self._seq)
 
 
 def _decode_tags(raw: bytes, off: int) -> list[tuple[bytes, bytes, object]]:

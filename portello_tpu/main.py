@@ -135,6 +135,7 @@ def run(settings: Settings) -> None:
             target_region,
             max_join_gap=settings.max_join_gap,
             reference_seqs=reference,
+            thread_count=settings.thread_count,
         )
         if settings.contig_index:
             save_contig_index(
@@ -350,6 +351,7 @@ def run_local_workers(settings: Settings, argv: list[str]) -> None:
             info = scan_contig_bam(
                 settings.assembly_to_ref_bam, ref_cl, asm_cl, region,
                 max_join_gap=settings.max_join_gap, reference_seqs=ref_seqs,
+                thread_count=settings.thread_count,
             )
             if settings.contig_index is not None:
                 # user asked for the cache at this path: build it here so the

@@ -1,0 +1,100 @@
+"""Threaded phase-1 contig scan conformance (VERDICT r2 #5).
+
+The reference fans phase 1 over a rayon pool (contig_alignment_scanner/
+mod.rs:243-283); our redesign streams raw records off the native BGZF decode
+pool and runs per-record compute on a worker pool with in-order commit.  The
+scan result — including BTreeMap same-key-overwrite semantics — must be
+byte-identical to the sequential scan at every thread count.
+"""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from portello_tpu.io.bam import BamReader, BamRecord
+from portello_tpu.pipeline.contig_scan import (
+    save_contig_index,
+    scan_contig_bam,
+)
+from portello_tpu.testutil.simulate import make_scenario
+from portello_tpu.utils.chrom_list import ChromList
+
+
+@pytest.fixture(scope="module")
+def scenario(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("p1par")
+    return make_scenario(str(tmp)), tmp
+
+
+def _scan(scn, threads):
+    ref_cl = ChromList.from_bam_filename(scn.contig_bam)
+    contig_cl = ChromList.from_bam_filename(scn.read_bam)
+    return (
+        scan_contig_bam(
+            scn.contig_bam, ref_cl, contig_cl, None, thread_count=threads
+        ),
+        ref_cl,
+        contig_cl,
+    )
+
+
+def test_threaded_scan_identical(scenario):
+    scn, _ = scenario
+    blobs = {}
+    for threads in (1, 2, 4):
+        info, _, _ = _scan(scn, threads)
+        blobs[threads] = pickle.dumps(info)
+    assert blobs[2] == blobs[1]
+    assert blobs[4] == blobs[1]
+
+
+def test_threaded_contig_index_bytes_identical(scenario, tmp_path):
+    scn, _ = scenario
+    paths = {}
+    for threads in (1, 4):
+        info, ref_cl, contig_cl = _scan(scn, threads)
+        p = str(tmp_path / f"idx_{threads}.bin")
+        save_contig_index(p, info, ref_cl, contig_cl, None, 1000)
+        paths[threads] = p
+    with open(paths[1], "rb") as a, open(paths[4], "rb") as b:
+        assert a.read() == b.read()
+
+
+def test_lazy_decode_matches_eager(scenario):
+    """LazyBamRecord must expose identical seq/qual/seq_len to eager decode."""
+    scn, _ = scenario
+    n = 0
+    with BamReader(scn.read_bam) as r:
+        for raw in r.iter_raw():
+            eager = BamRecord.decode(raw)
+            lazy = BamRecord.decode(raw, lazy=True)
+            assert lazy.seq_len() == eager.seq_len()
+            assert np.array_equal(lazy.seq, eager.seq)
+            assert np.array_equal(lazy.qual, eager.qual)
+            assert lazy.qname == eager.qname
+            assert lazy.tags == eager.tags
+            n += 1
+            if n >= 50:
+                break
+    assert n > 0
+
+
+def test_lazy_decode_survives_mutation():
+    """Mutation clears .raw; deferred seq/qual must still materialize."""
+    rec = BamRecord(
+        qname=b"r1", flag=0, tid=0, pos=10, mapq=60,
+        cigar=np.array([[0, 4]], dtype=np.int64),
+        seq=np.frombuffer(b"ACGT", np.uint8).copy(),
+        qual=np.full(4, 30, np.uint8),
+    )
+    raw = rec.encode()
+    lazy = BamRecord.decode(raw, lazy=True)
+    lazy.set_supplementary()  # clears .raw before seq is ever touched
+    assert lazy.raw is None
+    assert lazy.seq.tobytes() == b"ACGT"
+    assert np.array_equal(lazy.qual, np.full(4, 30, np.uint8))
+    # and encode round-trips from the materialized fields
+    rt = BamRecord.decode(lazy.encode())
+    assert rt.seq.tobytes() == b"ACGT"
+    assert rt.is_supplementary()
