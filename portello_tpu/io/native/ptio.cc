@@ -11,6 +11,14 @@
 
 #include <zlib.h>
 
+// libdeflate: the same accelerated codec htslib links for BGZF when
+// available (2-3x zlib on both directions + PCLMUL crc32).  Falls back to
+// zlib when the header or library is absent (-DPTIO_NO_LIBDEFLATE).
+#if !defined(PTIO_NO_LIBDEFLATE) && __has_include(<libdeflate.h>)
+#include <libdeflate.h>
+#define PTIO_HAVE_LIBDEFLATE 1
+#endif
+
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -21,6 +29,7 @@
 #include <string>
 #include <thread>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 #include <fcntl.h>
@@ -52,9 +61,20 @@ struct Reader {
   uint32_t block_csize = 0;
   std::vector<uint8_t> block;
   std::string error;
-  // parallel readahead (sequential scans; BGZF blocks are independent)
+  // Async parallel readahead (sequential scans; BGZF blocks are
+  // independent): a persistent worker pool inflates blocks AHEAD of the
+  // cursor into ra_cache while the consumer keeps scanning — the old
+  // fork-join batch stalled the consumer for every ~4 MB window and paid
+  // thread spawn/join per batch.
   int n_threads = 1;
-  std::unordered_map<size_t, DecodedBlock> ra_cache;
+  std::unordered_map<size_t, DecodedBlock> ra_cache;   // decoded, not taken
+  std::vector<std::thread> ra_pool;
+  std::mutex ra_mu;
+  std::condition_variable ra_work_cv, ra_done_cv;
+  std::deque<std::pair<size_t, uint32_t>> ra_todo;     // (coffset, bsize)
+  std::unordered_set<size_t> ra_pending;               // queued or decoding
+  bool ra_closing = false;
+  size_t ra_next = 0;  // next coffset not yet scheduled
 };
 
 // Parse a BGZF block header at coffset; returns BSIZE or 0 with *err set.
@@ -112,6 +132,18 @@ bool inflate_block(const Reader* r, size_t coffset, uint32_t bsize,
   }
   out->resize(isize);
   if (isize > 0) {
+#ifdef PTIO_HAVE_LIBDEFLATE
+    static thread_local libdeflate_decompressor* dec =
+        libdeflate_alloc_decompressor();
+    size_t actual = 0;
+    if (libdeflate_deflate_decompress(dec, p + 12 + xlen,
+                                      bsize - 12 - xlen - 8, out->data(),
+                                      isize, &actual) != LIBDEFLATE_SUCCESS ||
+        actual != isize) {
+      *err = "BGZF inflate failed";
+      return false;
+    }
+#else
     z_stream zs{};
     zs.next_in = const_cast<Bytef*>(p + 12 + xlen);
     zs.avail_in = bsize - 12 - xlen - 8;
@@ -127,74 +159,106 @@ bool inflate_block(const Reader* r, size_t coffset, uint32_t bsize,
       *err = "BGZF inflate failed";
       return false;
     }
+#endif
   }
   return true;
 }
 
-constexpr size_t kReadahead = 64;  // blocks per parallel decode batch (~4 MB)
+constexpr size_t kRaDepth = 256;  // prefetched blocks in flight (~16 MB raw)
 
-// Batch-decode up to kReadahead blocks starting at coffset into the cache
-// (fork-join; each BGZF block inflates independently).  Only successfully
-// decoded blocks are cached — a bad block surfaces its error when the
-// cursor actually reaches it.
-void readahead_decode(Reader* r, size_t coffset) {
-  std::vector<std::pair<size_t, uint32_t>> todo;
+// Queue undecoded blocks ahead of `from` until kRaDepth are in flight.
+// Header scanning (block_bsize) is trivial next to inflate; a block whose
+// header fails to parse stays unscheduled and surfaces its precise error
+// when the cursor reaches it.
+void ra_schedule(Reader* r, size_t from) {
   std::string err;
-  size_t c = coffset;
-  while (todo.size() < kReadahead && c < r->size) {
-    if (r->ra_cache.count(c)) break;  // already decoded from here on
-    uint32_t bs = block_bsize(r, c, &err);
-    if (bs == 0) break;
-    todo.push_back({c, bs});
-    c += bs;
-  }
-  if (todo.empty()) return;
-  std::vector<DecodedBlock> out(todo.size());
-  std::atomic<size_t> next{0};
-  auto worker = [&] {
-    for (;;) {
-      size_t i = next.fetch_add(1);
-      if (i >= todo.size()) return;
-      std::string e;
-      out[i].csize = todo[i].second;
-      if (!inflate_block(r, todo[i].first, todo[i].second, &out[i].data, &e))
-        out[i].csize = 0;  // marker: do not cache
+  bool added = false;
+  {
+    std::lock_guard<std::mutex> lk(r->ra_mu);
+    if (r->ra_next < from) r->ra_next = from;
+    // stale entries (left behind by seeks) are bounded by the depth cap
+    if (r->ra_cache.size() > 4 * kRaDepth) r->ra_cache.clear();
+    size_t ahead = r->ra_cache.size() + r->ra_pending.size();
+    while (ahead < kRaDepth && r->ra_next < r->size) {
+      size_t c = r->ra_next;
+      uint32_t bs;
+      auto it = r->ra_cache.find(c);
+      if (it != r->ra_cache.end()) {
+        bs = it->second.csize;
+      } else {
+        bs = block_bsize(r, c, &err);
+        if (bs == 0) break;
+        if (!r->ra_pending.count(c)) {
+          r->ra_pending.insert(c);
+          r->ra_todo.push_back({c, bs});
+          ++ahead;
+          added = true;
+        }
+      }
+      r->ra_next = c + bs;
     }
-  };
-  int nt = std::min<size_t>(r->n_threads, todo.size());
-  std::vector<std::thread> pool;
-  pool.reserve(nt - 1);
-  for (int t = 1; t < nt; ++t) pool.emplace_back(worker);
-  worker();
-  for (auto& t : pool) t.join();
-  if (r->ra_cache.size() > 4 * kReadahead) r->ra_cache.clear();
-  for (size_t i = 0; i < todo.size(); ++i)
-    if (out[i].csize) r->ra_cache.emplace(todo[i].first, std::move(out[i]));
+  }
+  if (added) r->ra_work_cv.notify_all();
+}
+
+void ra_worker(Reader* r) {
+  for (;;) {
+    std::pair<size_t, uint32_t> job;
+    {
+      std::unique_lock<std::mutex> lk(r->ra_mu);
+      r->ra_work_cv.wait(
+          lk, [&] { return !r->ra_todo.empty() || r->ra_closing; });
+      if (r->ra_closing) return;
+      job = r->ra_todo.front();
+      r->ra_todo.pop_front();
+    }
+    DecodedBlock db;
+    db.csize = job.second;
+    std::string e;
+    if (!inflate_block(r, job.first, job.second, &db.data, &e))
+      db.csize = 0;  // marker: leave uncached; consumer decodes inline
+    {
+      std::lock_guard<std::mutex> lk(r->ra_mu);
+      r->ra_pending.erase(job.first);
+      if (db.csize) r->ra_cache.emplace(job.first, std::move(db));
+    }
+    r->ra_done_cv.notify_all();
+  }
 }
 
 // Inflate one BGZF block at coffset; returns false on error.
 bool load_block(Reader* r, size_t coffset) {
   if (coffset == r->block_coffset) return true;
-  if (r->n_threads > 1) {
-    auto it = r->ra_cache.find(coffset);
-    if (it == r->ra_cache.end()) {
-      readahead_decode(r, coffset);
-      it = r->ra_cache.find(coffset);
+  if (!r->ra_pool.empty()) {
+    bool taken = false;
+    {
+      std::unique_lock<std::mutex> lk(r->ra_mu);
+      for (;;) {
+        auto it = r->ra_cache.find(coffset);
+        if (it != r->ra_cache.end()) {
+          r->block = std::move(it->second.data);
+          r->block_csize = it->second.csize;
+          r->block_coffset = coffset;
+          r->ra_cache.erase(it);
+          taken = true;
+          break;
+        }
+        if (!r->ra_pending.count(coffset)) break;  // decode failed or seek
+        r->ra_done_cv.wait(lk);
+      }
     }
-    if (it != r->ra_cache.end()) {
-      r->block = std::move(it->second.data);
-      r->block_csize = it->second.csize;
-      r->block_coffset = coffset;
-      r->ra_cache.erase(it);
+    if (taken) {
+      ra_schedule(r, coffset + r->block_csize);
       return true;
     }
-    // fall through: decode serially so the precise error is reported
+    // cold start / post-seek miss: decode inline, then prime the pipeline
   }
   uint32_t bsize = block_bsize(r, coffset, &r->error);
   if (bsize == 0) return false;
   if (!inflate_block(r, coffset, bsize, &r->block, &r->error)) return false;
   r->block_coffset = coffset;
   r->block_csize = bsize;
+  if (!r->ra_pool.empty()) ra_schedule(r, coffset + bsize);
   return true;
 }
 
@@ -240,23 +304,73 @@ struct Writer {
   std::deque<Job*> todo;
   std::deque<Job*> inflight;       // in write order
   bool closing = false;
+  bool io_closing = false;
+  std::condition_variable cv_space;
+  std::thread io;                  // ordered fwrite drain (pooled mode)
   std::vector<uint8_t> pending;    // uncompressed tail < block size
   std::string error;
 };
 
-void compress_block(int level, const std::vector<uint8_t>& raw,
-                    std::vector<uint8_t>* out) {
-  uLong bound = compressBound(raw.size()) + 64;
-  std::vector<uint8_t> cdata(bound);
+// Persistent per-caller deflate state: deflateInit2 allocates + clears
+// ~270 KB of window/hash state, which is real CPU when paid per 64 KB
+// block; the context reuses it (deflateReset / persistent libdeflate
+// compressor).
+struct DeflateCtx {
+#ifdef PTIO_HAVE_LIBDEFLATE
+  libdeflate_compressor* c = nullptr;
+  ~DeflateCtx() {
+    if (c) libdeflate_free_compressor(c);
+  }
+#else
   z_stream zs{};
-  deflateInit2(&zs, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
+  bool init = false;
+#endif
+  int level = -1;
+  std::vector<uint8_t> cdata;
+};
+
+void compress_block_ctx(DeflateCtx* ctx, int level,
+                        const std::vector<uint8_t>& raw,
+                        std::vector<uint8_t>* out) {
+  size_t clen;
+  uint32_t crc;
+#ifdef PTIO_HAVE_LIBDEFLATE
+  if (!ctx->c || ctx->level != level) {
+    // one caller thread may feed writers at different levels (e.g. the
+    // level-0 stdout writer + a level-6 file writer)
+    if (ctx->c) libdeflate_free_compressor(ctx->c);
+    ctx->c = libdeflate_alloc_compressor(level);
+    ctx->level = level;
+  }
+  size_t bound = libdeflate_deflate_compress_bound(ctx->c, raw.size());
+  if (ctx->cdata.size() < bound) ctx->cdata.resize(bound);
+  clen = libdeflate_deflate_compress(ctx->c, raw.data(), raw.size(),
+                                     ctx->cdata.data(), ctx->cdata.size());
+  crc = libdeflate_crc32(0, raw.data(), raw.size());
+#else
+  uLong bound = compressBound(raw.size()) + 64;
+  if (ctx->init && ctx->level != level) {
+    deflateEnd(&ctx->zs);
+    ctx->init = false;
+  }
+  if (!ctx->init) {
+    deflateInit2(&ctx->zs, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
+    ctx->init = true;
+    ctx->level = level;
+  } else {
+    deflateReset(&ctx->zs);
+  }
+  if (ctx->cdata.size() < bound) ctx->cdata.resize(bound);
+  z_stream& zs = ctx->zs;
   zs.next_in = const_cast<Bytef*>(raw.data());
   zs.avail_in = raw.size();
-  zs.next_out = cdata.data();
-  zs.avail_out = cdata.size();
+  zs.next_out = ctx->cdata.data();
+  zs.avail_out = ctx->cdata.size();
   deflate(&zs, Z_FINISH);
-  size_t clen = zs.total_out;
-  deflateEnd(&zs);
+  clen = zs.total_out;
+  crc = crc32(0, raw.data(), raw.size());
+#endif
+  std::vector<uint8_t>& cdata = ctx->cdata;
   uint32_t bsize = static_cast<uint32_t>(clen) + 26;
   out->resize(18 + clen + 8);
   uint8_t* p = out->data();
@@ -269,7 +383,6 @@ void compress_block(int level, const std::vector<uint8_t>& raw,
   uint16_t bs16 = static_cast<uint16_t>(bsize - 1);
   std::memcpy(p + 16, &bs16, 2);
   std::memcpy(p + 18, cdata.data(), clen);
-  uint32_t crc = crc32(0, raw.data(), raw.size());
   uint32_t isize = raw.size();
   std::memcpy(p + 18 + clen, &crc, 4);
   std::memcpy(p + 18 + clen + 4, &isize, 4);
@@ -285,7 +398,8 @@ void worker_main(Writer* w) {
       job = w->todo.front();
       w->todo.pop_front();
     }
-    compress_block(w->level, job->raw, &job->out);
+    static thread_local DeflateCtx ctx;
+    compress_block_ctx(&ctx, w->level, job->raw, &job->out);
     {
       std::lock_guard<std::mutex> lk(w->mu);
       job->done = true;
@@ -295,20 +409,30 @@ void worker_main(Writer* w) {
 }
 
 // Drain finished jobs at the front of the in-flight queue to the file.
-void writer_drain(Writer* w, bool wait_all) {
-  std::unique_lock<std::mutex> lk(w->mu);
+// Dedicated IO thread: drains finished jobs in write order and fwrites
+// them, so the submitting thread (the scanner's finisher) never pays for
+// file writes or completed-prefix bookkeeping — only honest backpressure
+// when the deflate pool is the true bottleneck (the inflight cap).
+void io_main(Writer* w) {
   for (;;) {
-    while (!w->inflight.empty() && w->inflight.front()->done) {
-      Job* job = w->inflight.front();
+    Job* job = nullptr;
+    {
+      std::unique_lock<std::mutex> lk(w->mu);
+      w->cv_done.wait(lk, [&] {
+        return (!w->inflight.empty() && w->inflight.front()->done) ||
+               (w->io_closing && w->inflight.empty());
+      });
+      if (w->inflight.empty()) return;
+      job = w->inflight.front();
       w->inflight.pop_front();
-      lk.unlock();
-      if (fwrite(job->out.data(), 1, job->out.size(), w->f) != job->out.size())
-        w->error = "write failed";
-      delete job;
-      lk.lock();
     }
-    if (!wait_all || w->inflight.empty()) break;
-    w->cv_done.wait(lk);
+    if (fwrite(job->out.data(), 1, job->out.size(), w->f) !=
+        job->out.size()) {
+      std::lock_guard<std::mutex> lk(w->mu);
+      if (w->error.empty()) w->error = "write failed";
+    }
+    delete job;
+    w->cv_space.notify_all();
   }
 }
 
@@ -316,31 +440,22 @@ void writer_submit(Writer* w, std::vector<uint8_t>&& raw) {
   Job* job = new Job();
   job->raw = std::move(raw);
   if (w->n_threads <= 1) {
-    compress_block(w->level, job->raw, &job->out);
+    static thread_local DeflateCtx ctx;
+    compress_block_ctx(&ctx, w->level, job->raw, &job->out);
     if (fwrite(job->out.data(), 1, job->out.size(), w->f) != job->out.size())
       w->error = "write failed";
     delete job;
     return;
   }
   {
-    std::lock_guard<std::mutex> lk(w->mu);
+    // Bound memory BEFORE enqueueing: at most max_inflight blocks
+    // (~64 KB raw each) queued to the pool + IO thread.
+    std::unique_lock<std::mutex> lk(w->mu);
+    w->cv_space.wait(lk, [&] { return w->inflight.size() < w->max_inflight; });
     w->todo.push_back(job);
     w->inflight.push_back(job);
   }
   w->cv_work.notify_one();
-  // Bound memory: keep at most max_inflight blocks queued.  Reap the
-  // finished prefix, then BLOCK until under the cap — a non-waiting drain
-  // only trims completed jobs, leaving the queue unbounded whenever the
-  // producer outruns the deflate pool (~64KB+ held per queued job).
-  writer_drain(w, false);
-  for (;;) {
-    std::unique_lock<std::mutex> lk(w->mu);
-    if (w->inflight.size() <= w->max_inflight) break;
-    if (!w->inflight.front()->done)
-      w->cv_done.wait(lk);  // a worker will notify when the front finishes
-    lk.unlock();
-    writer_drain(w, false);
-  }
 }
 
 }  // namespace
@@ -373,6 +488,14 @@ void* ptio_reader_open(const char* path) {
 
 void ptio_reader_close(void* h) {
   Reader* r = static_cast<Reader*>(h);
+  if (!r->ra_pool.empty()) {
+    {
+      std::lock_guard<std::mutex> lk(r->ra_mu);
+      r->ra_closing = true;
+    }
+    r->ra_work_cv.notify_all();
+    for (auto& t : r->ra_pool) t.join();
+  }
   if (r->data && r->size) munmap(const_cast<uint8_t*>(r->data), r->size);
   if (r->fd >= 0) close(r->fd);
   delete r;
@@ -384,7 +507,12 @@ long long ptio_read(void* h, uint8_t* out, long long n) {
 
 // Enable parallel BGZF readahead decode with n worker threads (1 = serial).
 void ptio_reader_set_threads(void* h, int n) {
-  static_cast<Reader*>(h)->n_threads = n < 1 ? 1 : n;
+  Reader* r = static_cast<Reader*>(h);
+  r->n_threads = n < 1 ? 1 : n;
+  if (r->n_threads > 1 && r->ra_pool.empty()) {
+    for (int i = 0; i < r->n_threads; ++i)
+      r->ra_pool.emplace_back(ra_worker, r);
+  }
 }
 
 void ptio_seek_voffset(void* h, unsigned long long voffset) {
@@ -485,25 +613,38 @@ void* ptio_writer_open(const char* path, int level, int n_threads) {
   w->level = level;
   w->n_threads = n_threads < 1 ? 1 : n_threads;
   // deep enough that encode bursts never stall on a momentarily-busy pool
-  // (~4 MB raw at 64: deflate is the dominant host cost and the producer
+  // (~16 MB raw at 256: deflate is the dominant host cost and the producer
   // must be able to run ahead through device-compute windows)
-  w->max_inflight = std::max<size_t>(64, 8 * w->n_threads);
+  w->max_inflight = std::max<size_t>(256, 32 * w->n_threads);
   if (w->n_threads > 1) {
     for (int i = 0; i < w->n_threads; ++i)
       w->pool.emplace_back(worker_main, w);
+    w->io = std::thread(io_main, w);
   }
   return w;
 }
 
 void ptio_write(void* h, const uint8_t* data, long long n) {
+  // Single-copy carve: full blocks go straight from the caller's buffer
+  // into job storage (the old append + front-erase + block-copy walked
+  // every output byte three times); only the <1-block tail is buffered.
   Writer* w = static_cast<Writer*>(h);
-  w->pending.insert(w->pending.end(), data, data + n);
   constexpr size_t kBlock = 0xff00;
-  while (w->pending.size() >= kBlock) {
-    std::vector<uint8_t> raw(w->pending.begin(), w->pending.begin() + kBlock);
-    w->pending.erase(w->pending.begin(), w->pending.begin() + kBlock);
-    writer_submit(w, std::move(raw));
+  size_t off = 0;
+  if (!w->pending.empty()) {
+    size_t take = std::min<size_t>(kBlock - w->pending.size(), (size_t)n);
+    w->pending.insert(w->pending.end(), data, data + take);
+    off = take;
+    if (w->pending.size() == kBlock) {
+      writer_submit(w, std::move(w->pending));
+      w->pending.clear();
+    }
   }
+  while ((size_t)n - off >= kBlock) {
+    writer_submit(w, std::vector<uint8_t>(data + off, data + off + kBlock));
+    off += kBlock;
+  }
+  w->pending.insert(w->pending.end(), data + off, data + n);
 }
 
 int ptio_writer_close(void* h) {
@@ -513,14 +654,18 @@ int ptio_writer_close(void* h) {
     w->pending.clear();
   }
   if (w->n_threads > 1) {
-    writer_drain(w, true);
     {
       std::lock_guard<std::mutex> lk(w->mu);
       w->closing = true;
     }
     w->cv_work.notify_all();
     for (auto& t : w->pool) t.join();
-    writer_drain(w, true);
+    {
+      std::lock_guard<std::mutex> lk(w->mu);
+      w->io_closing = true;
+    }
+    w->cv_done.notify_all();
+    w->io.join();
   }
   fwrite(kEofMarker, 1, 28, w->f);
   fflush(w->f);

@@ -58,6 +58,12 @@ struct SeqLuts {
   uint8_t comp[256];
   uint8_t enc[256];
   uint8_t enc_comp[256];  // enc[comp[b]]: one lookup in the rev-pack loop
+  // Pair tables: one lookup packs two bases (the per-base pack was the
+  // finisher's hottest loop at long reads; real inputs hit ~25 distinct
+  // indices, so the 64K tables are effectively a handful of cache lines).
+  uint8_t enc2[65536];    // idx = s[i] | s[i+1]<<8
+  uint8_t enc2c[65536];   // idx = s[-i-1] | s[-i]<<8 (flipped walk)
+  uint8_t dec2[256][2];   // packed byte -> both ASCII chars
   SeqLuts() {
     for (int i = 0; i < 256; ++i) comp[i] = 'N';
     const char* pairs = "ATCGGCTANN";
@@ -72,6 +78,15 @@ struct SeqLuts {
       enc[(uint8_t)std::tolower(kSeqChars[i])] = i;
     }
     for (int i = 0; i < 256; ++i) enc_comp[i] = enc[comp[i]];
+    for (int v = 0; v < 65536; ++v) {
+      uint8_t lo = (uint8_t)(v & 0xFF), hi = (uint8_t)(v >> 8);
+      enc2[v] = (uint8_t)((enc[lo] << 4) | enc[hi]);
+      enc2c[v] = (uint8_t)((enc_comp[hi] << 4) | enc_comp[lo]);
+    }
+    for (int b = 0; b < 256; ++b) {
+      dec2[b][0] = (uint8_t)kSeqChars[b >> 4];
+      dec2[b][1] = (uint8_t)kSeqChars[b & 0xF];
+    }
   }
 };
 const SeqLuts kLut;
@@ -287,10 +302,11 @@ void decode_seq_ascii(const uint8_t* raw, const RecView& rv,
   size_t off = 32 + rv.qname.size() + 1 + 4 * (size_t)rv.n_cigar;
   out->resize(rv.l_seq);
   const uint8_t* packed = raw + off;
-  for (int32_t i = 0; i < rv.l_seq; ++i) {
-    uint8_t b = packed[i / 2];
-    (*out)[i] = kSeqChars[(i % 2) ? (b & 0xF) : (b >> 4)];
-  }
+  uint8_t* dst = out->data();
+  int32_t n2 = rv.l_seq / 2;
+  for (int32_t j = 0; j < n2; ++j)
+    std::memcpy(dst + 2 * (size_t)j, kLut.dec2[packed[j]], 2);
+  if (rv.l_seq & 1) dst[rv.l_seq - 1] = kLut.dec2[packed[n2]][0];
 }
 
 const uint8_t* qual_ptr(const uint8_t* raw, const RecView& rv) {
@@ -366,8 +382,21 @@ struct Item {
   int64_t dev_pos = 0, bm_lo = 0, bm_hi = 0, dref_lo = 0;
 };
 
+// Uninitialized raw-record buffer: reader_read fills every byte, so the
+// value-init memset std::vector pays per record (~105 MB at the 18 kb
+// bench shape) is pure waste.
+struct RawBuf {
+  std::unique_ptr<uint8_t[]> buf;
+  size_t len = 0;
+  RawBuf() = default;
+  explicit RawBuf(size_t n) : buf(new uint8_t[n]), len(n) {}
+  uint8_t* data() { return buf.get(); }
+  const uint8_t* data() const { return buf.get(); }
+  size_t size() const { return len; }
+};
+
 struct ReadState {
-  std::vector<uint8_t> raw;
+  RawBuf raw;
   RecView rv;
   std::vector<uint8_t> seq_fwd, seq_rc;  // ASCII; rc lazily filled
   std::vector<SegView> splits;
@@ -397,6 +426,11 @@ constexpr int64_t kChunk = 128;
 struct Slot {
   std::vector<int32_t> ops, lens, n_ops, pos, bk, bv, nb, ref_base, win_base;
   std::vector<uint8_t> ref_win, read_seq, contig_win;
+  // Per-row content lengths from the row's PREVIOUS occupant: everything
+  // beyond them is still pad from the last fill, so re-padding only the
+  // [cur, prev) suffix keeps the invariant while skipping ~25% of fill
+  // bytes at uniform read lengths (rows are disjoint across fill workers).
+  std::vector<int32_t> prev_ops, prev_nb, prev_ref, prev_seq, prev_win;
   std::vector<PendingRef> refs;  // row -> (read, item)
   int64_t count = 0;             // rows assigned
   int accum = 0;
@@ -407,6 +441,116 @@ struct Accum {
   std::deque<Slot*> free_slots;
   Slot* filling = nullptr;
 };
+
+// Persistent work pool: the fork-join parallel_for spawned + joined
+// threads on every prepare/fill group, which measured ~2x the actual CPU
+// of the work at 18 kb chunks (profile_feed prep split).  Workers park on
+// a cv between epochs; the caller participates and waits until the epoch's
+// items are all done AND every worker has left the epoch (a straggler may
+// grab one stale ticket after the last item completes — it sees i >= n and
+// parks without executing).
+struct WorkPool {
+  std::vector<std::thread> threads;
+  std::mutex mu;
+  std::condition_variable cv, done_cv;
+  const std::function<void(int64_t)>* fn = nullptr;
+  std::atomic<int64_t> next{0};
+  std::atomic<int64_t> completed{0};
+  int64_t n = 0;
+  uint64_t epoch = 0;
+  int active = 0;
+  bool closing = false;
+  std::exception_ptr eptr;
+};
+
+void pool_worker(WorkPool* p) {
+  uint64_t seen = 0;
+  for (;;) {
+    const std::function<void(int64_t)>* fn;
+    int64_t n;
+    {
+      std::unique_lock<std::mutex> lk(p->mu);
+      p->cv.wait(lk, [&] { return p->epoch != seen || p->closing; });
+      if (p->closing) return;
+      seen = p->epoch;
+      fn = p->fn;
+      n = p->n;
+      ++p->active;
+    }
+    for (;;) {
+      int64_t i = p->next.fetch_add(1);
+      if (i >= n) break;
+      try {
+        (*fn)(i);
+      } catch (...) {
+        std::lock_guard<std::mutex> lk(p->mu);
+        if (!p->eptr) p->eptr = std::current_exception();
+      }
+      p->completed.fetch_add(1);
+    }
+    {
+      std::lock_guard<std::mutex> lk(p->mu);
+      --p->active;
+    }
+    p->done_cv.notify_all();
+  }
+}
+
+void pool_run(WorkPool& p, int64_t n,
+              const std::function<void(int64_t)>& fn) {
+  if (n <= 0) return;
+  if (p.threads.empty() || n == 1) {
+    for (int64_t i = 0; i < n; ++i) fn(i);
+    return;
+  }
+  {
+    std::lock_guard<std::mutex> lk(p.mu);
+    p.fn = &fn;
+    p.n = n;
+    p.next.store(0, std::memory_order_relaxed);
+    p.completed.store(0, std::memory_order_relaxed);
+    p.eptr = nullptr;
+    ++p.epoch;
+  }
+  p.cv.notify_all();
+  for (;;) {
+    int64_t i = p.next.fetch_add(1);
+    if (i >= n) break;
+    try {
+      fn(i);
+    } catch (...) {
+      std::lock_guard<std::mutex> lk(p.mu);
+      if (!p.eptr) p.eptr = std::current_exception();
+    }
+    p.completed.fetch_add(1);
+  }
+  std::unique_lock<std::mutex> lk(p.mu);
+  p.done_cv.wait(lk, [&] {
+    return p.completed.load() >= p.n && p.active == 0;
+  });
+  if (p.eptr) {
+    std::exception_ptr e = p.eptr;
+    p.eptr = nullptr;
+    lk.unlock();
+    std::rethrow_exception(e);
+  }
+}
+
+void pool_start(WorkPool& p, int n_threads) {
+  for (int i = 1; i < n_threads; ++i)
+    p.threads.emplace_back(pool_worker, &p);
+}
+
+void pool_stop(WorkPool& p) {
+  if (p.threads.empty()) return;
+  {
+    std::lock_guard<std::mutex> lk(p.mu);
+    p.closing = true;
+  }
+  p.cv.notify_all();
+  for (auto& t : p.threads) t.join();
+  p.threads.clear();
+}
 
 struct Scanner {
   Reader* reader = nullptr;
@@ -484,6 +628,7 @@ struct Scanner {
   std::vector<std::unique_ptr<ReadState>> chunk;
   size_t chunk_cursor = 0;
   int prep_threads = 1;
+  WorkPool pool;  // persistent prepare/fill workers (producer-driven)
 
   // live counters (read by ptscan_stats while the producer runs)
   std::atomic<long long> n_primary{0}, device_items{0}, host_items{0},
@@ -500,6 +645,7 @@ struct Scanner {
   // read after stop_finisher — with the producer path it bounds the feed's
   // capacity: reads/s <= n / max(producer path, t_finish)
   long long t_finish_ns = 0;
+  long long t_fin_encode_ns = 0, t_fin_write_ns = 0;
 };
 
 long long now_ns() {
@@ -840,14 +986,17 @@ void encode_record(const ReadState& rs, const OutRecord& r,
     int64_t i = 0;
     if (r.flipped) {
       const uint8_t* s = fwd.data() + l_seq - 1;
-      for (; i + 1 < l_seq; i += 2)
-        dst[i / 2] =
-            (kLut.enc_comp[s[-i]] << 4) | kLut.enc_comp[s[-(i + 1)]];
+      for (; i + 1 < l_seq; i += 2) {
+        uint16_t v = (uint16_t)(s[-(i + 1)] | (s[-i] << 8));
+        dst[i / 2] = kLut.enc2c[v];
+      }
       if (i < l_seq) dst[i / 2] = kLut.enc_comp[s[-i]] << 4;
     } else {
       const uint8_t* s = fwd.data();
-      for (; i + 1 < l_seq; i += 2)
-        dst[i / 2] = (kLut.enc[s[i]] << 4) | kLut.enc[s[i + 1]];
+      for (; i + 1 < l_seq; i += 2) {
+        uint16_t v = (uint16_t)(s[i] | (s[i + 1] << 8));
+        dst[i / 2] = kLut.enc2[v];
+      }
       if (i < l_seq) dst[i / 2] = kLut.enc[s[i]] << 4;
     }
   }
@@ -962,8 +1111,6 @@ void finish_read(const Scanner& sc, ReadState& rs, std::vector<uint8_t>* out) {
   }
 }
 
-void parallel_for(int n_threads, int64_t n, const std::function<void(int64_t)>& fn);
-
 // Queue cap for the finisher handoff: bounds resident ReadStates (each holds
 // the raw record + oriented sequence, ~60 KB at 18 kb reads => ~60 MB).
 // Blocking here is honest backpressure when deflate is the true bottleneck.
@@ -992,9 +1139,13 @@ void finisher_main(Scanner* scp) {
         for (auto& r : grab) {
           buf.clear();
           finish_read(sc, *r, &buf);
+          long long tw0 = now_ns();
+          sc.t_fin_encode_ns += tw0 - tf0;
           if (!buf.empty()) ptio_write(sc.remapped, buf.data(), buf.size());
+          tf0 = now_ns();
+          sc.t_fin_write_ns += tf0 - tw0;
         }
-        sc.t_finish_ns += now_ns() - tf0;
+        sc.t_finish_ns = sc.t_fin_encode_ns + sc.t_fin_write_ns;
       } catch (const std::exception& e) {
         std::lock_guard<std::mutex> lk(sc.fin_mu);
         if (sc.fin_error.empty()) sc.fin_error = e.what();
@@ -1220,10 +1371,13 @@ void fill_item_row(const Scanner& sc, ReadState& rs, const Item& it,
   const SegView& rseg = rs.splits[it.seg_index];
   const Cig& cig = it.dev_cig;
   int64_t n_cig = (int64_t)cig.size();
-  std::fill_n(&ac.ops[i * c.max_ops], c.max_ops, 9 /*PAD*/);
-  std::fill_n(&ac.lens[i * c.max_ops], c.max_ops, 0);
-  std::fill_n(&ac.bk[i * c.max_blocks], c.max_blocks, INT32_MAX);
-  std::fill_n(&ac.bv[i * c.max_blocks], c.max_blocks, -1);
+  if (n_cig < ac.prev_ops[i]) {
+    std::fill(&ac.ops[i * c.max_ops + n_cig],
+              &ac.ops[i * c.max_ops + ac.prev_ops[i]], 9 /*PAD*/);
+    std::fill(&ac.lens[i * c.max_ops + n_cig],
+              &ac.lens[i * c.max_ops + ac.prev_ops[i]], 0);
+  }
+  ac.prev_ops[i] = (int32_t)n_cig;
   for (int64_t j = 0; j < n_cig; ++j) {
     ac.ops[i * c.max_ops + j] = cig[j].code;
     ac.lens[i * c.max_ops + j] = (int32_t)cig[j].len;
@@ -1231,6 +1385,13 @@ void fill_item_row(const Scanner& sc, ReadState& rs, const Item& it,
   ac.n_ops[i] = (int32_t)n_cig;
   ac.pos[i] = (int32_t)it.dev_pos;
   int64_t nb = it.bm_hi - it.bm_lo;
+  if (nb < ac.prev_nb[i]) {
+    std::fill(&ac.bk[i * c.max_blocks + nb],
+              &ac.bk[i * c.max_blocks + ac.prev_nb[i]], INT32_MAX);
+    std::fill(&ac.bv[i * c.max_blocks + nb],
+              &ac.bv[i * c.max_blocks + ac.prev_nb[i]], -1);
+  }
+  ac.prev_nb[i] = (int32_t)nb;
   for (int64_t j = 0; j < nb; ++j) {
     ac.bk[i * c.max_blocks + j] = (int32_t)sc.bm_keys[it.bm_lo + j];
     ac.bv[i * c.max_blocks + j] = (int32_t)sc.bm_vals[it.bm_lo + j];
@@ -1244,16 +1405,19 @@ void fill_item_row(const Scanner& sc, ReadState& rs, const Item& it,
         it.dref_lo + c.max_seq, chrom_len);  // window covers <= max_seq
     int64_t w_len = std::max<int64_t>(w_end - it.dref_lo, 0);
     std::memcpy(&ac.ref_win[i * c.max_seq], chrom_ref + it.dref_lo, w_len);
-    if (w_len < c.max_seq)
-      std::memset(&ac.ref_win[i * c.max_seq + w_len], 0, c.max_seq - w_len);
+    if (w_len < ac.prev_ref[i])
+      std::memset(&ac.ref_win[i * c.max_seq + w_len], 0,
+                  ac.prev_ref[i] - w_len);
+    ac.prev_ref[i] = (int32_t)w_len;
   }
   ac.ref_base[i] = (int32_t)it.dref_lo;
   {
     const std::vector<uint8_t>& rseq = read_seq_oriented(rs, it.need_flip);
     std::memcpy(&ac.read_seq[i * c.max_seq], rseq.data(), rseq.size());
-    if ((int64_t)rseq.size() < c.max_seq)
+    if ((int64_t)rseq.size() < ac.prev_seq[i])
       std::memset(&ac.read_seq[i * c.max_seq + rseq.size()], 0,
-                  c.max_seq - rseq.size());
+                  ac.prev_seq[i] - (int64_t)rseq.size());
+    ac.prev_seq[i] = (int32_t)rseq.size();
   }
   if (it.is_rev_contig) {
     int64_t span = cig_ref_span(cig);
@@ -1262,25 +1426,38 @@ void fill_item_row(const Scanner& sc, ReadState& rs, const Item& it,
     int64_t w_len =
         std::min(span, std::max<int64_t>(rc_len - it.dev_pos, 0));
     std::memcpy(&ac.contig_win[i * c.max_seq], rc + it.dev_pos, w_len);
-    if (w_len < c.max_seq)
+    if (w_len < ac.prev_win[i])
       std::memset(&ac.contig_win[i * c.max_seq + w_len], 0,
-                  c.max_seq - w_len);
+                  ac.prev_win[i] - w_len);
+    ac.prev_win[i] = (int32_t)w_len;
     ac.win_base[i] = (int32_t)it.dev_pos;
   }
 }
 
+// Fine-grained prep profile (scripts/profile_feed.py; process-global,
+// relaxed atomics — measurement only)
+std::atomic<long long> g_prep_parse{0}, g_prep_seq{0}, g_prep_sa{0},
+    g_prep_items{0}, g_prep_rc{0};
+
 // Parse + prep one raw record into a ReadState (worker thread; no Scanner
 // mutation).
 std::unique_ptr<ReadState> prepare_read(
-    const Scanner& sc, std::vector<uint8_t>&& raw,
+    const Scanner& sc, RawBuf&& raw,
     const std::map<std::string, int32_t>& contig_idx) {
   auto rs = std::make_unique<ReadState>();
   rs->raw = std::move(raw);
   std::string err;
+  long long t0 = now_ns();
   if (!parse_record(rs->raw.data(), rs->raw.size(), &rs->rv, &err))
     throw std::runtime_error(err);
+  long long t1 = now_ns();
   decode_seq_ascii(rs->raw.data(), rs->rv, &rs->seq_fwd);
+  long long t2 = now_ns();
   parse_splits(const_cast<Scanner&>(sc), *rs, contig_idx);
+  long long t3 = now_ns();
+  g_prep_parse.fetch_add(t1 - t0, std::memory_order_relaxed);
+  g_prep_seq.fetch_add(t2 - t1, std::memory_order_relaxed);
+  g_prep_sa.fetch_add(t3 - t2, std::memory_order_relaxed);
 
   // per read split segment x intersecting contig segment
   // (read_scan.get_contig_split_segments_from_read_mapping)
@@ -1296,6 +1473,8 @@ std::unique_ptr<ReadState> prepare_read(
         prepare_item(sc, *rs, (int)si, g, (int32_t)(g - s0));
     }
   }
+  long long t4 = now_ns();
+  g_prep_items.fetch_add(t4 - t3, std::memory_order_relaxed);
   // Materialize the reverse complement HERE, while this read is owned by
   // one thread: fill_item_row later runs items in parallel, and two
   // flipped items of the same read would race on the lazy seq_rc init
@@ -1305,6 +1484,7 @@ std::unique_ptr<ReadState> prepare_read(
       read_seq_oriented(*rs, true);
       break;
     }
+  g_prep_rc.fetch_add(now_ns() - t4, std::memory_order_relaxed);
   return rs;
 }
 
@@ -1349,6 +1529,11 @@ Slot* get_free_slot(Scanner& sc, int ai) {
     s->contig_win.assign(rows * c.max_seq, 0);
     s->win_base.assign(rows, 0);
   }
+  s->prev_ops.assign(rows, 0);
+  s->prev_nb.assign(rows, 0);
+  s->prev_ref.assign(rows, 0);
+  s->prev_seq.assign(rows, 0);
+  s->prev_win.assign(rows, 0);
   Slot* p = s.get();
   std::lock_guard<std::mutex> lk(sc.q_mu);
   ac.all.push_back(std::move(s));
@@ -1361,18 +1546,27 @@ void pad_slot_tail(Scanner& sc, Slot& s) {
   const BucketCfg& c = sc.buckets[s.accum / 2];
   bool rev = s.accum % 2;
   for (int64_t i = s.count; i < sc.batch_size; ++i) {
-    std::fill_n(&s.ops[i * c.max_ops], c.max_ops, 9 /*PAD*/);
-    std::fill_n(&s.lens[i * c.max_ops], c.max_ops, 0);
+    std::fill(&s.ops[i * c.max_ops], &s.ops[i * c.max_ops + s.prev_ops[i]],
+              9 /*PAD*/);
+    std::fill(&s.lens[i * c.max_ops], &s.lens[i * c.max_ops + s.prev_ops[i]],
+              0);
+    s.prev_ops[i] = 0;
     s.n_ops[i] = 0;
     s.pos[i] = 0;
-    std::fill_n(&s.bk[i * c.max_blocks], c.max_blocks, INT32_MAX);
-    std::fill_n(&s.bv[i * c.max_blocks], c.max_blocks, -1);
+    std::fill(&s.bk[i * c.max_blocks], &s.bk[i * c.max_blocks + s.prev_nb[i]],
+              INT32_MAX);
+    std::fill(&s.bv[i * c.max_blocks], &s.bv[i * c.max_blocks + s.prev_nb[i]],
+              -1);
+    s.prev_nb[i] = 0;
     s.nb[i] = 0;
     s.ref_base[i] = 0;
-    std::memset(&s.ref_win[i * c.max_seq], 0, c.max_seq);
-    std::memset(&s.read_seq[i * c.max_seq], 0, c.max_seq);
+    std::memset(&s.ref_win[i * c.max_seq], 0, s.prev_ref[i]);
+    s.prev_ref[i] = 0;
+    std::memset(&s.read_seq[i * c.max_seq], 0, s.prev_seq[i]);
+    s.prev_seq[i] = 0;
     if (rev) {
-      std::memset(&s.contig_win[i * c.max_seq], 0, c.max_seq);
+      std::memset(&s.contig_win[i * c.max_seq], 0, s.prev_win[i]);
+      s.prev_win[i] = 0;
       s.win_base[i] = 0;
     }
   }
@@ -1405,37 +1599,6 @@ void commit_read(Scanner& sc, std::unique_ptr<ReadState> rs,
   sc.fifo.push_back(std::move(rs));
 }
 
-// Simple fork-join parallel for (thread creation cost is negligible vs the
-// per-chunk work).
-void parallel_for(int n_threads, int64_t n, const std::function<void(int64_t)>& fn) {
-  if (n_threads <= 1 || n <= 1) {
-    for (int64_t i = 0; i < n; ++i) fn(i);
-    return;
-  }
-  std::atomic<int64_t> next{0};
-  std::exception_ptr eptr = nullptr;
-  std::mutex emu;
-  auto worker = [&] {
-    for (;;) {
-      int64_t i = next.fetch_add(1);
-      if (i >= n) return;
-      try {
-        fn(i);
-      } catch (...) {
-        std::lock_guard<std::mutex> lk(emu);
-        if (!eptr) eptr = std::current_exception();
-        return;
-      }
-    }
-  };
-  std::vector<std::thread> pool;
-  int nt = std::min<int64_t>(n_threads, n);
-  pool.reserve(nt - 1);
-  for (int t = 1; t < nt; ++t) pool.emplace_back(worker);
-  worker();
-  for (auto& th : pool) th.join();
-  if (eptr) std::rethrow_exception(eptr);
-}
 
 }  // namespace
 
@@ -1575,7 +1738,12 @@ void* ptscan_create(
   }
   // Parallel BGZF readahead: the serial inflate in the framing loop was the
   // measured host-feed ceiling (~42 us/item at 18 kb; PERF.md phase split).
-  ptio_reader_set_threads(sc.reader, sc.prep_threads);
+  {
+    const char* rt = getenv("PTPU_RA_THREADS");
+    int n = rt ? atoi(rt) : sc.prep_threads;
+    ptio_reader_set_threads(sc.reader, n);
+  }
+  pool_start(sc.pool, sc.prep_threads);
   sc.finisher = std::thread(finisher_main, &sc);
   return h;
 }
@@ -1617,7 +1785,7 @@ void producer_main(Scanner* scp, ScannerHandle* h) {
                       &comp);
         // fill assigned rows in parallel (disjoint rows)
         long long t0 = now_ns();
-        parallel_for(sc.prep_threads, (int64_t)jobs.size(), [&](int64_t j) {
+        pool_run(sc.pool, (int64_t)jobs.size(), [&](int64_t j) {
           const FillJob& fj = jobs[j];
           fill_item_row(sc, *fj.read, fj.read->items[fj.item], *fj.slot,
                         sc.buckets[fj.slot->accum / 2], fj.row);
@@ -1635,7 +1803,7 @@ void producer_main(Scanner* scp, ScannerHandle* h) {
 
       // load + parallel-prep the next chunk of mapped primary records
       long long t_load0 = now_ns();
-      std::vector<std::vector<uint8_t>> raws;
+      std::vector<RawBuf> raws;
       raws.reserve(kChunk);
       while ((int64_t)raws.size() < kChunk) {
         uint8_t szb[4];
@@ -1646,7 +1814,7 @@ void producer_main(Scanner* scp, ScannerHandle* h) {
         int32_t bsz;
         std::memcpy(&bsz, szb, 4);
         if (bsz < 32) throw std::runtime_error("invalid BAM record size");
-        std::vector<uint8_t> raw(bsz);
+        RawBuf raw((size_t)bsz);
         if (reader_read(sc.reader, raw.data(), bsz) < (size_t)bsz)
           throw std::runtime_error("truncated BAM record");
         uint16_t flag;
@@ -1658,7 +1826,7 @@ void producer_main(Scanner* scp, ScannerHandle* h) {
           // (FetchDefinition::Unmapped, read_alignment_scanner.rs:537-559);
           // a placed unmapped record would fail the scan's assert (:396).
           if (tid >= 0) {
-            uint8_t l_read_name = raw[8];
+            uint8_t l_read_name = raw.data()[8];
             std::string qn((const char*)raw.data() + 32,
                            l_read_name ? l_read_name - 1 : 0);
             throw std::runtime_error(
@@ -1683,7 +1851,7 @@ void producer_main(Scanner* scp, ScannerHandle* h) {
       sc.chunk.resize(raws.size());
       sc.chunk_cursor = 0;
       long long t_load1 = now_ns();
-      parallel_for(sc.prep_threads, (int64_t)raws.size(), [&](int64_t i) {
+      pool_run(sc.pool, (int64_t)raws.size(), [&](int64_t i) {
         sc.chunk[i] = prepare_read(sc, std::move(raws[i]), h->contig_idx);
       });
       long long t_load2 = now_ns();
@@ -1885,20 +2053,33 @@ void ptscan_stats(void* hv, long long* out6) {
 // parallel prepare_read, parallel fill_item_row, drain handoff, result
 // intake, EOF slot padding, finisher encode+write].  Producer fields are
 // valid after the producer joins; t_finish after stop_finisher.
-void ptscan_timing(void* hv, long long* out7) {
+void ptscan_timing(void* hv, long long* out9) {
   Scanner& sc = static_cast<ScannerHandle*>(hv)->sc;
-  out7[0] = sc.t_read_ns;
-  out7[1] = sc.t_prepare_ns;
-  out7[2] = sc.t_fill_ns;
-  out7[3] = sc.t_drain_ns;
-  out7[4] = sc.t_post_ns;
-  out7[5] = sc.t_shift_ns;
-  out7[6] = sc.t_finish_ns;
+  out9[0] = sc.t_read_ns;
+  out9[1] = sc.t_prepare_ns;
+  out9[2] = sc.t_fill_ns;
+  out9[3] = sc.t_drain_ns;
+  out9[4] = sc.t_post_ns;
+  out9[5] = sc.t_shift_ns;
+  out9[6] = sc.t_finish_ns;
+  out9[7] = sc.t_fin_encode_ns;
+  out9[8] = sc.t_fin_write_ns;
+}
+
+// Process-global prepare_read sub-phase CPU split (profiling only):
+// [parse_record, decode_seq, parse_splits, prepare_items, revcomp]
+void ptscan_prep_timing(long long* out5) {
+  out5[0] = g_prep_parse.load();
+  out5[1] = g_prep_seq.load();
+  out5[2] = g_prep_sa.load();
+  out5[3] = g_prep_items.load();
+  out5[4] = g_prep_rc.load();
 }
 
 void ptscan_destroy(void* hv) {
   auto* h = static_cast<ScannerHandle*>(hv);
   stop_producer(h->sc);  // must stop before slots/fifo are destroyed
+  pool_stop(h->sc.pool);
   stop_finisher(h->sc);  // must stop before the writers close
   if (h->sc.reader) ptio_reader_close(h->sc.reader);
   if (h->sc.remapped) ptio_writer_close(h->sc.remapped);

@@ -25,11 +25,17 @@ _build_error: str | None = None
 
 def _build() -> str | None:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
-        "-o", _SO, "-lz", "-lpthread",
-    ]
-    proc = subprocess.run(cmd, capture_output=True, text=True)
+    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO]
+    # libdeflate (the codec htslib links for BGZF) when present; zlib-only
+    # fallback otherwise
+    proc = subprocess.run(
+        base + ["-lz", "-ldeflate", "-lpthread"], capture_output=True, text=True
+    )
+    if proc.returncode != 0:
+        proc = subprocess.run(
+            base + ["-DPTIO_NO_LIBDEFLATE", "-lz", "-lpthread"],
+            capture_output=True, text=True,
+        )
     if proc.returncode != 0:
         return proc.stderr[-2000:]
     return None

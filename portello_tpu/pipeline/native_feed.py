@@ -82,11 +82,17 @@ def u8p(a):
 
 def _build() -> str | None:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
-        "-o", _SO, "-lz", "-lpthread",
-    ]
-    proc = subprocess.run(cmd, capture_output=True, text=True)
+    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO]
+    # libdeflate (the codec htslib links for BGZF) when present; zlib-only
+    # fallback otherwise
+    proc = subprocess.run(
+        base + ["-lz", "-ldeflate", "-lpthread"], capture_output=True, text=True
+    )
+    if proc.returncode != 0:
+        proc = subprocess.run(
+            base + ["-DPTIO_NO_LIBDEFLATE", "-lz", "-lpthread"],
+            capture_output=True, text=True,
+        )
     return proc.stderr[-2000:] if proc.returncode != 0 else None
 
 
@@ -513,7 +519,7 @@ def scan_and_remap_reads_native(
         if lib.ptscan_finish(h) < 0:
             raise RuntimeError(lib.ptscan_error(h).decode())
         lib.ptscan_stats(h, stats_buf)
-        timing_buf = (ctypes.c_longlong * 7)()
+        timing_buf = (ctypes.c_longlong * 9)()
         lib.ptscan_timing.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong)
         ]
@@ -540,7 +546,8 @@ def scan_and_remap_reads_native(
             f"feed timing: prep {t_prep:.2f}s, device {t_dev:.2f}s, "
             f"finish {t_post:.2f}s over {n_batches} batches"
         )
-        names = ("read", "prepare", "fill", "drain", "post", "shift", "finish_enc")
+        names = ("read", "prepare", "fill", "drain", "post", "shift",
+                 "finish_enc", "fin_encode", "fin_write")
         logger.info(
             "native phase split: "
             + ", ".join(f"{n} {v / 1e9:.3f}s" for n, v in zip(names, timing_buf))

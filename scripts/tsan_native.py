@@ -38,11 +38,15 @@ SRC = os.path.join(
 
 
 def build_tsan(out_so: str) -> None:
-    cmd = [
+    base = [
         "g++", "-O1", "-g", "-std=c++17", "-shared", "-fPIC",
-        "-fsanitize=thread", SRC, "-o", out_so, "-lz", "-lpthread",
+        "-fsanitize=thread", SRC, "-o", out_so,
     ]
-    subprocess.run(cmd, check=True)
+    proc = subprocess.run(base + ["-lz", "-ldeflate", "-lpthread"])
+    if proc.returncode != 0:
+        subprocess.run(
+            base + ["-DPTIO_NO_LIBDEFLATE", "-lz", "-lpthread"], check=True
+        )
     print(f"built {out_so}")
 
 
