@@ -42,8 +42,9 @@ CRAM_EOF = bytes.fromhex(
     "000100ee63014b"
 )
 
-# block compression methods
+# block compression methods (CRAM 3.1 adds 5-8)
 RAW, GZIP, BZIP2, LZMA, RANS4X8 = 0, 1, 2, 3, 4
+RANSNX16, ARITH, FQZCOMP, TOK3 = 5, 6, 7, 8
 # block content types
 FILE_HEADER, COMPRESSION_HEADER, SLICE_HEADER, EXTERNAL_T, CORE_T = 0, 1, 2, 4, 5
 
@@ -475,6 +476,21 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
         return lzma.decompress(data)
     if method == RANS4X8:
         return rans_decode(data)
+    if method == RANSNX16:
+        from portello_tpu.io import rans_nx16
+
+        return rans_nx16.decode(data, raw_size)
+    if method == FQZCOMP:
+        raise CramFormatError(
+            "CRAM 3.1 fqzcomp quality blocks (method 7, archive profile) "
+            "are not supported; re-encode with --output-fmt-option "
+            "version=3.1 normal profile"
+        )
+    if method in (ARITH, TOK3):
+        name = {ARITH: "adaptive arithmetic", TOK3: "name tokeniser"}[method]
+        raise CramFormatError(
+            f"CRAM 3.1 {name} blocks (method {method}) are not supported yet"
+        )
     raise CramFormatError(f"unsupported CRAM block method {method}")
 
 
@@ -510,6 +526,10 @@ def write_block(method: int, ctype: int, cid: int, data: bytes) -> bytes:
         comp = zlib.compress(data, 6)
     elif method == RANS4X8:
         comp = rans_encode_order0(data)
+    elif method == RANSNX16:
+        from portello_tpu.io import rans_nx16
+
+        comp = rans_nx16.encode(data, order=0)
     else:
         method = RAW
         comp = data
@@ -1385,15 +1405,33 @@ _RN_ID, _IN_ID, _SC_ID, _BB_ID, _QQ_ID, _TAG_ID = 30, 31, 32, 33, 34, 40
 
 
 class CramWriter:
-    """Minimal spec-valid CRAM 3.0 writer (one slice per container)."""
+    """Minimal spec-valid CRAM 3.0/3.1 writer (one slice per container).
 
-    def __init__(self, path: str, header: BamHeader, records_per_slice: int = 1000):
+    ``version=(3, 1)`` stamps the 3.1 magic and compresses external blocks
+    with rANS Nx16 (method 5) instead of gzip, producing files only a 3.1
+    reader accepts — the e2e conformance vector for this repo's 3.1 decode
+    path (htslib is not in-image to produce one).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        header: BamHeader,
+        records_per_slice: int = 1000,
+        version: tuple[int, int] = (3, 0),
+    ):
+        if version not in ((3, 0), (3, 1)):
+            raise CramFormatError(f"unsupported CRAM write version {version}")
         self.f = open(path, "wb")
         self.header = header
         self.rps = records_per_slice
         self.pending: list[BamRecord] = []
         self.counter = 0
-        self.f.write(CRAM_MAGIC + bytes([3, 0]) + b"portello-tpu".ljust(20, b"\x00"))
+        self.version = version
+        self._ext_method = RANSNX16 if version >= (3, 1) else GZIP
+        self.f.write(
+            CRAM_MAGIC + bytes(version) + b"portello-tpu".ljust(20, b"\x00")
+        )
         # CRAM carries references only as @SQ text; synthesize lines for refs
         # absent from the text (htslib keeps text and binary list in sync)
         text = header.text or b""
@@ -1641,7 +1679,9 @@ class CramWriter:
         ext_ids = sorted(streams)
         blocks = [write_block(RAW, CORE_T, 0, b"")]
         for cid in ext_ids:
-            blocks.append(write_block(GZIP, EXTERNAL_T, cid, bytes(streams[cid])))
+            blocks.append(
+                write_block(self._ext_method, EXTERNAL_T, cid, bytes(streams[cid]))
+            )
 
         span = max(s_end - (s_start - 1), 0) if not multi_ref and starts else 0
         sh = bytearray()

@@ -103,6 +103,65 @@ def test_cram_roundtrip_scenario(tmp_path, src):
         assert _norm(a, collapse) == _norm(b), a.qname
 
 
+@pytest.mark.parametrize("src", ["read_to_asm.bam", "asm_to_ref.bam"])
+def test_cram_31_roundtrip_scenario(tmp_path, src):
+    """CRAM 3.1 write (rANS Nx16 external blocks) decodes identically.
+
+    The 3.1 magic + method-5 blocks make this file unreadable to a 3.0-only
+    reader, so a pass here exercises the full Nx16 path through the real
+    container machinery (reference src/cli.rs:25,32 accepts such files via
+    htslib)."""
+    from portello_tpu.testutil.simulate import make_scenario
+
+    make_scenario(str(tmp_path), rng=np.random.default_rng(31))
+    path = tmp_path / src
+    with BamReader(str(path)) as r:
+        recs = list(r)
+        header = r.header
+    cram_path = str(tmp_path / (src + ".v31.cram"))
+    with cram.CramWriter(
+        cram_path, header, records_per_slice=41, version=(3, 1)
+    ) as w:
+        for rec in recs:
+            w.write(rec)
+    with open(cram_path, "rb") as f:
+        assert f.read(6) == b"CRAM\x03\x01"
+    with cram.CramReader(cram_path) as cr:
+        got = list(cr)
+    assert len(got) == len(recs)
+    collapse = src == "asm_to_ref.bam"
+    for a, b in zip(recs, got):
+        assert _norm(a, collapse) == _norm(b), a.qname
+
+
+def test_cram_31_blocks_use_method5(tmp_path):
+    from portello_tpu.io.bam import BamHeader, BamRecord
+
+    header = BamHeader.from_refs([("chr1", 1000)], b"@SQ\tSN:chr1\tLN:1000\n")
+    rec = BamRecord(
+        qname=b"m1", flag=0, tid=0, pos=10, mapq=60,
+        cigar=cg.cigar((cg.M, 8)),
+        seq=np.frombuffer(b"ACGTACGT", np.uint8).copy(),
+        qual=np.full(8, 30, np.uint8),
+    )
+    path = str(tmp_path / "t31.cram")
+    with cram.CramWriter(path, header, version=(3, 1)) as w:
+        w.write(rec)
+    methods = set()
+    with open(path, "rb") as f:
+        f.read(26)
+        while True:
+            h = cram.read_container_header(f)
+            if h is None:
+                break
+            body = f.read(h.length)
+            off = 0
+            while off < len(body):
+                blk, off = cram.read_block(body, off)
+                methods.add(blk.method)
+    assert cram.RANSNX16 in methods
+
+
 def test_cram_unmapped_and_tags(tmp_path):
     from portello_tpu.io.bam import BamHeader, BamRecord, FUNMAP
 
