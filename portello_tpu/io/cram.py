@@ -486,10 +486,14 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
             "are not supported; re-encode with --output-fmt-option "
             "version=3.1 normal profile"
         )
-    if method in (ARITH, TOK3):
-        name = {ARITH: "adaptive arithmetic", TOK3: "name tokeniser"}[method]
+    if method == TOK3:
+        from portello_tpu.io import tok3
+
+        return tok3.decode(data)
+    if method == ARITH:
         raise CramFormatError(
-            f"CRAM 3.1 {name} blocks (method {method}) are not supported yet"
+            "CRAM 3.1 adaptive-arithmetic blocks (method 6, archive "
+            "profile) are not supported; re-encode with the normal profile"
         )
     raise CramFormatError(f"unsupported CRAM block method {method}")
 
@@ -530,6 +534,10 @@ def write_block(method: int, ctype: int, cid: int, data: bytes) -> bytes:
         from portello_tpu.io import rans_nx16
 
         comp = rans_nx16.encode(data, order=0)
+    elif method == TOK3:
+        from portello_tpu.io import tok3
+
+        comp = tok3.encode(data)
     else:
         method = RAW
         comp = data
@@ -1679,8 +1687,11 @@ class CramWriter:
         ext_ids = sorted(streams)
         blocks = [write_block(RAW, CORE_T, 0, b"")]
         for cid in ext_ids:
+            method = self._ext_method
+            if cid == _RN_ID and self.version >= (3, 1):
+                method = TOK3  # htslib's 3.1 default for the RN series
             blocks.append(
-                write_block(self._ext_method, EXTERNAL_T, cid, bytes(streams[cid]))
+                write_block(method, EXTERNAL_T, cid, bytes(streams[cid]))
             )
 
         span = max(s_end - (s_start - 1), 0) if not multi_ref and starts else 0
