@@ -75,6 +75,19 @@ struct Reader {
   std::unordered_set<size_t> ra_pending;               // queued or decoding
   bool ra_closing = false;
   size_t ra_next = 0;  // next coffset not yet scheduled
+  // Push mode (direct CRAM streaming, no temp-BAM transcode): an external
+  // producer thread pushes UNCOMPRESSED BAM bytes through a bounded queue
+  // and reader_read drains it; the mmap/BGZF machinery above is unused.
+  // The producer must have exited before ptio_reader_close runs.
+  bool push_mode = false;
+  std::deque<std::vector<uint8_t>> push_q;
+  size_t push_front_off = 0;  // consumed bytes of push_q.front()
+  size_t push_buffered = 0;
+  size_t push_cap = 64ull << 20;
+  bool push_eof = false;
+  bool push_closed = false;  // producer-side failure or consumer abort
+  std::mutex push_mu;
+  std::condition_variable push_cv_data, push_cv_space;
 };
 
 // Parse a BGZF block header at coffset; returns BSIZE or 0 with *err set.
@@ -262,8 +275,38 @@ bool load_block(Reader* r, size_t coffset) {
   return true;
 }
 
+// Push-mode drain: block until data, EOF, or close.  A close mid-stream
+// surfaces as a short read, which the BAM framing loop upgrades to a
+// "truncated record" error unless it lands exactly on a record boundary —
+// the Python side therefore re-raises the producer's own exception after
+// the scan to avoid any silent-truncation window.
+size_t push_read(Reader* r, uint8_t* out, size_t n) {
+  size_t got = 0;
+  std::unique_lock<std::mutex> lk(r->push_mu);
+  while (n > 0) {
+    while (r->push_q.empty() && !r->push_eof && !r->push_closed)
+      r->push_cv_data.wait(lk);
+    if (r->push_q.empty()) break;
+    std::vector<uint8_t>& front = r->push_q.front();
+    size_t take = front.size() - r->push_front_off;
+    if (take > n) take = n;
+    std::memcpy(out + got, front.data() + r->push_front_off, take);
+    r->push_front_off += take;
+    got += take;
+    n -= take;
+    if (r->push_front_off == front.size()) {
+      r->push_buffered -= front.size();
+      r->push_q.pop_front();
+      r->push_front_off = 0;
+      r->push_cv_space.notify_all();
+    }
+  }
+  return got;
+}
+
 // Read exactly n bytes from the cursor; returns bytes read (short at EOF).
 size_t reader_read(Reader* r, uint8_t* out, size_t n) {
+  if (r->push_mode) return push_read(r, out, n);
   size_t got = 0;
   while (n > 0) {
     if (r->coffset >= r->size) break;
@@ -505,9 +548,58 @@ long long ptio_read(void* h, uint8_t* out, long long n) {
   return reader_read(static_cast<Reader*>(h), out, n);
 }
 
+// Open a push-mode reader: bytes arrive via ptio_reader_push instead of a
+// file.  cap_bytes bounds producer run-ahead (<=0 keeps the 64 MB default).
+void* ptio_reader_open_push(long long cap_bytes) {
+  Reader* r = new Reader();
+  r->push_mode = true;
+  if (cap_bytes > 0) r->push_cap = static_cast<size_t>(cap_bytes);
+  return r;
+}
+
+// Blocking bounded push; returns 0, or -1 once the stream is closed.
+int ptio_reader_push(void* h, const uint8_t* data, long long n) {
+  Reader* r = static_cast<Reader*>(h);
+  if (!r->push_mode || n < 0) return -1;
+  std::unique_lock<std::mutex> lk(r->push_mu);
+  while (r->push_buffered >= r->push_cap && !r->push_closed)
+    r->push_cv_space.wait(lk);
+  if (r->push_closed || r->push_eof) return -1;
+  r->push_q.emplace_back(data, data + n);
+  r->push_buffered += static_cast<size_t>(n);
+  lk.unlock();
+  r->push_cv_data.notify_all();
+  return 0;
+}
+
+void ptio_reader_push_eof(void* h) {
+  Reader* r = static_cast<Reader*>(h);
+  {
+    std::lock_guard<std::mutex> lk(r->push_mu);
+    r->push_eof = true;
+  }
+  r->push_cv_data.notify_all();
+}
+
+// Abort the stream from either side: wakes a blocked producer (push
+// returns -1) and makes the consumer see EOF at the current point.
+void ptio_reader_push_close(void* h) {
+  Reader* r = static_cast<Reader*>(h);
+  {
+    std::lock_guard<std::mutex> lk(r->push_mu);
+    r->push_closed = true;
+    r->push_q.clear();
+    r->push_buffered = 0;
+    r->push_front_off = 0;
+  }
+  r->push_cv_data.notify_all();
+  r->push_cv_space.notify_all();
+}
+
 // Enable parallel BGZF readahead decode with n worker threads (1 = serial).
 void ptio_reader_set_threads(void* h, int n) {
   Reader* r = static_cast<Reader*>(h);
+  if (r->push_mode) return;  // no BGZF to inflate ahead
   r->n_threads = n < 1 ? 1 : n;
   if (r->n_threads > 1 && r->ra_pool.empty()) {
     for (int i = 0; i < r->n_threads; ++i)

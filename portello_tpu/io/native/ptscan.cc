@@ -1642,18 +1642,26 @@ void* ptscan_create(
     const int64_t* bm_vals, const int64_t* rc_off, const uint8_t* rc_bytes,
     long long n_buckets, const int64_t* bucket_dims /*4 per bucket*/,
     long long batch_size, int is_target_region, const uint8_t* owned,
-    int emit_unmapped, int prep_threads) {
+    int emit_unmapped, int prep_threads, void* ext_reader) {
   auto* h = new ScannerHandle();
   Scanner& sc = h->sc;
   // release any acquired reader/writers on every failure path (writer
   // pools spawn threads at open; a bare delete would leak fds, the mmap,
   // and pool threads parked on cv_work)
   auto fail = [&]() -> void* {
+    // on failure the caller keeps ownership of ext_reader (its producer
+    // thread may still be blocked in ptio_reader_push; closing here would
+    // free state under it — the caller aborts + joins, then closes)
+    if (ext_reader) sc.reader = nullptr;
     ptscan_destroy(h);
     return nullptr;
   };
   try {
-    sc.reader = static_cast<Reader*>(ptio_reader_open(bam_path));
+    // ext_reader: a push-mode reader (direct CRAM streaming) already open;
+    // the scanner takes ownership either way and closes it on destroy.
+    sc.reader = ext_reader
+                    ? static_cast<Reader*>(ext_reader)
+                    : static_cast<Reader*>(ptio_reader_open(bam_path));
     if (!sc.reader) return fail();
     // skip the BAM header: magic, l_text, text, n_ref, per-ref entries —
     // every length is read-checked (a truncated header must fail cleanly,

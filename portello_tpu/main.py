@@ -179,7 +179,7 @@ def run(settings: Settings) -> None:
             f"{remapped_out}"
         )
 
-    from portello_tpu.io.aln_input import cram_to_bam, is_cram_file
+    from portello_tpu.io.aln_input import is_cram_file
 
     use_native_feed = False
     if engine is not None and settings.feed in ("auto", "native"):
@@ -190,37 +190,19 @@ def run(settings: Settings) -> None:
         elif settings.feed == "native":
             raise SystemExit("--feed native requested but ptscan unavailable")
 
-    # The native scanner consumes the mmap'd BAM layout; CRAM input is
-    # bridged through a one-pass transcode to a temporary BAM (the reference
-    # reads either format through htslib, cli.rs:25,32).
+    # CRAM input streams directly into the native scanner: a feeder thread
+    # decodes records and pushes uncompressed BAM bytes through a bounded
+    # in-memory queue (no temp-BAM transcode; the reference streams CRAM
+    # through htslib, cli.rs:25,32 / read_alignment_scanner.rs:382-394).
+    # The reference dict is keyed by NAME (CramReader validates name+length;
+    # a read-to-assembly CRAM's tids are assembly contigs, so RR=1 slices
+    # error clearly instead of decoding the wrong sequence).
     scan_input = settings.read_to_assembly_bam
-    transcode_tmp = None
+    cram_reference = None
     if use_native_feed and is_cram_file(scan_input):
-        import tempfile
-
-        fd, transcode_tmp = tempfile.mkstemp(suffix=".bam", prefix="ptpu_cram_")
-        os.close(fd)
-        logger.info(
-            "Transcoding CRAM input to temporary BAM for the native scanner"
-        )
-        try:
-            # decode reference by NAME (CramReader validates name+length; a
-            # read-to-assembly CRAM's tids are assembly contigs, so RR=1
-            # slices error clearly instead of decoding the wrong sequence)
-            cram_to_bam(
-                scan_input, transcode_tmp,
-                reference={
-                    c.label: seq
-                    for c, seq in zip(ref_chrom_list.data, reference)
-                },
-                n_threads=max(1, settings.thread_count // 2),
-            )
-        except BaseException:
-            # a failed/interrupted transcode must not leak a (large) temp
-            if os.path.exists(transcode_tmp):
-                os.remove(transcode_tmp)
-            raise
-        scan_input = transcode_tmp
+        cram_reference = {
+            c.label: seq for c, seq in zip(ref_chrom_list.data, reference)
+        }
 
     import contextlib
 
@@ -240,13 +222,7 @@ def run(settings: Settings) -> None:
         except Exception as e:  # profiling is best-effort
             logger.warning(f"profiler unavailable: {e}")
 
-    cleanup = contextlib.ExitStack()
-    if transcode_tmp is not None:
-        cleanup.callback(
-            lambda: os.path.exists(transcode_tmp) and os.remove(transcode_tmp)
-        )
-
-    with cleanup, profile_ctx:
+    with profile_ctx:
         if use_native_feed:
             from portello_tpu.pipeline.native_feed import (
                 scan_and_remap_reads_native,
@@ -265,6 +241,7 @@ def run(settings: Settings) -> None:
                 thread_count=settings.thread_count,
                 shard_plan=shard_plan,
                 use_mm=engine.use_mm,
+                cram_reference=cram_reference,
             )
         else:
             scan_and_remap_reads(

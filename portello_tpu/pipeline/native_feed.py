@@ -110,6 +110,16 @@ def bind_lib(so_path: str):
     lib.ptscan_finish.argtypes = [ctypes.c_void_p]
     lib.ptscan_stats.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong)]
     lib.ptscan_destroy.argtypes = [ctypes.c_void_p]
+    # push-mode reader (direct CRAM streaming)
+    lib.ptio_reader_open_push.restype = ctypes.c_void_p
+    lib.ptio_reader_open_push.argtypes = [ctypes.c_longlong]
+    lib.ptio_reader_push.restype = ctypes.c_int
+    lib.ptio_reader_push.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong
+    ]
+    lib.ptio_reader_push_eof.argtypes = [ctypes.c_void_p]
+    lib.ptio_reader_push_close.argtypes = [ctypes.c_void_p]
+    lib.ptio_reader_close.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -218,6 +228,7 @@ def create_scanner(
     is_target_region: bool,
     shard_plan,
     thread_count: int,
+    push_reader=None,
 ):
     """Marshal the phase-1 index + config and call ``ptscan_create``.
 
@@ -286,6 +297,7 @@ def create_scanner(
         ctypes.c_longlong(batch_size), ctypes.c_int(1 if is_target_region else 0),
         owned_ptr if owned_ptr is not None else ctypes.c_void_p(None),
         ctypes.c_int(emit_unmapped), ctypes.c_int(max(1, thread_count)),
+        push_reader if push_reader is not None else ctypes.c_void_p(None),
     )
     h = ctypes.c_void_p(h)
     if not h:
@@ -302,6 +314,48 @@ def _as_np(ptr, shape, dtype):
     ).view(dtype).reshape(shape)
 
 
+class _FeederAborted(RuntimeError):
+    """The consumer closed the push stream under the producer (the scanner
+    hit its own error first; that error is the one to surface)."""
+
+
+def _cram_feeder(lib, push_handle, cram_path, reference, state,
+                 chunk_bytes=1 << 20):
+    """Producer thread: decode CRAM records and push uncompressed BAM bytes
+    into the native scanner (direct streaming — replaces the temp-BAM
+    transcode; the reference streams CRAM through htslib,
+    read_alignment_scanner.rs:382-394)."""
+    import struct as _struct
+
+    from portello_tpu.io.cram import CramReader
+
+    try:
+        buf = bytearray()
+
+        def flush():
+            if not buf:
+                return
+            data = bytes(buf)
+            if lib.ptio_reader_push(push_handle, data, len(data)) != 0:
+                raise _FeederAborted("push stream closed by consumer")
+            buf.clear()
+
+        with CramReader(cram_path, reference=reference) as r:
+            buf += r.header.encode()
+            for rec in r:
+                blob = rec.encode()
+                buf += _struct.pack("<i", len(blob)) + blob
+                if len(buf) >= chunk_bytes:
+                    flush()
+            flush()
+        lib.ptio_reader_push_eof(push_handle)
+    except BaseException as e:  # noqa: BLE001 — surfaced by the main thread
+        state["exc"] = e
+        # no EOF: a clean EOF at a record boundary would silently truncate;
+        # close instead so the scanner stops and the main thread re-raises
+        lib.ptio_reader_push_close(push_handle)
+
+
 def scan_and_remap_reads_native(
     read_to_assembly_bam: str,
     remapped_read_output: str,
@@ -316,9 +370,15 @@ def scan_and_remap_reads_native(
     thread_count: int = 1,
     shard_plan=None,
     use_mm: bool | None = None,
+    cram_reference=None,
 ) -> dict:
     """Native-feed phase 2; returns the stats dict.  Raises RuntimeError when
-    the native library can't build (caller falls back to the Python path)."""
+    the native library can't build (caller falls back to the Python path).
+
+    CRAM input streams directly: a producer thread decodes records and
+    pushes uncompressed BAM bytes through a bounded in-memory queue into
+    the scanner (no temp-BAM transcode).  ``cram_reference`` is the
+    name-keyed reference dict for reference-based slices."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError(f"ptscan unavailable: {build_error()}")
@@ -387,12 +447,41 @@ def scan_and_remap_reads_native(
             return sharded_fns[key]
 
     header = get_alignment_file_header(ref_chrom_list, cmdline).encode()
-    h, _keepalive = create_scanner(
-        lib, read_to_assembly_bam, remapped_read_output,
-        unassembled_read_output, header, reference, ref_chrom_list,
-        contig_list, all_contig_mapping_info, buckets, batch_size,
-        is_target_region, shard_plan, thread_count,
-    )
+
+    from portello_tpu.io.aln_input import is_cram_file
+
+    push_handle = None
+    feeder = None
+    feeder_state: dict = {}
+    if is_cram_file(read_to_assembly_bam):
+        import threading
+
+        logger.info("Streaming CRAM input directly into the native scanner")
+        push_handle = ctypes.c_void_p(lib.ptio_reader_open_push(0))
+        feeder = threading.Thread(
+            target=_cram_feeder,
+            args=(lib, push_handle, read_to_assembly_bam, cram_reference,
+                  feeder_state),
+            name="cram-feeder",
+            daemon=True,
+        )
+        feeder.start()
+
+    try:
+        h, _keepalive = create_scanner(
+            lib, read_to_assembly_bam, remapped_read_output,
+            unassembled_read_output, header, reference, ref_chrom_list,
+            contig_list, all_contig_mapping_info, buckets, batch_size,
+            is_target_region, shard_plan, thread_count,
+            push_reader=push_handle,
+        )
+    except BaseException:
+        # create failed: the scanner did NOT take reader ownership
+        if push_handle is not None:
+            lib.ptio_reader_push_close(push_handle)
+            feeder.join(timeout=30)
+            lib.ptio_reader_close(push_handle)
+        raise
 
     genome_kb = sum(ci.length for ci in contig_list.data) // 1000
     cum_len = np.zeros(len(contig_list.data) + 1, np.int64)
@@ -516,6 +605,13 @@ def scan_and_remap_reads_native(
         while in_flight:
             post(in_flight.popleft())
 
+        if feeder is not None:
+            feeder.join()
+            if feeder_state.get("exc") is not None:
+                # a feeder failure can look like a clean EOF at a record
+                # boundary — always prefer the producer's own error
+                raise feeder_state["exc"]
+
         if lib.ptscan_finish(h) < 0:
             raise RuntimeError(lib.ptscan_error(h).decode())
         lib.ptscan_stats(h, stats_buf)
@@ -524,6 +620,14 @@ def scan_and_remap_reads_native(
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong)
         ]
         lib.ptscan_timing(h, timing_buf)
+    except BaseException:
+        if feeder is not None and feeder.is_alive():
+            lib.ptio_reader_push_close(push_handle)
+            feeder.join()
+        exc = feeder_state.get("exc")
+        if exc is not None and not isinstance(exc, _FeederAborted):
+            raise exc from None
+        raise
     finally:
         progress.clear()
         lib.ptscan_destroy(h)

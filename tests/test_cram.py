@@ -248,9 +248,9 @@ def test_cram_cli_e2e_matches_bam(tmp_path):
 
 
 def test_cram_native_feed_matches_python_feed(tmp_path):
-    """CRAM input through the native scanner (transcode bridge in main.run)
-    must produce output record-identical to the Python feed on the same CRAM
-    (reference reads CRAM directly via htslib, cli.rs:25,32)."""
+    """CRAM input through the native scanner (direct push-mode streaming,
+    no temp-BAM) must produce output record-identical to the Python feed on
+    the same CRAM (reference reads CRAM directly via htslib, cli.rs:25,32)."""
     from portello_tpu.pipeline import native_feed
 
     if native_feed.get_lib() is None:
@@ -297,8 +297,83 @@ def test_cram_native_feed_matches_python_feed(tmp_path):
     assert recs_sam(out_n) == recs_sam(out_p)
     assert recs_sam(un_n) == recs_sam(un_p)
     assert len(recs_sam(out_n)) > 0
-    # the transcode temporary must be cleaned up
+    # direct streaming: no transcode temporary may ever appear
     assert set(glob.glob(tmp_pat)) == before
+
+
+def test_cram_native_feed_streams_without_temp(tmp_path, monkeypatch):
+    """The native feed must never call the temp-BAM transcode for CRAM input
+    (direct streaming; reference read_alignment_scanner.rs:382-394)."""
+    from portello_tpu.pipeline import native_feed
+
+    if native_feed.get_lib() is None:
+        pytest.skip(f"ptscan unavailable: {native_feed.build_error()}")
+
+    from portello_tpu.io import aln_input
+    from portello_tpu.main import main
+    from portello_tpu.testutil.simulate import make_scenario
+
+    def _boom(*a, **kw):
+        raise AssertionError("temp-BAM transcode invoked on the main path")
+
+    monkeypatch.setattr(aln_input, "cram_to_bam", _boom)
+
+    make_scenario(str(tmp_path), rng=np.random.default_rng(53))
+    src = "read_to_asm.bam"
+    with BamReader(str(tmp_path / src)) as r:
+        recs = list(r)
+        header = r.header
+    with cram.CramWriter(str(tmp_path / (src + ".cram")), header) as w:
+        for rec in recs:
+            w.write(rec)
+    out = tmp_path / "rem.bam"
+    main([
+        "--assembly-to-ref", str(tmp_path / "asm_to_ref.bam"),
+        "--read-to-assembly", str(tmp_path / (src + ".cram")),
+        "--remapped-read-output", str(out),
+        "--unassembled-read-output", str(tmp_path / "un.bam"),
+        "--ref", str(tmp_path / "ref.fa"),
+        "--device", "cpu", "--feed", "native", "--batch-size", "32",
+    ])
+    with BamReader(str(out)) as r:
+        assert len(list(r)) > 0
+
+
+def test_cram_native_feed_surfaces_decode_error(tmp_path):
+    """A CRAM that breaks mid-stream must fail the native feed with the
+    producer's decode error — never a silent truncation (the feeder closes
+    the push stream without EOF; native_feed re-raises its exception)."""
+    from portello_tpu.pipeline import native_feed
+
+    if native_feed.get_lib() is None:
+        pytest.skip(f"ptscan unavailable: {native_feed.build_error()}")
+
+    from portello_tpu.main import main
+    from portello_tpu.testutil.simulate import make_scenario
+
+    make_scenario(str(tmp_path), rng=np.random.default_rng(59))
+    src = "read_to_asm.bam"
+    with BamReader(str(tmp_path / src)) as r:
+        recs = list(r)
+        header = r.header
+    path = tmp_path / (src + ".cram")
+    with cram.CramWriter(str(path), header, records_per_slice=40) as w:
+        for rec in recs:
+            w.write(rec)
+    # corrupt a byte inside the LAST data container's block area (past the
+    # header container) so decode starts fine and fails mid-stream
+    data = bytearray(path.read_bytes())
+    data[-60] ^= 0xFF
+    path.write_bytes(bytes(data))
+    with pytest.raises((cram.CramFormatError, SystemExit, RuntimeError)):
+        main([
+            "--assembly-to-ref", str(tmp_path / "asm_to_ref.bam"),
+            "--read-to-assembly", str(path),
+            "--remapped-read-output", str(tmp_path / "rem.bam"),
+            "--unassembled-read-output", str(tmp_path / "un.bam"),
+            "--ref", str(tmp_path / "ref.fa"),
+            "--device", "cpu", "--feed", "native", "--batch-size", "32",
+        ])
 
 
 def test_cram_reference_resolution_validates_name_and_length(tmp_path):
