@@ -105,6 +105,20 @@ def run(settings: Settings) -> None:
     logger.info(f"Running on {settings.thread_count} threads")
     start = time.monotonic()
 
+    if settings.num_hosts > 1 and settings.coordinator:
+        # jax.distributed.initialize must precede ANY backend touch (even
+        # jax.devices), so the DCN handshake happens before phase 1 / the
+        # engine build; the platform choice must also be pinned first
+        from portello_tpu.parallel.distributed import init_distributed
+
+        if settings.device == "cpu":
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        init_distributed(
+            settings.coordinator, settings.num_hosts, settings.host_id
+        )
+
     ref_chrom_list = ChromList.from_bam_filename(settings.assembly_to_ref_bam)
     assembly_contig_list = ChromList.from_bam_filename(settings.read_to_assembly_bam)
 
@@ -154,14 +168,10 @@ def run(settings: Settings) -> None:
     unassembled_out = settings.unassembled_read_output
     if settings.num_hosts > 1:
         from portello_tpu.parallel.distributed import (
-            init_distributed,
             plan_host_shards,
             shard_output_path,
         )
 
-        init_distributed(
-            settings.coordinator, settings.num_hosts, settings.host_id
-        )
         shard_plan = plan_host_shards(
             [c.length for c in assembly_contig_list.data],
             settings.num_hosts,

@@ -38,6 +38,13 @@ def init_distributed(
         num_processes=num_processes,
         process_id=process_id,
     )
+    # the handshake succeeded: every process sees the global device set
+    from portello_tpu.logger import setup_logger
+
+    setup_logger().info(
+        f"JAX distributed initialized: process {jax.process_index()}"
+        f"/{jax.process_count()}, {len(jax.devices())} global devices"
+    )
 
 
 @dataclass
