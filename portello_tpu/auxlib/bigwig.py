@@ -5,8 +5,9 @@ lib/rust-vc-utils/src/bigwig_utils.rs:7-23, wrapping the C libBigWig): write
 per-base/interval value tracks as BigWig.  Implemented from the BBI format
 (Kent et al. 2010, supplementary tables): common header, chromosome B+ tree,
 zlib-compressed bedGraph-type data sections, R-tree section index, total
-summary.  Zoom levels are omitted (zoomLevels=0 — legal; readers locate data
-through the R tree).
+summary, and zoom levels (libBigWig — the library the reference wraps —
+emits them, and large-track consumers expect them: a reduction ladder of
+aggregated 32-byte summary records, each level with its own R-tree).
 
 No external BigWig implementation exists in this image to cross-validate, so
 conformance is via structure-level round-trip tests (tests/test_bigwig.py)
@@ -28,6 +29,52 @@ _BEDGRAPH = 1
 
 # one data section per this many intervals (sections compress independently)
 ITEMS_PER_SECTION = 1024
+# zoom ladder: first reduction ~10x the mean interval span, x4 per level
+# (the libBigWig/Kent construction), capped at 10 levels
+MAX_ZOOM_LEVELS = 10
+
+
+def _zoom_reductions(items, chroms) -> list[int]:
+    if not items:
+        return []
+    total_span = sum(e - s for _, s, e, _ in items)
+    mean = max(1, total_span // len(items))
+    red = max(10 * mean, 16)
+    longest = max((length for _, length in chroms), default=0)
+    out = []
+    while len(out) < MAX_ZOOM_LEVELS and red < longest:
+        out.append(int(red))
+        red *= 4
+    return out
+
+
+def _zoom_records(items, reduction: int, chrom_lens: list[int]):
+    """Aggregate (cid, start, end, value) intervals into fixed bins of
+    ``reduction`` bases: (cid, start, end, validCount, min, max, sum,
+    sumSq) zoom records, sorted by (cid, bin)."""
+    recs: dict[tuple[int, int], list[float]] = {}
+    for cid, st, en, v in items:
+        b = st // reduction
+        while st < en:
+            bin_end = (b + 1) * reduction
+            seg = min(en, bin_end) - st
+            r = recs.get((cid, b))
+            if r is None:
+                recs[(cid, b)] = [seg, v, v, v * seg, v * v * seg]
+            else:
+                r[0] += seg
+                r[1] = min(r[1], v)
+                r[2] = max(r[2], v)
+                r[3] += v * seg
+                r[4] += v * v * seg
+            st = min(en, bin_end)
+            b += 1
+    out = []
+    for cid, b in sorted(recs):
+        valid, mn, mx, sm, ssq = recs[(cid, b)]
+        end = min((b + 1) * reduction, chrom_lens[cid])
+        out.append((cid, b * reduction, end, int(valid), mn, mx, sm, ssq))
+    return out
 
 
 @dataclass
@@ -60,9 +107,15 @@ def write_bigwig(path: str, chroms: list[tuple[str, int]], intervals) -> None:
         last = (cid, start)
         items.append((cid, int(start), int(end), float(val)))
 
+    reductions = _zoom_reductions(items, by_id)
+    chrom_lens = [length for _, length in by_id]
+
     with open(path, "wb") as f:
-        # placeholder common header + summary; rewritten at the end
+        # placeholder common header + zoom headers + summary; rewritten at
+        # the end (zoom headers sit directly after the 64-byte header)
         f.write(b"\x00" * 64)
+        zoom_header_offset = f.tell()
+        f.write(b"\x00" * (24 * len(reductions)))
         total_summary_offset = f.tell()
         f.write(b"\x00" * 40)
 
@@ -119,11 +172,52 @@ def write_bigwig(path: str, chroms: list[tuple[str, int]], intervals) -> None:
 
         full_index_offset = f.tell()
         f.write(_encode_rtree(sections, full_index_offset))
+
+        # zoom levels: per reduction, aggregated records in compressed
+        # sections (split at chromosome changes, like the data sections)
+        # followed by that level's own R-tree
+        zoom_offsets: list[tuple[int, int, int]] = []
+        for red in reductions:
+            zrecs = _zoom_records(items, red, chrom_lens)
+            zdata_offset = f.tell()
+            f.write(struct.pack("<I", len(zrecs)))
+            zsections: list[_Section] = []
+            i0 = 0
+            while i0 < len(zrecs):
+                part = [zrecs[i0]]
+                while (
+                    len(part) < ITEMS_PER_SECTION
+                    and i0 + len(part) < len(zrecs)
+                    and zrecs[i0 + len(part)][0] == part[0][0]
+                ):
+                    part.append(zrecs[i0 + len(part)])
+                i0 += len(part)
+                raw = bytearray()
+                for zc, zst, zen, zvalid, zmn, zmx, zsm, zssq in part:
+                    raw += struct.pack(
+                        "<IIIIffff", zc, zst, zen, zvalid, zmn, zmx, zsm, zssq
+                    )
+                max_raw = max(max_raw, len(raw))
+                comp = zlib.compress(bytes(raw), 6)
+                off = f.tell()
+                f.write(comp)
+                zsections.append(
+                    _Section(part[0][0], part[0][1], part[-1][2], off,
+                             len(comp))
+                )
+            zindex_offset = f.tell()
+            f.write(_encode_rtree(zsections, zindex_offset))
+            zoom_offsets.append((red, zdata_offset, zindex_offset))
+
         end_offset = f.tell()
 
         # rewrite dataCount
         f.seek(full_data_offset)
         f.write(struct.pack("<I", len(sections)))
+        # zoom headers
+        f.seek(zoom_header_offset)
+        for red, zdo, zio in zoom_offsets:
+            f.write(struct.pack("<IIQQ", red, 0, zdo, zio))
         # total summary
         f.seek(total_summary_offset)
         if valid == 0:
@@ -134,7 +228,7 @@ def write_bigwig(path: str, chroms: list[tuple[str, int]], intervals) -> None:
         f.write(
             struct.pack(
                 "<IHHQQQHHQQIQ",
-                BIGWIG_MAGIC, 4, 0,
+                BIGWIG_MAGIC, 4, len(reductions),
                 chrom_tree_offset, full_data_offset, full_index_offset,
                 0, 0, 0, total_summary_offset, max_raw + 64, 0,
             )
@@ -233,6 +327,13 @@ class BigWigReader:
         )
         if magic != BIGWIG_MAGIC:
             raise ValueError(f"{path}: not a BigWig file")
+        # zoom headers follow the 64-byte common header
+        self.zooms: list[dict] = []
+        for _ in range(self.zoom_levels):
+            red, _res, zdo, zio = struct.unpack("<IIQQ", self.f.read(24))
+            self.zooms.append(
+                {"reduction": red, "data_offset": zdo, "index_offset": zio}
+            )
         self.chroms = self._read_chrom_tree()
 
     def close(self):
@@ -282,8 +383,10 @@ class BigWigReader:
             "sum": vsum, "sum_squares": vsumsq,
         }
 
-    def _leaf_items(self):
-        self.f.seek(self.full_index_offset)
+    def _leaf_items(self, index_offset: int | None = None):
+        self.f.seek(
+            self.full_index_offset if index_offset is None else index_offset
+        )
         (magic, _bs, _n, _sc, _sb, _ec, _eb, _ef, _ips, _r) = struct.unpack(
             "<IIQIIIIQII", self.f.read(48)
         )
@@ -309,6 +412,24 @@ class BigWigReader:
 
         walk()
         return items
+
+    def zoom_records(self, level: int):
+        """Yield (chrom, start, end, valid_count, min, max, sum, sum_sq)
+        aggregated records from one zoom level."""
+        z = self.zooms[level]
+        name_by_id = {i: n for i, (n, _) in enumerate(self.chroms)}
+        for _scid, _sb, _ecid, _eb, off, size in self._leaf_items(
+            z["index_offset"]
+        ):
+            self.f.seek(off)
+            raw = self.f.read(size)
+            if self.uncompress_buf:
+                raw = zlib.decompress(raw)
+            for p in range(0, len(raw), 32):
+                cid, st, en, valid, mn, mx, sm, ssq = struct.unpack_from(
+                    "<IIIIffff", raw, p
+                )
+                yield (name_by_id[cid], st, en, valid, mn, mx, sm, ssq)
 
     def intervals(self, chrom: str | None = None):
         """Yield (chrom, start, end, value) from every data section."""

@@ -63,52 +63,104 @@ def sort_bam(
                 os.remove(c)
 
 
-def _sort_bam_inner(input_path, output, n_threads, mem_bytes, tmp_dir, chunks):
-    n = 0
-    with BamReader(input_path) as reader:
-        header = _coordinate_header(reader.header)
-        buf: list[tuple[int, int, int, bytes]] = []
-        used = 0
+def _composite_key(raw: bytes) -> int:
+    """(tid unsigned, pos) as ONE uint64: (tid & 0xFFFFFFFF) << 32 |
+    (pos + 1).  pos >= -1 in BAM, so pos+1 is an order-preserving unsigned
+    mapping; a stable sort on this key reproduces the (utid, pos, input
+    order) tuple sort byte-for-byte."""
+    tid, pos = struct.unpack_from("<ii", raw, 0)
+    return ((tid & 0xFFFFFFFF) << 32) | (pos + 1)
 
-        def spill():
-            nonlocal buf, used
-            if not buf:
-                return
-            buf.sort(key=lambda t: t[:3])
-            fd, path = tempfile.mkstemp(suffix=".bam", prefix="ptpu_sort_",
-                                        dir=tmp_dir)
-            os.close(fd)
-            w = BamWriter(path, header, level=1, n_threads=n_threads)
-            try:
-                for *_k, raw in buf:
-                    w.write_raw(raw)
-            finally:
-                w.close()
-            chunks.append(path)
-            buf = []
+
+def _sort_chunk(raws, keys):
+    """Stable C-speed ordering of one chunk (numpy argsort over the
+    composite key — the GIL-bound tuple sort was the serial bottleneck)."""
+    import numpy as np
+
+    return np.argsort(np.array(keys, dtype=np.uint64), kind="stable")
+
+
+def _sort_bam_inner(input_path, output, n_threads, mem_bytes, tmp_dir, chunks):
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = 0
+    # Parallel chunk pipeline (the reference leaves sorting to samtools,
+    # which fans out with -@; same role here): with threads, each spill's
+    # sort + BGZF compression runs on a worker while the reader keeps
+    # decoding the next chunk.  One spill in flight; the chunk budget is
+    # halved so peak memory stays ~mem_bytes.
+    async_spill = n_threads > 1
+    chunk_budget = mem_bytes // 2 if async_spill else mem_bytes
+    pool = ThreadPoolExecutor(max_workers=1) if async_spill else None
+    pending = None
+    try:
+        with BamReader(input_path) as reader:
+            header = _coordinate_header(reader.header)
+            raws: list[bytes] = []
+            keys: list[int] = []
             used = 0
 
-        for raw in reader.iter_raw():
-            k = _key(raw)
-            buf.append((k[0], k[1], n, raw))
-            n += 1
-            used += len(raw) + 64
-            if used >= mem_bytes:
-                spill()
+            def do_spill(chunk_raws, chunk_keys):
+                order = _sort_chunk(chunk_raws, chunk_keys)
+                fd, path = tempfile.mkstemp(
+                    suffix=".bam", prefix="ptpu_sort_", dir=tmp_dir
+                )
+                os.close(fd)
+                w = BamWriter(
+                    path, header, level=1, n_threads=max(1, n_threads - 1)
+                )
+                try:
+                    for i in order:
+                        w.write_raw(chunk_raws[i])
+                finally:
+                    w.close()
+                return path
 
-        dest = sys.stdout.buffer if output == "-" else output
-        level = 0 if output == "-" else 6
-        if not chunks:
-            # single in-memory chunk: write directly
-            buf.sort(key=lambda t: t[:3])
-            w = BamWriter(dest, header, level=level, n_threads=n_threads)
-            try:
-                for *_k, raw in buf:
-                    w.write_raw(raw)
-            finally:
-                w.close()
-            return n
-        spill()
+            def spill():
+                nonlocal raws, keys, used, pending
+                if not raws:
+                    return
+                # chunks list stays in input order (merge-stability contract)
+                if pending is not None:
+                    chunks.append(pending.result())
+                    pending = None
+                if pool is not None:
+                    pending = pool.submit(do_spill, raws, keys)
+                else:
+                    chunks.append(do_spill(raws, keys))
+                raws = []
+                keys = []
+                used = 0
+
+            for raw in reader.iter_raw():
+                raws.append(raw)
+                keys.append(_composite_key(raw))
+                n += 1
+                used += len(raw) + 64
+                if used >= chunk_budget:
+                    spill()
+
+            dest = sys.stdout.buffer if output == "-" else output
+            level = 0 if output == "-" else 6
+            if not chunks and pending is None:
+                # single in-memory chunk: write directly
+                order = _sort_chunk(raws, keys)
+                w = BamWriter(dest, header, level=level, n_threads=n_threads)
+                try:
+                    for i in order:
+                        w.write_raw(raws[i])
+                finally:
+                    w.close()
+                return n
+            spill()
+            if pending is not None:
+                chunks.append(pending.result())
+                pending = None
+    finally:
+        if pending is not None:
+            chunks.append(pending.result())
+        if pool is not None:
+            pool.shutdown(wait=True)
 
     readers = [BamReader(c) for c in chunks]
     try:

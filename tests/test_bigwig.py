@@ -108,3 +108,58 @@ def test_bigwig_chunk_spanning_three_chromosomes(tmp_path):
 
         with pytest.raises(ValueError, match="chrUnknown"):
             list(r.intervals("chrUnknown"))
+
+
+def test_zoom_levels_emitted_and_consistent(tmp_path):
+    """Zoom headers + per-level aggregated records (libBigWig parity,
+    bigwig_utils.rs:7-23): bin summaries must reconcile exactly with the
+    full-resolution data."""
+    import numpy as np
+
+    from portello_tpu.auxlib.bigwig import BigWigReader, write_bigwig
+
+    rng = np.random.default_rng(5)
+    chroms = [("chr1", 100_000), ("chr2", 40_000)]
+    ivs = []
+    for name, ln in chroms:
+        pos = 0
+        while pos < ln - 50:
+            span = int(rng.integers(5, 40))
+            ivs.append((name, pos, pos + span, float(rng.integers(1, 9))))
+            pos += span + int(rng.integers(0, 30))
+    path = str(tmp_path / "zoom.bw")
+    write_bigwig(path, chroms, ivs)
+
+    with BigWigReader(path) as r:
+        assert r.zoom_levels >= 2  # ladder reaches whole-chrom scale
+        # reductions ascend 4x
+        reds = [z["reduction"] for z in r.zooms]
+        assert all(b == a * 4 for a, b in zip(reds, reds[1:]))
+        total_valid = sum(e - s for _, s, e, _ in ivs)
+        total_sum = sum(v * (e - s) for _, s, e, v in ivs)
+        for lvl in range(r.zoom_levels):
+            recs = list(r.zoom_records(lvl))
+            assert recs, f"level {lvl} empty"
+            assert sum(rv[3] for rv in recs) == total_valid
+            assert abs(sum(rv[6] for rv in recs) - total_sum) < 1e-3 * total_sum
+            # bins aligned to the reduction and clipped to the chromosome
+            red = reds[lvl]
+            lens = dict(chroms)
+            for name, st, en, valid, mn, mx, sm, ssq in recs:
+                assert st % red == 0
+                assert en <= lens[name]
+                assert 0 < valid <= red
+                assert mn <= mx
+        # full data unchanged by the zoom machinery
+        assert list(r.intervals()) == ivs
+
+
+def test_zoom_skipped_for_tiny_tracks(tmp_path):
+    from portello_tpu.auxlib.bigwig import BigWigReader, write_bigwig
+
+    path = str(tmp_path / "tiny.bw")
+    # mean span 10 -> first reduction 100 >= longest chrom (60): no zooms
+    write_bigwig(path, [("c", 60)], [("c", 0, 10, 1.0), ("c", 20, 30, 2.0)])
+    with BigWigReader(path) as r:
+        assert r.zoom_levels == 0
+        assert list(r.intervals()) == [("c", 0, 10, 1.0), ("c", 20, 30, 2.0)]

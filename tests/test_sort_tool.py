@@ -54,3 +54,52 @@ def test_sort_spill_path_identical(tmp_path):
     sort_bam(str(src), str(b), mem_bytes=4096, tmp_dir=str(tmp_path))
     assert _raws(a)[0] == _raws(b)[0]
     assert not list(tmp_path.glob("ptpu_sort_*.bam")), "spill temp leak"
+
+
+def test_parallel_sort_byte_identical_across_threads_and_budgets(tmp_path):
+    """The threaded spill pipeline (numpy stable argsort + async chunk
+    write) must reproduce the single-thread output byte-for-byte at every
+    chunk-budget partitioning, including placed pos=-1 records (the
+    composite-key +1 mapping)."""
+    import struct
+
+    import numpy as np
+
+    from portello_tpu.io.bam import BamHeader, BamRecord, BamWriter
+    from portello_tpu.ops import cigar as cg
+
+    rng = np.random.default_rng(77)
+    header = BamHeader.from_refs(
+        [("c1", 1_000_000), ("c2", 1_000_000)],
+        b"@SQ\tSN:c1\tLN:1000000\n@SQ\tSN:c2\tLN:1000000\n",
+    )
+    src = str(tmp_path / "in.bam")
+    w = BamWriter(src, header, level=1)
+    for i in range(3000):
+        tid = int(rng.integers(-1, 2))
+        pos = -1 if tid < 0 else int(rng.integers(0, 1_000_000))
+        w.write(BamRecord(
+            qname=f"r{i}".encode(), flag=4 if tid < 0 else 0, tid=tid,
+            pos=pos, mapq=30,
+            cigar=cg.cigar((cg.M, 8)) if tid >= 0 else cg.EMPTY.copy(),
+            seq=np.frombuffer(b"ACGTACGT", np.uint8).copy(),
+            qual=np.full(8, 30, np.uint8),
+        ))
+    w.close()
+
+    outs = set()
+    for threads, mem in ((1, 1 << 30), (1, 64 << 10), (4, 64 << 10),
+                         (4, 16 << 10)):
+        out = str(tmp_path / f"o_{threads}_{mem}.bam")
+        n = sort_bam(src, out, n_threads=threads, mem_bytes=mem)
+        assert n == 3000
+        outs.add(open(out, "rb").read())
+    assert len(outs) == 1
+
+    with BamReader(str(tmp_path / "o_1_65536.bam")) as r:
+        last = (-1, -1)
+        for raw in r.iter_raw():
+            tid, pos = struct.unpack_from("<ii", raw, 0)
+            k = (tid & 0xFFFFFFFF, pos)
+            assert k >= last
+            last = k
