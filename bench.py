@@ -660,7 +660,10 @@ def main():
 
 
 if __name__ == "__main__":
-    if os.environ.get("PTPU_BENCH_E2E") == "1":
+    if (
+        os.environ.get("PTPU_BENCH_E2E") == "1"
+        or os.environ.get("PTPU_BENCH_OFFLOAD") == "1"
+    ):
         e2e_main()
     else:
         main()

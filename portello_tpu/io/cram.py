@@ -41,6 +41,14 @@ CRAM_EOF = bytes.fromhex(
     "0f000000ffffffff0fe0454f4600000000010005bdd94f0001000606010001"
     "000100ee63014b"
 )
+# canonical CRAM v2.1 EOF container: the same sentinel (ref -1, start
+# 0x454F46 'EOF', one 6-byte raw block) minus the two CRC32 fields v3
+# added — 30 bytes, matching htslib's 2.x constant:
+#   len=11 | ref itf8 -1 | start itf8 0x454F46 | span nrec counter bases
+#   nblocks nland | block hdr 00 01 00 06 06 | data 010001000100
+CRAM_EOF_V2 = bytes.fromhex(
+    "0b000000ffffffff0fe0454f46000000000100" "0001000606" "010001000100"
+)
 
 # block compression methods (CRAM 3.1 adds 5-8)
 RAW, GZIP, BZIP2, LZMA, RANS4X8 = 0, 1, 2, 3, 4
@@ -498,7 +506,9 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
     raise CramFormatError(f"unsupported CRAM block method {method}")
 
 
-def read_block(buf: bytes, off: int) -> tuple[Block, int]:
+def read_block(
+    buf: bytes, off: int, version: tuple[int, int] = (3, 0)
+) -> tuple[Block, int]:
     start = off
     method = buf[off]
     ctype = buf[off + 1]
@@ -508,24 +518,29 @@ def read_block(buf: bytes, off: int) -> tuple[Block, int]:
     raw, off = read_itf8(buf, off)
     data = buf[off : off + comp]
     off += comp
-    # CRAM 3.0 mandates the block CRC32 (over method..compressed data);
-    # htslib validates it on read — a passing size check alone would let
-    # bit flips flow through as silent base/qual corruption
-    stored = struct.unpack_from("<I", buf, off)[0]
-    computed = zlib.crc32(buf[start:off]) & 0xFFFFFFFF
-    if stored != computed:
-        raise CramFormatError(
-            f"CRAM block CRC mismatch (stored {stored:#x}, "
-            f"computed {computed:#x})"
-        )
-    off += 4
+    if version >= (3, 0):
+        # CRAM 3.0 mandates the block CRC32 (over method..compressed data);
+        # htslib validates it on read — a passing size check alone would let
+        # bit flips flow through as silent base/qual corruption.  2.x blocks
+        # have no CRC field at all.
+        stored = struct.unpack_from("<I", buf, off)[0]
+        computed = zlib.crc32(buf[start:off]) & 0xFFFFFFFF
+        if stored != computed:
+            raise CramFormatError(
+                f"CRAM block CRC mismatch (stored {stored:#x}, "
+                f"computed {computed:#x})"
+            )
+        off += 4
     out = _decompress(method, data, raw)
     if len(out) != raw:
         raise CramFormatError("CRAM block raw size mismatch")
     return Block(method, ctype, cid, out), off
 
 
-def write_block(method: int, ctype: int, cid: int, data: bytes) -> bytes:
+def write_block(
+    method: int, ctype: int, cid: int, data: bytes,
+    version: tuple[int, int] = (3, 0),
+) -> bytes:
     if method == GZIP:
         comp = zlib.compress(data, 6)
     elif method == RANS4X8:
@@ -546,7 +561,8 @@ def write_block(method: int, ctype: int, cid: int, data: bytes) -> bytes:
     body += write_itf8(len(comp))
     body += write_itf8(len(data))
     body += comp
-    body += struct.pack("<I", zlib.crc32(bytes(body)) & 0xFFFFFFFF)
+    if version >= (3, 0):
+        body += struct.pack("<I", zlib.crc32(bytes(body)) & 0xFFFFFFFF)
     return bytes(body)
 
 
@@ -563,7 +579,9 @@ class ContainerHeader:
     landmarks: list[int] = field(default_factory=list)
 
 
-def read_container_header(f) -> ContainerHeader | None:
+def read_container_header(
+    f, version: tuple[int, int] = (3, 0)
+) -> ContainerHeader | None:
     head = f.read(4)
     if len(head) < 4:
         return None
@@ -587,7 +605,12 @@ def read_container_header(f) -> ContainerHeader | None:
     start, off = r(read_itf8, off)
     span, off = r(read_itf8, off)
     n_records, off = r(read_itf8, off)
-    record_counter, off = r(read_ltf8, off)
+    # v2.x stores the record counter as itf8 (htslib widened it to ltf8 in
+    # 3.0); num_bases is ltf8 in both
+    if version >= (3, 0):
+        record_counter, off = r(read_ltf8, off)
+    else:
+        record_counter, off = r(read_itf8, off)
     bases, off = r(read_ltf8, off)
     n_blocks, off = r(read_itf8, off)
     n_land, off = r(read_itf8, off)
@@ -595,19 +618,20 @@ def read_container_header(f) -> ContainerHeader | None:
     for _ in range(n_land):
         v, off = r(read_itf8, off)
         landmarks.append(v)
-    while len(rest) < off + 4:
-        more = f.read(64)
-        if not more:
-            raise CramFormatError("truncated CRAM container header")
-        rest.extend(more)
-    stored = struct.unpack_from("<I", rest, off)[0]
-    computed = zlib.crc32(head + bytes(rest[:off])) & 0xFFFFFFFF
-    if stored != computed:
-        raise CramFormatError(
-            f"CRAM container header CRC mismatch (stored {stored:#x}, "
-            f"computed {computed:#x})"
-        )
-    off += 4
+    if version >= (3, 0):
+        while len(rest) < off + 4:
+            more = f.read(64)
+            if not more:
+                raise CramFormatError("truncated CRAM container header")
+            rest.extend(more)
+        stored = struct.unpack_from("<I", rest, off)[0]
+        computed = zlib.crc32(head + bytes(rest[:off])) & 0xFFFFFFFF
+        if stored != computed:
+            raise CramFormatError(
+                f"CRAM container header CRC mismatch (stored {stored:#x}, "
+                f"computed {computed:#x})"
+            )
+        off += 4
     f.seek(off - len(rest), 1)  # rewind unread tail
     return ContainerHeader(
         length, ref_id, start, span, n_records, record_counter, bases,
@@ -615,20 +639,27 @@ def read_container_header(f) -> ContainerHeader | None:
     )
 
 
-def write_container_header(h: ContainerHeader) -> bytes:
+def write_container_header(
+    h: ContainerHeader, version: tuple[int, int] = (3, 0)
+) -> bytes:
     body = bytearray()
     body += write_itf8(h.ref_id)
     body += write_itf8(h.start)
     body += write_itf8(h.span)
     body += write_itf8(h.n_records)
-    body += write_ltf8(h.record_counter)
+    if version >= (3, 0):
+        body += write_ltf8(h.record_counter)
+    else:
+        body += write_itf8(h.record_counter)
     body += write_ltf8(h.bases)
     body += write_itf8(h.n_blocks)
     body += write_itf8(len(h.landmarks))
     for v in h.landmarks:
         body += write_itf8(v)
     out = struct.pack("<i", h.length) + bytes(body)
-    return out + struct.pack("<I", zlib.crc32(out) & 0xFFFFFFFF)
+    if version >= (3, 0):
+        out += struct.pack("<I", zlib.crc32(out) & 0xFFFFFFFF)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -943,19 +974,21 @@ class CramReader:
         if magic[:4] != CRAM_MAGIC:
             raise CramFormatError(f"{path}: not a CRAM file")
         self.version = (magic[4], magic[5])
-        if self.version[0] != 3:
-            # v2 containers have no CRC32 fields — parsing them with the v3
-            # layout desynchronizes every offset, so reject clearly
+        # 2.1 (no container/block CRCs, itf8 record counter) and 3.x are
+        # implemented; 2.0 predates the record-counter/bases fields and
+        # 1.x is a different container model — reject those clearly
+        # instead of desynchronizing every offset
+        if self.version not in ((2, 1),) and self.version[0] != 3:
             raise CramFormatError(
                 f"{path}: CRAM version {self.version[0]}.{self.version[1]} "
-                "not supported (this reader implements CRAM 3.x)"
+                "not supported (this reader implements CRAM 2.1 and 3.x)"
             )
         self.f.read(20)  # file id
         self.reference = reference
         # first container: SAM header text
-        h = read_container_header(self.f)
+        h = read_container_header(self.f, self.version)
         body = self.f.read(h.length)
-        blk, _ = read_block(body, 0)
+        blk, _ = read_block(body, 0, self.version)
         if blk.content_type != FILE_HEADER:
             raise CramFormatError("missing CRAM file header block")
         ln = struct.unpack_from("<i", blk.data, 0)[0]
@@ -982,7 +1015,7 @@ class CramReader:
 
     def __iter__(self):
         while True:
-            h = read_container_header(self.f)
+            h = read_container_header(self.f, self.version)
             if h is None:
                 return
             body = self.f.read(h.length)
@@ -993,12 +1026,12 @@ class CramReader:
     # -- container decode --
     def _decode_container(self, h: ContainerHeader, body: bytes):
         off = 0
-        blk, off = read_block(body, off)
+        blk, off = read_block(body, off, self.version)
         if blk.content_type != COMPRESSION_HEADER:
             raise CramFormatError("expected compression header block")
         ch = parse_compression_header(blk.data)
         while off < len(body):
-            sh_blk, off = read_block(body, off)
+            sh_blk, off = read_block(body, off, self.version)
             if sh_blk.content_type != SLICE_HEADER:
                 raise CramFormatError("expected slice header block")
             # slice header
@@ -1008,7 +1041,11 @@ class CramReader:
             s_start, p = read_itf8(d, p)
             s_span, p = read_itf8(d, p)
             s_nrec, p = read_itf8(d, p)
-            _s_counter, p = read_ltf8(d, p)
+            # slice record counter mirrors the container field's width
+            if self.version >= (3, 0):
+                _s_counter, p = read_ltf8(d, p)
+            else:
+                _s_counter, p = read_itf8(d, p)
             s_nblocks, p = read_itf8(d, p)
             n_ids, p = read_itf8(d, p)
             for _ in range(n_ids):
@@ -1018,7 +1055,7 @@ class CramReader:
             core = b""
             external: dict[int, bytes] = {}
             for _ in range(s_nblocks):
-                b, off = read_block(body, off)
+                b, off = read_block(body, off, self.version)
                 if b.content_type == CORE_T:
                     core = b.data
                 else:
@@ -1385,12 +1422,14 @@ def _decode_tag_value(tag: bytes, ty: bytes, raw: bytes):
 
 def check_cram_eof(path: str) -> bool:
     with open(path, "rb") as f:
+        ver = f.read(6)[4:6]
+        eof = CRAM_EOF_V2 if ver and ver[0] == 2 else CRAM_EOF
         f.seek(0, 2)
         sz = f.tell()
-        if sz < len(CRAM_EOF):
+        if sz < len(eof):
             return False
-        f.seek(sz - len(CRAM_EOF))
-        return f.read(len(CRAM_EOF)) == CRAM_EOF
+        f.seek(sz - len(eof))
+        return f.read(len(eof)) == eof
 
 
 def is_cram(path: str) -> bool:
@@ -1413,12 +1452,15 @@ _RN_ID, _IN_ID, _SC_ID, _BB_ID, _QQ_ID, _TAG_ID = 30, 31, 32, 33, 34, 40
 
 
 class CramWriter:
-    """Minimal spec-valid CRAM 3.0/3.1 writer (one slice per container).
+    """Minimal spec-valid CRAM 2.1/3.0/3.1 writer (one slice per container).
 
     ``version=(3, 1)`` stamps the 3.1 magic and compresses external blocks
     with rANS Nx16 (method 5) instead of gzip, producing files only a 3.1
     reader accepts — the e2e conformance vector for this repo's 3.1 decode
-    path (htslib is not in-image to produce one).
+    path (htslib is not in-image to produce one).  ``version=(2, 1)``
+    emits the legacy layout (no container/block CRCs, itf8 record
+    counters, the 30-byte v2 EOF, gzip-only block methods) as the
+    conformance vector for the 2.1 read path.
     """
 
     def __init__(
@@ -1428,7 +1470,7 @@ class CramWriter:
         records_per_slice: int = 1000,
         version: tuple[int, int] = (3, 0),
     ):
-        if version not in ((3, 0), (3, 1)):
+        if version not in ((2, 1), (3, 0), (3, 1)):
             raise CramFormatError(f"unsupported CRAM write version {version}")
         self.f = open(path, "wb")
         self.header = header
@@ -1458,9 +1500,9 @@ class CramWriter:
         if extra:
             text = text + extra.encode()
         hdr_payload = struct.pack("<i", len(text)) + text
-        blk = write_block(GZIP, FILE_HEADER, 0, hdr_payload)
+        blk = write_block(GZIP, FILE_HEADER, 0, hdr_payload, self.version)
         ch = ContainerHeader(len(blk), 0, 0, 0, 0, 0, 0, 1, [0])
-        self.f.write(write_container_header(ch))
+        self.f.write(write_container_header(ch, self.version))
         self.f.write(blk)
 
     def write(self, rec: BamRecord) -> None:
@@ -1470,7 +1512,7 @@ class CramWriter:
 
     def close(self) -> None:
         self._flush()
-        self.f.write(CRAM_EOF)
+        self.f.write(CRAM_EOF_V2 if self.version < (3, 0) else CRAM_EOF)
         self.f.close()
 
     def __enter__(self):
@@ -1681,17 +1723,18 @@ class CramWriter:
             + write_itf8(len(series_blob)) + series_blob
             + write_itf8(len(tag_blob)) + tag_blob
         )
-        chdr_blk = write_block(GZIP, COMPRESSION_HEADER, 0, chdr)
+        chdr_blk = write_block(GZIP, COMPRESSION_HEADER, 0, chdr, self.version)
 
         # slice blocks: core (empty) + externals
         ext_ids = sorted(streams)
-        blocks = [write_block(RAW, CORE_T, 0, b"")]
+        blocks = [write_block(RAW, CORE_T, 0, b"", self.version)]
         for cid in ext_ids:
             method = self._ext_method
             if cid == _RN_ID and self.version >= (3, 1):
                 method = TOK3  # htslib's 3.1 default for the RN series
             blocks.append(
-                write_block(method, EXTERNAL_T, cid, bytes(streams[cid]))
+                write_block(method, EXTERNAL_T, cid, bytes(streams[cid]),
+            self.version)
             )
 
         span = max(s_end - (s_start - 1), 0) if not multi_ref and starts else 0
@@ -1700,7 +1743,10 @@ class CramWriter:
         sh += write_itf8(s_start if starts and not multi_ref else 0)
         sh += write_itf8(span)
         sh += write_itf8(len(recs))
-        sh += write_ltf8(self.counter)
+        if self.version >= (3, 0):
+            sh += write_ltf8(self.counter)
+        else:
+            sh += write_itf8(self.counter)
         sh += write_itf8(len(blocks))
         # content-id list covers EXTERNAL blocks only (htslib convention:
         # num_content_ids = num_blocks - 1; the core block has no id)
@@ -1711,7 +1757,7 @@ class CramWriter:
         sh += b"\x00" * 16    # MD5 (unchecked by this reader)
         # spec section 8.5: the slice header block MUST be uncompressed
         # (htslib rejects non-RAW slice headers)
-        sh_blk = write_block(RAW, SLICE_HEADER, 0, bytes(sh))
+        sh_blk = write_block(RAW, SLICE_HEADER, 0, bytes(sh), self.version)
 
         body = chdr_blk + sh_blk + b"".join(blocks)
         h = ContainerHeader(
@@ -1726,5 +1772,5 @@ class CramWriter:
             [len(chdr_blk)],
         )
         self.counter += len(recs)
-        self.f.write(write_container_header(h))
+        self.f.write(write_container_header(h, self.version))
         self.f.write(body)

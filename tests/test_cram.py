@@ -455,11 +455,43 @@ def test_cram_block_crc_detects_corruption(tmp_path):
             list(r)
 
 
-def test_cram_rejects_v2(tmp_path):
-    p = tmp_path / "v2.cram"
-    p.write_bytes(b"CRAM\x02\x01" + b"\x00" * 20)
-    with pytest.raises(cram.CramFormatError, match="version 2.1"):
-        cram.CramReader(str(p))
+def test_cram_rejects_v20_and_v1(tmp_path):
+    """2.1 decodes (see test_cram_21_roundtrip_scenario); 2.0 (predates the
+    counter/bases fields) and 1.x must still be rejected clearly."""
+    for ver in (b"\x02\x00", b"\x01\x00"):
+        p = tmp_path / f"v{ver[0]}{ver[1]}.cram"
+        p.write_bytes(b"CRAM" + ver + b"\x00" * 20)
+        with pytest.raises(cram.CramFormatError, match="not supported"):
+            cram.CramReader(str(p))
+
+
+@pytest.mark.parametrize("src", ["read_to_asm.bam", "asm_to_ref.bam"])
+def test_cram_21_roundtrip_scenario(tmp_path, src):
+    """CRAM 2.1 write (no CRCs, itf8 counters, v2 EOF, gzip blocks)
+    decodes identically — the legacy-format read path htslib also covers
+    (reference src/cli.rs:25,32)."""
+    from portello_tpu.testutil.simulate import make_scenario
+
+    make_scenario(str(tmp_path), rng=np.random.default_rng(31))
+    path = tmp_path / src
+    with BamReader(str(path)) as r:
+        recs = list(r)
+        header = r.header
+    cram_path = str(tmp_path / (src + ".v21.cram"))
+    with cram.CramWriter(
+        cram_path, header, records_per_slice=29, version=(2, 1)
+    ) as w:
+        for rec in recs:
+            w.write(rec)
+    with open(cram_path, "rb") as f:
+        assert f.read(6) == b"CRAM\x02\x01"
+    assert cram.check_cram_eof(cram_path)
+    with cram.CramReader(cram_path) as cr:
+        got = list(cr)
+    assert len(got) == len(recs)
+    collapse = src == "asm_to_ref.bam"
+    for a, b in zip(recs, got):
+        assert _norm(a, collapse) == _norm(b), a.qname
 
 
 def test_container_header_many_landmarks_roundtrip():
