@@ -499,10 +499,9 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
 
         return tok3.decode(data)
     if method == ARITH:
-        raise CramFormatError(
-            "CRAM 3.1 adaptive-arithmetic blocks (method 6, archive "
-            "profile) are not supported; re-encode with the normal profile"
-        )
+        from portello_tpu.io import arith_nx16
+
+        return arith_nx16.decode(data, raw_size)
     raise CramFormatError(f"unsupported CRAM block method {method}")
 
 

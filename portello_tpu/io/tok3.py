@@ -21,7 +21,7 @@ byte-for-byte, so (as with the CRAM container itself — see io/cram.py)
 conformance is established by spec-derived structural fixtures plus
 encoder-independent decode tests (tests/test_tok3.py); the token model
 and stream algebra follow the published algorithm.  The arithmetic-coder
-variant (flags bit0) is rejected with a clear error.
+variant (flags bit0) routes the token streams through io/arith_nx16.
 """
 
 from __future__ import annotations
@@ -121,8 +121,11 @@ def _tokenize(name: bytes) -> list[tuple[int, bytes]]:
 # encode
 # ---------------------------------------------------------------------------
 
-def encode(raw: bytes) -> bytes:
-    """Encode a NUL-separated (and NUL-terminated) name blob."""
+def encode(raw: bytes, use_arith: bool = False) -> bytes:
+    """Encode a NUL-separated (and NUL-terminated) name blob.
+
+    ``use_arith`` selects the adaptive-arithmetic entropy layer (flags
+    bit 0) instead of rANS Nx16 for the token streams."""
     if raw and not raw.endswith(b"\x00"):
         raise Tok3Error("name blob must end with the NUL separator")
     names = raw.split(b"\x00")[:-1] if raw else []
@@ -190,7 +193,26 @@ def encode(raw: bytes) -> bytes:
 
     out = bytearray()
     out += struct.pack("<II", len(raw), len(names))
-    out.append(0)  # rANS Nx16 entropy (no arithmetic coder)
+    out.append(1 if use_arith else 0)
+    if use_arith:
+        from portello_tpu.io import arith_nx16
+
+        def _compress(blob: bytes) -> bytes:
+            comp = arith_nx16.encode(blob, order=0)
+            if len(blob) >= 16:
+                alt = arith_nx16.encode(blob, order=1)
+                if len(alt) < len(comp):
+                    comp = alt
+            return comp
+    else:
+        def _compress(blob: bytes) -> bytes:
+            comp = rans_nx16.encode(blob, order=0)
+            if len(blob) >= 16:
+                alt = rans_nx16.encode(blob, order=1)
+                if len(alt) < len(comp):
+                    comp = alt
+            return comp
+
     seen: dict[bytes, tuple[int, int]] = {}
     for pos in range(0, max_pos + 1):
         first = True
@@ -205,10 +227,7 @@ def encode(raw: bytes) -> bytes:
                 out.append(desc | 0x40)
                 out += bytes([dup[0], dup[1]])
             else:
-                comp = rans_nx16.encode(blob, order=0)
-                alt = rans_nx16.encode(blob, order=1) if len(blob) >= 16 else comp
-                if len(alt) < len(comp):
-                    comp = alt
+                comp = _compress(blob)
                 out.append(desc)
                 out += rans_nx16.write_uint7(len(comp))
                 out += comp
@@ -227,10 +246,7 @@ def decode(data: bytes) -> bytes:
         raise Tok3Error("tok3 stream too short")
     ulen, nnames = struct.unpack_from("<II", data, 0)
     flags = data[8]
-    if flags & 1:
-        raise Tok3Error(
-            "tok3 arithmetic-coder variant not supported (rANS profile only)"
-        )
+    use_arith = bool(flags & 1)
     off = 9
     B: dict[tuple[int, int], _Stream] = {}
     pos = -1
@@ -252,9 +268,13 @@ def decode(data: bytes) -> bytes:
             B[(pos, typ)] = _Stream(src.data)
         else:
             clen, off = rans_nx16.read_uint7(data, off)
-            B[(pos, typ)] = _Stream(
-                rans_nx16.decode(data[off : off + clen])
-            )
+            if use_arith:
+                from portello_tpu.io import arith_nx16
+
+                payload = arith_nx16.decode(data[off : off + clen])
+            else:
+                payload = rans_nx16.decode(data[off : off + clen])
+            B[(pos, typ)] = _Stream(payload)
             off += clen
 
     def stream(p: int, t: int) -> _Stream:

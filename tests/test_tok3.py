@@ -81,10 +81,15 @@ def test_hand_built_duplicate_stream_descriptor():
     assert tok3.decode(enc) == raw
 
 
-def test_decode_rejects_arith_flag():
-    enc = struct.pack("<II", 0, 0) + b"\x01"
-    with pytest.raises(tok3.Tok3Error):
-        tok3.decode(enc)
+def test_arith_variant_round_trip():
+    """flags bit 0 routes token streams through the adaptive arithmetic
+    coder (io/arith_nx16) instead of rANS Nx16."""
+    names = [f"movie/read{i}/ccs".encode() for i in range(400)]
+    raw = blob(names)
+    enc = tok3.encode(raw, use_arith=True)
+    assert enc[8] == 1
+    assert tok3.decode(enc) == raw
+    assert len(enc) < len(raw) // 5
 
 
 def test_decode_rejects_length_mismatch():
