@@ -489,11 +489,9 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
 
         return rans_nx16.decode(data, raw_size)
     if method == FQZCOMP:
-        raise CramFormatError(
-            "CRAM 3.1 fqzcomp quality blocks (method 7, archive profile) "
-            "are not supported; re-encode with --output-fmt-option "
-            "version=3.1 normal profile"
-        )
+        from portello_tpu.io import fqzcomp
+
+        return fqzcomp.decode(data, raw_size)
     if method == TOK3:
         from portello_tpu.io import tok3
 
