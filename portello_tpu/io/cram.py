@@ -534,6 +534,22 @@ def read_block(
     return Block(method, ctype, cid, out), off
 
 
+def write_block_precompressed(
+    method: int, ctype: int, cid: int, comp: bytes, raw_len: int,
+    version: tuple[int, int] = (3, 0),
+) -> bytes:
+    """Frame an already-compressed payload (fqzcomp needs record lengths
+    the generic write_block cannot know)."""
+    body = bytearray([method, ctype])
+    body += write_itf8(cid)
+    body += write_itf8(len(comp))
+    body += write_itf8(raw_len)
+    body += comp
+    if version >= (3, 0):
+        body += struct.pack("<I", zlib.crc32(bytes(body)) & 0xFFFFFFFF)
+    return bytes(body)
+
+
 def write_block(
     method: int, ctype: int, cid: int, data: bytes,
     version: tuple[int, int] = (3, 0),
@@ -1466,9 +1482,18 @@ class CramWriter:
         header: BamHeader,
         records_per_slice: int = 1000,
         version: tuple[int, int] = (3, 0),
+        profile: str = "normal",
     ):
         if version not in ((2, 1), (3, 0), (3, 1)):
             raise CramFormatError(f"unsupported CRAM write version {version}")
+        if profile not in ("normal", "archive"):
+            raise CramFormatError(f"unsupported CRAM profile {profile!r}")
+        if profile == "archive" and version < (3, 1):
+            raise CramFormatError(
+                "the archive profile (fqzcomp/arith blocks) requires "
+                "version=(3, 1)"
+            )
+        self.profile = profile
         self.f = open(path, "wb")
         self.header = header
         self.rps = records_per_slice
@@ -1525,6 +1550,7 @@ class CramWriter:
         self.pending = []
 
         streams: dict[int, bytearray] = {}
+        qs_lens: list[int] = []  # per-record QS lengths (fqzcomp framing)
 
         def put_itf8(key: bytes, v: int):
             streams.setdefault(_SERIES_IDS[key], bytearray()).extend(write_itf8(v))
@@ -1671,6 +1697,7 @@ class CramWriter:
                             rpos += ln
                 qual = r.qual if len(r.qual) == rl else np.full(rl, 0xFF, np.uint8)
                 put_raw(_SERIES_IDS[b"QS"], bytes(np.asarray(qual, np.uint8)))
+                qs_lens.append(rl)
                 if r.tid >= 0:
                     s_end = max(s_end, r.pos + cg.get_cigar_ref_offset(r.cigar))
             else:
@@ -1679,6 +1706,7 @@ class CramWriter:
                 )
                 qual = r.qual if len(r.qual) == rl else np.full(rl, 0xFF, np.uint8)
                 put_raw(_SERIES_IDS[b"QS"], bytes(np.asarray(qual, np.uint8)))
+                qs_lens.append(rl)
 
         # compression header
         pres = bytearray()
@@ -1729,9 +1757,31 @@ class CramWriter:
             method = self._ext_method
             if cid == _RN_ID and self.version >= (3, 1):
                 method = TOK3  # htslib's 3.1 default for the RN series
+            data = bytes(streams[cid])
+            if self.profile == "archive":
+                # archive profile: fqzcomp for qualities, adaptive
+                # arithmetic for base/tag byte streams (the htslib archive
+                # layout these codecs exist for)
+                if cid == _SERIES_IDS[b"QS"] and qs_lens:
+                    from portello_tpu.io import fqzcomp
+
+                    blocks.append(write_block_precompressed(
+                        FQZCOMP, EXTERNAL_T, cid,
+                        fqzcomp.encode(data, qs_lens), len(data),
+                        self.version,
+                    ))
+                    continue
+                if cid in (_SERIES_IDS[b"BA"], _TAG_ID):
+                    from portello_tpu.io import arith_nx16
+
+                    blocks.append(write_block_precompressed(
+                        ARITH, EXTERNAL_T, cid,
+                        arith_nx16.encode(data, order=1), len(data),
+                        self.version,
+                    ))
+                    continue
             blocks.append(
-                write_block(method, EXTERNAL_T, cid, bytes(streams[cid]),
-            self.version)
+                write_block(method, EXTERNAL_T, cid, data, self.version)
             )
 
         span = max(s_end - (s_start - 1), 0) if not multi_ref and starts else 0

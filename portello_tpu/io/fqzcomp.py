@@ -343,6 +343,11 @@ def encode(
     """
     if sum(lens) != len(quals):
         raise FqzError("lens do not sum to the quality bytes")
+    if rev is not None:
+        rev = [r for r, ln in zip(rev, lens) if ln > 0]
+    # zero-length records carry no quality bytes and are invisible to the
+    # decoder's until-n_out framing; encoding them would desynchronize it
+    lens = [ln for ln in lens if ln > 0]
     syms = sorted(set(quals)) if quals else [0]
     if use_qmap is None:
         use_qmap = len(syms) <= 16

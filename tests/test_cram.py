@@ -134,6 +134,60 @@ def test_cram_31_roundtrip_scenario(tmp_path, src):
         assert _norm(a, collapse) == _norm(b), a.qname
 
 
+@pytest.mark.parametrize("src", ["read_to_asm.bam", "asm_to_ref.bam"])
+def test_cram_31_archive_profile_roundtrip(tmp_path, src):
+    """Archive profile: QS rides fqzcomp (method 7), BA/tags ride the
+    adaptive arithmetic coder (method 6), RN rides tok3 — the htslib
+    archive layout, decoded identically through the real container
+    machinery."""
+    from portello_tpu.testutil.simulate import make_scenario
+
+    make_scenario(str(tmp_path), rng=np.random.default_rng(31))
+    path = tmp_path / src
+    with BamReader(str(path)) as r:
+        recs = list(r)
+        header = r.header
+    cram_path = str(tmp_path / (src + ".arch.cram"))
+    with cram.CramWriter(
+        cram_path, header, records_per_slice=43, version=(3, 1),
+        profile="archive",
+    ) as w:
+        for rec in recs:
+            w.write(rec)
+    # the archive methods actually appear in the blocks
+    methods = set()
+    with open(cram_path, "rb") as f:
+        f.read(26)
+        while True:
+            h = cram.read_container_header(f)
+            if h is None:
+                break
+            body = f.read(h.length)
+            off = 0
+            while off < len(body):
+                blk, off = cram.read_block(body, off)
+                methods.add(blk.method)
+    assert cram.FQZCOMP in methods
+    assert cram.ARITH in methods
+    with cram.CramReader(cram_path) as cr:
+        got = list(cr)
+    assert len(got) == len(recs)
+    collapse = src == "asm_to_ref.bam"
+    for a, b in zip(recs, got):
+        assert _norm(a, collapse) == _norm(b), a.qname
+
+
+def test_cram_archive_profile_requires_31(tmp_path):
+    from portello_tpu.io.bam import BamHeader
+
+    header = BamHeader.from_refs([("c", 100)], b"@SQ\tSN:c\tLN:100\n")
+    with pytest.raises(cram.CramFormatError, match="archive"):
+        cram.CramWriter(
+            str(tmp_path / "x.cram"), header, version=(3, 0),
+            profile="archive",
+        )
+
+
 def test_cram_31_blocks_use_method5(tmp_path):
     from portello_tpu.io.bam import BamHeader, BamRecord
 
