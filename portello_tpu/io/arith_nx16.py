@@ -115,6 +115,11 @@ class _RDec:
 
     def get_freq(self, tot: int) -> int:
         self._r = self.range // tot
+        if self._r == 0:
+            # range underflow only happens on corrupt/desynchronized input
+            # (freqs are >= 1 and totals capped well below 2^24); without
+            # this check the renorm loop below would spin on range == 0
+            raise ArithError("range coder underflow (corrupt stream)")
         return min(self.code // self._r, tot - 1)
 
     def decode(self, cum: int, freq: int) -> None:
@@ -274,7 +279,14 @@ def decode(data: bytes, n_out: int | None = None) -> bytes:
     flags = data[off]
     off += 1
     if not flags & NOSZ:
-        n_out, off = read_uint7(data, off)
+        embedded, off = read_uint7(data, off)
+        # caller-supplied length (the CRAM block raw size) bounds the work
+        # a corrupt length field can demand — check before decoding
+        if n_out is not None and embedded != n_out:
+            raise ArithError(
+                f"stream length {embedded} != declared block size {n_out}"
+            )
+        n_out = embedded
     if n_out is None:
         raise ArithError("NOSZ stream requires an external length")
     if n_out == 0:
@@ -291,6 +303,8 @@ def decode(data: bytes, n_out: int | None = None) -> bytes:
         P = list(data[off : off + nsym])
         off += nsym
         n_out, off = read_uint7(data, off)
+        if n_out > pack_len:  # packing never expands; bounds corrupt work
+            raise ArithError("PACK length exceeds output size")
 
     if flags & CAT:
         out = data[off : off + n_out]

@@ -481,7 +481,15 @@ def decode(data: bytes, n_out: int | None = None) -> bytes:
     flags = data[off]
     off += 1
     if not flags & NOSZ:
-        n_out, off = read_uint7(data, off)
+        embedded, off = read_uint7(data, off)
+        # a caller-supplied length (the CRAM block's raw size) must agree
+        # with the stream's own — checking BEFORE decoding bounds the work
+        # a corrupt/hostile length field can demand
+        if n_out is not None and embedded != n_out:
+            raise RansNx16Error(
+                f"stream length {embedded} != declared block size {n_out}"
+            )
+        n_out = embedded
     if n_out is None:
         raise RansNx16Error("NOSZ stream requires an external length")
     if n_out == 0:
@@ -499,12 +507,16 @@ def decode(data: bytes, n_out: int | None = None) -> bytes:
         P = list(data[off : off + nsym])
         off += nsym
         n_out, off = read_uint7(data, off)
+        if n_out > pack_len:  # packing never expands; bounds corrupt work
+            raise RansNx16Error("PACK length exceeds output size")
 
     rle_len = n_out
     rle_meta = None
     if flags & RLE:
         rmlen, off = read_uint7(data, off)
         n_out, off = read_uint7(data, off)
+        if n_out > rle_len:  # RLE literals never exceed the expansion
+            raise RansNx16Error("RLE literal length exceeds output size")
         if rmlen & 1:
             rle_meta = data[off : off + (rmlen >> 1)]
             off += rmlen >> 1
