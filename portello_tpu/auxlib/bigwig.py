@@ -77,6 +77,33 @@ def _zoom_records(items, reduction: int, chrom_lens: list[int]):
     return out
 
 
+def _zoom_reduce(prev, reduction: int, chrom_lens: list[int]):
+    """Build the next ladder level from the previous level's records.
+
+    Levels step by 4x and bins align, so each coarse bin is the exact
+    combination of its (up to 4) fine bins — identical records to a fresh
+    `_zoom_records` pass at a fraction of the cost (the fine records
+    shrink 4x per level; the raw interval list does not)."""
+    recs: dict[tuple[int, int], list[float]] = {}
+    for cid, st, _en, valid, mn, mx, sm, ssq in prev:
+        b = st // reduction
+        r = recs.get((cid, b))
+        if r is None:
+            recs[(cid, b)] = [valid, mn, mx, sm, ssq]
+        else:
+            r[0] += valid
+            r[1] = min(r[1], mn)
+            r[2] = max(r[2], mx)
+            r[3] += sm
+            r[4] += ssq
+    out = []
+    for cid, b in sorted(recs):
+        valid, mn, mx, sm, ssq = recs[(cid, b)]
+        end = min((b + 1) * reduction, chrom_lens[cid])
+        out.append((cid, b * reduction, end, int(valid), mn, mx, sm, ssq))
+    return out
+
+
 @dataclass
 class _Section:
     chrom_id: int
@@ -177,8 +204,13 @@ def write_bigwig(path: str, chroms: list[tuple[str, int]], intervals) -> None:
         # sections (split at chromosome changes, like the data sections)
         # followed by that level's own R-tree
         zoom_offsets: list[tuple[int, int, int]] = []
+        zrecs = None
         for red in reductions:
-            zrecs = _zoom_records(items, red, chrom_lens)
+            zrecs = (
+                _zoom_records(items, red, chrom_lens)
+                if zrecs is None
+                else _zoom_reduce(zrecs, red, chrom_lens)
+            )
             zdata_offset = f.tell()
             f.write(struct.pack("<I", len(zrecs)))
             zsections: list[_Section] = []

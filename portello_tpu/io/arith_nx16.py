@@ -218,13 +218,22 @@ def _encode_o1(raw: bytes) -> bytes:
     return rc.finish()
 
 
-def _decode_rle(data: bytes, pos: int, n_out: int) -> bytes:
+def _decode_rle(data: bytes, pos: int, n_out: int, order1: bool) -> bytes:
+    """Inline lit/run RLE.  With ORDER1 the literal model is conditioned on
+    the previous literal (htscodecs arith O1+RLE); run models are shared."""
     rc = _RDec(data, pos)
-    lit_m = _Model()
+    lit_models: list = [None] * 256 if order1 else [_Model()]
     run_m = [None] * 258
     out = bytearray()
+    last = 0
     while len(out) < n_out:
-        lit = lit_m.dec(rc)
+        if order1:
+            lm = lit_models[last]
+            if lm is None:
+                lm = lit_models[last] = _Model()
+        else:
+            lm = lit_models[0]
+        lit = lm.dec(rc)
         k = lit
         run = 0
         while True:
@@ -237,24 +246,32 @@ def _decode_rle(data: bytes, pos: int, n_out: int) -> bytes:
                 break
             k = 256 if k == lit else 257
         out += bytes([lit]) * (run + 1)
+        last = lit
     if len(out) != n_out:
         raise ArithError("arith RLE expansion length mismatch")
     return bytes(out)
 
 
-def _encode_rle(raw: bytes) -> bytes:
+def _encode_rle(raw: bytes, order1: bool) -> bytes:
     rc = _REnc()
-    lit_m = _Model()
+    lit_models: list = [None] * 256 if order1 else [_Model()]
     run_m = [None] * 258
     i = 0
     n = len(raw)
+    last = 0
     while i < n:
         lit = raw[i]
         j = i
         while j < n and raw[j] == lit:
             j += 1
         run = j - i - 1
-        lit_m.enc(rc, lit)
+        if order1:
+            lm = lit_models[last]
+            if lm is None:
+                lm = lit_models[last] = _Model()
+        else:
+            lm = lit_models[0]
+        lm.enc(rc, lit)
         k = lit
         while True:
             part = min(run, 255)
@@ -266,6 +283,7 @@ def _encode_rle(raw: bytes) -> bytes:
             if part != 255:
                 break
             k = 256 if k == lit else 257
+        last = lit
         i = j
     return rc.finish()
 
@@ -315,9 +333,9 @@ def decode(data: bytes, n_out: int | None = None) -> bytes:
         if len(out) != n_out:
             raise ArithError("EXT (bzip2) payload length mismatch")
     elif flags & RLE:
-        # RLE is inline (adaptive lit/run models), order bit selects the
-        # literal context scheme htscodecs uses order-0 models for
-        out = _decode_rle(data, off, n_out)
+        # RLE is inline (adaptive lit/run models); ORDER1 conditions the
+        # literal model on the previous literal
+        out = _decode_rle(data, off, n_out, bool(flags & ORDER1))
     elif flags & ORDER1:
         out = _decode_o1(data, off, n_out)
     else:
@@ -329,21 +347,9 @@ def decode(data: bytes, n_out: int | None = None) -> bytes:
 
 
 def _decode_stripe(data: bytes, off: int, n_out: int) -> bytes:
-    N = data[off]
-    off += 1
-    clens = []
-    for _ in range(N):
-        c, off = read_uint7(data, off)
-        clens.append(c)
-    parts = []
-    for j in range(N):
-        ulen = n_out // N + (1 if n_out % N > j else 0)
-        parts.append(decode(data[off : off + clens[j]], ulen))
-        off += clens[j]
-    out = bytearray(n_out)
-    for j in range(N):
-        out[j::N] = parts[j]
-    return bytes(out)
+    from portello_tpu.io.rans_nx16 import stripe_decode
+
+    return stripe_decode(data, off, n_out, decode, ArithError)
 
 
 def encode(
@@ -391,7 +397,7 @@ def encode(
         body = bz2.compress(payload)
     elif use_rle:
         flags |= RLE | (ORDER1 if order else 0)
-        body = _encode_rle(payload)
+        body = _encode_rle(payload, order1=bool(order))
     elif order == 1:
         flags |= ORDER1
         body = _encode_o1(payload)

@@ -543,9 +543,13 @@ def decode(data: bytes, n_out: int | None = None) -> bytes:
     return out
 
 
-def _decode_stripe(data: bytes, off: int, n_out: int) -> bytes:
+def stripe_decode(data: bytes, off: int, n_out: int, decode_fn, err_cls):
+    """Shared STRIPE framing (also used by the arith codec): N byte, uint7
+    compressed lengths, byte-interleaved substreams."""
     N = data[off]
     off += 1
+    if N == 0:
+        raise err_cls("STRIPE with zero substreams")
     clens = []
     for _ in range(N):
         c, off = read_uint7(data, off)
@@ -553,12 +557,18 @@ def _decode_stripe(data: bytes, off: int, n_out: int) -> bytes:
     parts = []
     for j in range(N):
         ulen = n_out // N + (1 if n_out % N > j else 0)
-        parts.append(decode(data[off : off + clens[j]], ulen))
+        parts.append(decode_fn(data[off : off + clens[j]], ulen))
         off += clens[j]
     out = bytearray(n_out)
     for j in range(N):
+        if len(parts[j]) != len(out[j::N]):
+            raise err_cls("STRIPE substream length mismatch")
         out[j::N] = parts[j]
     return bytes(out)
+
+
+def _decode_stripe(data: bytes, off: int, n_out: int) -> bytes:
+    return stripe_decode(data, off, n_out, decode, RansNx16Error)
 
 
 def encode(

@@ -290,12 +290,16 @@ def decode(data: bytes) -> bytes:
         if t0 == T_DUP:
             dist = stream(0, T_DUP).u32()
             ref_i = i - 1 - dist
+            if ref_i < 0:  # negative indexing would alias the wrong name
+                raise Tok3Error(f"name {i}: DUP distance {dist} out of range")
             names.append(names[ref_i])
             tok_lists.append(tok_lists[ref_i])
             continue
         if t0 != T_DIFF:
             raise Tok3Error(f"name {i}: expected DIFF/DUP, got {t0}")
         dist = stream(0, T_DIFF).u32()
+        if i > 0 and i - 1 - dist < 0:
+            raise Tok3Error(f"name {i}: DIFF distance {dist} out of range")
         ref = tok_lists[i - 1 - dist] if i > 0 else []
         toks: list[tuple[int, bytes]] = []
         p = 1

@@ -476,11 +476,20 @@ def scan_and_remap_reads_native(
             push_reader=push_handle,
         )
     except BaseException:
-        # create failed: the scanner did NOT take reader ownership
+        # create failed: the scanner did NOT take reader ownership.  The
+        # unbounded join is deliberate: after push_close the feeder's next
+        # push returns -1, so it can only be finishing bounded decode work —
+        # and closing the reader under a live producer would be a
+        # use-after-free (ptio.cc push-mode contract).
         if push_handle is not None:
             lib.ptio_reader_push_close(push_handle)
-            feeder.join(timeout=30)
+            feeder.join()
             lib.ptio_reader_close(push_handle)
+            exc = feeder_state.get("exc")
+            if exc is not None and not isinstance(exc, _FeederAborted):
+                # the producer's own error (e.g. a CRAM decode failure that
+                # truncated the header mid-push) explains the create failure
+                raise exc from None
         raise
 
     genome_kb = sum(ci.length for ci in contig_list.data) // 1000

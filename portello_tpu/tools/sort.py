@@ -72,7 +72,7 @@ def _composite_key(raw: bytes) -> int:
     return ((tid & 0xFFFFFFFF) << 32) | (pos + 1)
 
 
-def _sort_chunk(raws, keys):
+def _sort_chunk(keys):
     """Stable C-speed ordering of one chunk (numpy argsort over the
     composite key — the GIL-bound tuple sort was the serial bottleneck)."""
     import numpy as np
@@ -101,7 +101,7 @@ def _sort_bam_inner(input_path, output, n_threads, mem_bytes, tmp_dir, chunks):
             used = 0
 
             def do_spill(chunk_raws, chunk_keys):
-                order = _sort_chunk(chunk_raws, chunk_keys)
+                order = _sort_chunk(chunk_keys)
                 fd, path = tempfile.mkstemp(
                     suffix=".bam", prefix="ptpu_sort_", dir=tmp_dir
                 )
@@ -144,7 +144,7 @@ def _sort_bam_inner(input_path, output, n_threads, mem_bytes, tmp_dir, chunks):
             level = 0 if output == "-" else 6
             if not chunks and pending is None:
                 # single in-memory chunk: write directly
-                order = _sort_chunk(raws, keys)
+                order = _sort_chunk(keys)
                 w = BamWriter(dest, header, level=level, n_threads=n_threads)
                 try:
                     for i in order:

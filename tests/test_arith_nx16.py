@@ -32,6 +32,7 @@ def _corpus():
         dict(use_pack=True),
         dict(order=1, use_pack=True),
         dict(use_rle=True),
+        dict(order=1, use_rle=True),  # ORDER1 conditions the literal model
         dict(use_rle=True, use_pack=True),
         dict(use_cat=True),
         dict(use_ext=True),

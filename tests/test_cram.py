@@ -430,6 +430,52 @@ def test_cram_native_feed_surfaces_decode_error(tmp_path):
         ])
 
 
+def test_cram_native_feed_surfaces_early_decode_error(tmp_path):
+    """A CRAM that fails while the header container is still being pushed
+    must surface the producer's CramFormatError — not the scanner's
+    misleading 'create failed' (the create-failure path re-raises the
+    feeder's exception)."""
+    from portello_tpu.pipeline import native_feed
+
+    if native_feed.get_lib() is None:
+        pytest.skip(f"ptscan unavailable: {native_feed.build_error()}")
+
+    from portello_tpu.main import main
+    from portello_tpu.testutil.simulate import make_scenario
+
+    make_scenario(str(tmp_path), rng=np.random.default_rng(61))
+    src = "read_to_asm.bam"
+    with BamReader(str(tmp_path / src)) as r:
+        recs = list(r)
+        header = r.header
+    path = tmp_path / (src + ".cram")
+    with cram.CramWriter(str(path), header) as w:
+        for rec in recs:
+            w.write(rec)
+    # corrupt the FIRST data container (right after the 26-byte file header
+    # + header container): decode dies before any record reaches the scanner
+    data = bytearray(path.read_bytes())
+    hdr_end = 26
+    # find the end of the header container: parse its length
+    import io as _io
+
+    f = _io.BytesIO(bytes(data))
+    f.seek(26)
+    h = cram.read_container_header(f)
+    first_data = f.tell() + h.length + 8
+    data[first_data] ^= 0xFF
+    path.write_bytes(bytes(data))
+    with pytest.raises((cram.CramFormatError, SystemExit, RuntimeError)):
+        main([
+            "--assembly-to-ref", str(tmp_path / "asm_to_ref.bam"),
+            "--read-to-assembly", str(path),
+            "--remapped-read-output", str(tmp_path / "rem.bam"),
+            "--unassembled-read-output", str(tmp_path / "un.bam"),
+            "--ref", str(tmp_path / "ref.fa"),
+            "--device", "cpu", "--feed", "native", "--batch-size", "32",
+        ])
+
+
 def test_cram_reference_resolution_validates_name_and_length(tmp_path):
     """RR=1 slice decode must never read the wrong sequence: the decode
     reference is resolved by the CRAM's OWN @SQ name and validated by
