@@ -514,18 +514,32 @@ def main():
     # single draws +-30-50% (PERF.md); each pass is itself an in-jit
     # min-of-3.  Both legs time the PRODUCTION fwd batch graph (fwd_batch:
     # batch-compacted mixed-cluster windows on the mm path).
-    t_fwd_passes, t_rev_passes = [], []
-    n_passes = 2 if mm else 1
-    for _ in range(n_passes):
-        t_fwd_passes.append(sustained_batch_time(
-            lambda *a: fwd_batch(*a, **kw), dev_fwd, reps, 3,
-            already_batched=True,
-        ))
-        t_rev_passes.append(sustained_batch_time(
-            lambda *a: fwd_batch(*a, **kw), rev_fwd_args, reps, 3,
-            already_batched=True,
-        ))
-    t_fwd, t_rev_fwd = min(t_fwd_passes), min(t_rev_passes)
+    #
+    # The whole measurement repeats PTPU_BENCH_RUNS times (default 3 on TPU;
+    # VERDICT r3 #6) and the headline is the MEDIAN run — single draws through
+    # the relay swing +-13% (872/917/990k in round 3), which would bury the
+    # ~10% effects the remaining optimizations produce.  ``value_runs`` in the
+    # JSON carries every run so the spread is self-reported.
+    n_runs = max(int(os.environ.get("PTPU_BENCH_RUNS", "3" if mm else "1")), 1)
+    run_pairs = []  # (t_fwd, t_rev_fwd) per run
+    for run_i in range(n_runs):
+        t_fwd_passes, t_rev_passes = [], []
+        n_passes = 2 if mm else 1
+        for _ in range(n_passes):
+            t_fwd_passes.append(sustained_batch_time(
+                lambda *a: fwd_batch(*a, **kw), dev_fwd, reps, 3,
+                already_batched=True,
+            ))
+            t_rev_passes.append(sustained_batch_time(
+                lambda *a: fwd_batch(*a, **kw), rev_fwd_args, reps, 3,
+                already_batched=True,
+            ))
+        run_pairs.append((min(t_fwd_passes), min(t_rev_passes)))
+        sys.stderr.write(
+            f"[bench] run {run_i + 1}/{n_runs}: t_fwd="
+            f"{run_pairs[-1][0]*1e3:.3f} ms t_rev_fwd="
+            f"{run_pairs[-1][1]*1e3:.3f} ms\n"
+        )
 
     # DIAGNOSTIC: the device-shift rev chain (the PTPU_HOST_SHIFT=0
     # routing), one pass — kept so round-over-round chain numbers stay
@@ -546,15 +560,24 @@ def main():
         # in-jit repetition protocol cannot wrap
         t_rev_devshift = None
 
-    # 50/50 fwd/rev mix under the selected routing
+    # 50/50 fwd/rev mix under the selected routing, per run; headline =
+    # the median run (ties to the lower mix time on even counts)
+    def _mix_time(tf, tr):
+        if host_shift:
+            return 0.5 * tf + 0.5 * tr
+        return 0.5 * tf + 0.5 * (
+            t_rev_devshift if t_rev_devshift is not None else tr
+        )
+
     if host_shift:
-        t_mix = 0.5 * t_fwd + 0.5 * t_rev_fwd
         mix_formula = "v3-host-shift: 0.5*t_fwd + 0.5*t_rev_fwd(shifted)"
     else:
-        t_mix = 0.5 * t_fwd + 0.5 * (
-            t_rev_devshift if t_rev_devshift is not None else t_rev_fwd
-        )
         mix_formula = "v2-device-shift: 0.5*t_fwd + 0.5*t_rev_chain"
+    run_mixes = [_mix_time(tf, tr) for tf, tr in run_pairs]
+    value_runs = [round(batch / tm, 1) for tm in run_mixes]
+    med_i = sorted(range(n_runs), key=lambda i: run_mixes[i])[(n_runs - 1) // 2]
+    t_fwd, t_rev_fwd = run_pairs[med_i]
+    t_mix = run_mixes[med_i]
     reads_per_s = batch / t_mix
 
     # real single-dispatch overhead (transfer + tunnel RTT), reported
@@ -629,6 +652,8 @@ def main():
                 "vs_baseline": round(vs_baseline, 2),
                 "note": note,
                 "protocol": protocol,
+                "value_runs": value_runs,
+                "n_runs": n_runs,
                 "mix_formula": mix_formula,
                 "baseline_protocol": baseline_protocol,
                 "baseline_reads_per_s": round(baseline_rps, 1),

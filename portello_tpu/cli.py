@@ -189,6 +189,15 @@ def validate_settings_data(settings: Settings) -> None:
                     f"container): '{path}'"
                 )
             with open_alignment_input(path) as reader:
+                try:
+                    # reference semantics: every alignment input must be
+                    # indexed (bam::IndexedReader::from_path — a .crai for
+                    # CRAM; cli.rs:147-163)
+                    reader.load_index()
+                except FileNotFoundError as e:
+                    raise SystemExit(
+                        f"Failed to open input alignment file: {e}"
+                    ) from None
                 if not reader.header.refs:
                     raise SystemExit(
                         f"Input alignment file is not mapped: '{path}'"
@@ -196,6 +205,11 @@ def validate_settings_data(settings: Settings) -> None:
             continue
         assert_bam_eof(path)
         with BamReader(path) as reader:
-            reader.load_index()
+            try:
+                reader.load_index()
+            except FileNotFoundError as e:
+                raise SystemExit(
+                    f"Failed to open input alignment file: {e}"
+                ) from None
             if not reader.header.refs:
                 raise SystemExit(f"Input alignment file is not mapped: '{path}'")

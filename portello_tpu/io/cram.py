@@ -973,6 +973,29 @@ def _sub_base(matrix: bytes, ref_base: int, code: int) -> int:
     return ord("N")
 
 
+class _CountingFile:
+    """File wrapper counting bytes actually read — the evidence that an
+    indexed fetch touched only its containers (tests/test_crai_index.py)."""
+
+    def __init__(self, f):
+        self._f = f
+        self.bytes_read = 0
+
+    def read(self, n=-1):
+        b = self._f.read(n)
+        self.bytes_read += len(b)
+        return b
+
+    def seek(self, off, whence=0):
+        return self._f.seek(off, whence)
+
+    def tell(self):
+        return self._f.tell()
+
+    def close(self):
+        return self._f.close()
+
+
 class CramReader:
     """Decode-only CRAM 3.0 reader with the BamReader iteration surface.
 
@@ -982,7 +1005,8 @@ class CramReader:
 
     def __init__(self, path: str, reference=None):
         self.path = path
-        self.f = open(path, "rb")
+        self.f = _CountingFile(open(path, "rb"))
+        self._index = None
         magic = self.f.read(6)
         if magic[:4] != CRAM_MAGIC:
             raise CramFormatError(f"{path}: not a CRAM file")
@@ -1035,6 +1059,48 @@ class CramReader:
             if h.ref_id == -1 and h.n_records == 0 and h.bases == 0:
                 return  # EOF container (spec section 9)
             yield from self._decode_container(h, body)
+
+    @property
+    def bytes_read(self) -> int:
+        return self.f.bytes_read
+
+    def load_index(self):
+        """Load the .crai (raises FileNotFoundError when absent — the
+        reference errors on unindexed inputs, cli.rs:147-163)."""
+        if self._index is None:
+            from portello_tpu.io.crai import CraiIndex
+
+            self._index = CraiIndex.load(self.path)
+        return self._index
+
+    def _iter_container_at(self, off: int):
+        self.f.seek(off)
+        h = read_container_header(self.f, self.version)
+        if h is None:
+            return
+        body = self.f.read(h.length)
+        if h.ref_id == -1 and h.n_records == 0 and h.bases == 0:
+            return
+        yield from self._decode_container(h, body)
+
+    def fetch(self, tid: int, beg: int, end: int):
+        """Yield records overlapping [beg, end) on tid by .crai slice seek
+        (htslib iterator semantics, matching BamReader.fetch: pos < end and
+        endpos > beg).  Touches only the overlapping containers."""
+        for off in self.load_index().query_containers(tid, beg, end):
+            for rec in self._iter_container_at(off):
+                if rec.tid != tid or rec.pos >= end:
+                    continue
+                if rec.alignment_end() > beg:
+                    yield rec
+
+    def fetch_unmapped(self):
+        """Yield unmapped (seq_id -1) records via the index
+        (FetchDefinition::Unmapped parity, read_alignment_scanner.rs:537-559)."""
+        for off in self.load_index().unmapped_containers():
+            for rec in self._iter_container_at(off):
+                if rec.tid < 0 or rec.is_unmapped():
+                    yield rec
 
     # -- container decode --
     def _decode_container(self, h: ContainerHeader, body: bytes):
@@ -1483,6 +1549,7 @@ class CramWriter:
         records_per_slice: int = 1000,
         version: tuple[int, int] = (3, 0),
         profile: str = "normal",
+        write_index: bool = True,
     ):
         if version not in ((2, 1), (3, 0), (3, 1)):
             raise CramFormatError(f"unsupported CRAM write version {version}")
@@ -1494,6 +1561,12 @@ class CramWriter:
                 "version=(3, 1)"
             )
         self.profile = profile
+        self.path = path
+        # the reference requires indexed inputs (cli.rs:147-163); writing
+        # the .crai alongside makes every file this writer produces directly
+        # consumable there (and by CramReader.fetch)
+        self._write_index = write_index
+        self._crai_entries: list = []
         self.f = open(path, "wb")
         self.header = header
         self.rps = records_per_slice
@@ -1536,6 +1609,12 @@ class CramWriter:
         self._flush()
         self.f.write(CRAM_EOF_V2 if self.version < (3, 0) else CRAM_EOF)
         self.f.close()
+        if self._write_index:
+            from portello_tpu.io.crai import CraiEntry, CraiIndex
+
+            CraiIndex(
+                [CraiEntry(*e) for e in self._crai_entries]
+            ).save(self.path + ".crai")
 
     def __enter__(self):
         return self
@@ -1819,5 +1898,38 @@ class CramWriter:
             [len(chdr_blk)],
         )
         self.counter += len(recs)
+        c_off = self.f.tell()
         self.f.write(write_container_header(h, self.version))
         self.f.write(body)
+        # .crai entries for this container's single slice: landmark[0] is the
+        # slice header block's offset from the container-header end; multi-ref
+        # slices emit one line per contained reference (htslib convention)
+        slice_off = len(chdr_blk)
+        slice_size = len(body) - slice_off
+        if multi_ref:
+            per: dict[int, list[int]] = {}
+            for r in recs:
+                if r.tid < 0:
+                    per.setdefault(-1, [0, 0])
+                    continue
+                end0 = r.pos + max(int(cg.get_cigar_ref_offset(r.cigar)), 1)
+                lohi = per.setdefault(r.tid, [r.pos, end0])
+                lohi[0] = min(lohi[0], r.pos)
+                lohi[1] = max(lohi[1], end0)
+            for tid in sorted(per):
+                lo, hi = per[tid]
+                if tid < 0:
+                    self._crai_entries.append(
+                        (-1, 0, 0, c_off, slice_off, slice_size)
+                    )
+                else:
+                    self._crai_entries.append(
+                        (tid, lo + 1, hi - lo, c_off, slice_off, slice_size)
+                    )
+        else:
+            self._crai_entries.append((
+                s_ref,
+                s_start if starts and not multi_ref else 0,
+                span,
+                c_off, slice_off, slice_size,
+            ))

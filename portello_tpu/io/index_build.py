@@ -223,3 +223,87 @@ def build_csi(
     with open(out_path, "wb") as f:
         f.write(gzip.compress(bytes(out)))
     return out_path
+
+
+def build_crai(cram_path: str, out_path: str | None = None) -> str:
+    """Build a .crai index for an existing CRAM file.
+
+    Walks container headers (skipping bodies wholesale), parses each slice
+    header block at its landmark for ref/start/span, and decodes record
+    content only for multi-reference (seq_id -2) slices, whose per-reference
+    start/span lines require record positions (htslib cram_index_build does
+    the same).  The reference requires this index on CRAM inputs
+    (cli.rs:147-163 via bam::IndexedReader).
+    """
+    from portello_tpu.io import cram as cr
+    from portello_tpu.io.crai import CraiEntry, CraiIndex
+    from portello_tpu.ops import cigar as cg
+
+    entries: list[CraiEntry] = []
+    with cr.CramReader(cram_path) as r:
+        f = r.f
+        while True:
+            c_off = f.tell()
+            h = cr.read_container_header(f, r.version)
+            if h is None:
+                break
+            body = f.read(h.length)
+            if h.ref_id == -1 and h.n_records == 0 and h.bases == 0:
+                break  # EOF container
+            landmarks = list(h.landmarks) + [h.length]
+            multi_recs = None  # decoded lazily, once per container
+            for si in range(len(h.landmarks)):
+                s_off = landmarks[si]
+                s_size = landmarks[si + 1] - s_off
+                blk, _ = cr.read_block(body, s_off, r.version)
+                if blk.content_type != cr.SLICE_HEADER:
+                    raise cr.CramFormatError(
+                        f"{cram_path}: landmark {si} does not point at a "
+                        "slice header block"
+                    )
+                d = blk.data
+                s_ref, p = cr.read_itf8(d, 0)
+                s_start, p = cr.read_itf8(d, p)
+                s_span, p = cr.read_itf8(d, p)
+                s_nrec, p = cr.read_itf8(d, p)
+                if s_ref == -2:
+                    if multi_recs is None:
+                        multi_recs = list(r._decode_container(h, body))
+                    # records split across slices in order by each slice's
+                    # record count; this container writer emits one slice
+                    # per container, but external files may not
+                    done = 0
+                    for sj in range(si):
+                        sb, _ = cr.read_block(body, landmarks[sj], r.version)
+                        _, q = cr.read_itf8(sb.data, 0)
+                        _, q = cr.read_itf8(sb.data, q)
+                        _, q = cr.read_itf8(sb.data, q)
+                        nr, q = cr.read_itf8(sb.data, q)
+                        done += nr
+                    per: dict[int, list[int]] = {}
+                    for rec in multi_recs[done : done + s_nrec]:
+                        if rec.tid < 0:
+                            per.setdefault(-1, [0, 0])
+                            continue
+                        end0 = rec.pos + max(
+                            int(cg.get_cigar_ref_offset(rec.cigar)), 1
+                        )
+                        lohi = per.setdefault(rec.tid, [rec.pos, end0])
+                        lohi[0] = min(lohi[0], rec.pos)
+                        lohi[1] = max(lohi[1], end0)
+                    for tid in sorted(per):
+                        lo, hi = per[tid]
+                        if tid < 0:
+                            entries.append(
+                                CraiEntry(-1, 0, 0, c_off, s_off, s_size)
+                            )
+                        else:
+                            entries.append(CraiEntry(
+                                tid, lo + 1, hi - lo, c_off, s_off, s_size
+                            ))
+                else:
+                    entries.append(CraiEntry(
+                        s_ref, s_start, s_span, c_off, s_off, s_size
+                    ))
+    out = out_path or (cram_path + ".crai")
+    return CraiIndex(entries).save(out)

@@ -320,11 +320,16 @@ class _FeederAborted(RuntimeError):
 
 
 def _cram_feeder(lib, push_handle, cram_path, reference, state,
-                 chunk_bytes=1 << 20):
+                 chunk_bytes=1 << 20, fetch_plan=None):
     """Producer thread: decode CRAM records and push uncompressed BAM bytes
     into the native scanner (direct streaming — replaces the temp-BAM
     transcode; the reference streams CRAM through htslib,
-    read_alignment_scanner.rs:382-394)."""
+    read_alignment_scanner.rs:382-394).
+
+    ``fetch_plan``: optional list of (tid, end) contig ranges — used for
+    --target-region runs, where only phase-1-surviving contigs can produce
+    output: the feeder then serves those contigs by .crai slice seek plus
+    the unmapped section, touching only the indexed containers."""
     import struct as _struct
 
     from portello_tpu.io.cram import CramReader
@@ -342,7 +347,16 @@ def _cram_feeder(lib, push_handle, cram_path, reference, state,
 
         with CramReader(cram_path, reference=reference) as r:
             buf += r.header.encode()
-            for rec in r:
+            if fetch_plan is not None:
+                def _records():
+                    for tid, end in fetch_plan:
+                        yield from r.fetch(tid, 0, end)
+                    yield from r.fetch_unmapped()
+
+                source = _records()
+            else:
+                source = r
+            for rec in source:
                 blob = rec.encode()
                 buf += _struct.pack("<i", len(blob)) + blob
                 if len(buf) >= chunk_bytes:
@@ -457,11 +471,30 @@ def scan_and_remap_reads_native(
         import threading
 
         logger.info("Streaming CRAM input directly into the native scanner")
+        fetch_plan = None
+        if is_target_region:
+            from portello_tpu.io.crai import CraiIndex
+
+            try:
+                CraiIndex.load(read_to_assembly_bam)
+            except FileNotFoundError:
+                pass  # no index: feeder full-scans (CLI normally enforces)
+            else:
+                fetch_plan = [
+                    (ci, contig_list.data[ci].length)
+                    for ci, info in enumerate(all_contig_mapping_info)
+                    if info.ordered_contig_segment_info
+                ]
+                logger.info(
+                    "Target region set: serving CRAM reads by .crai slice "
+                    f"seek over {len(fetch_plan)} mapped contigs"
+                )
         push_handle = ctypes.c_void_p(lib.ptio_reader_open_push(0))
         feeder = threading.Thread(
             target=_cram_feeder,
             args=(lib, push_handle, read_to_assembly_bam, cram_reference,
                   feeder_state),
+            kwargs={"fetch_plan": fetch_plan},
             name="cram-feeder",
             daemon=True,
         )
