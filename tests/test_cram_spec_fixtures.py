@@ -236,3 +236,258 @@ def test_hand_container_beta_huffman_byte_array_len(tmp_path):
     assert rec.qual.tolist() == [30, 31, 32, 33]
     assert rec.mtid == -1 and rec.tlen == 0
     assert rec.tags == []
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions (VERDICT r3 #5): writer-independent serialisation
+# fixtures for the three codecs whose framing was previously certified only
+# by this repo's own encoders — arith (method 6), fqzcomp (method 7), tok3
+# (method 8).  The byte streams below were derived with an INDEPENDENT
+# transcription of the published htscodecs algorithms (reproduced in
+# _RefRC/_RefModel so the derivation is auditable in-tree), hard-coded, and
+# are decoded here by the production decoders.  Several exercise modes this
+# repo's encoders never emit (forced order-0 on tiny input, multi-parameter
+# fqzcomp with a selector table, tok3 duplicate-stream descriptors).
+# ---------------------------------------------------------------------------
+
+
+class _RefRC:
+    """Independent transcription of the htscodecs carry-propagating range
+    coder (LZMA style: 32-bit range, renorm below 2^24, 5-byte flush) used
+    to DERIVE the fixtures below — not the implementation under test."""
+
+    def __init__(self):
+        self.low, self.rng = 0, 0xFFFFFFFF
+        self.cache, self.cache_size = 0, 1
+        self.out = bytearray()
+
+    def _shift(self):
+        if self.low < 0xFF000000 or self.low > 0xFFFFFFFF:
+            carry = self.low >> 32
+            self.out.append((self.cache + carry) & 0xFF)
+            self.out.extend([(0xFF + carry) & 0xFF] * (self.cache_size - 1))
+            self.cache_size = 0
+            self.cache = (self.low >> 24) & 0xFF
+        self.cache_size += 1
+        self.low = (self.low << 8) & 0xFFFFFFFF
+
+    def enc(self, cum, freq, tot):
+        r = self.rng // tot
+        self.low += cum * r
+        self.rng = r * freq
+        while self.rng < (1 << 24):
+            self.rng = (self.rng << 8) & 0xFFFFFFFF
+            self._shift()
+
+    def finish(self):
+        for _ in range(5):
+            self._shift()
+        return bytes(self.out)
+
+
+class _RefModel:
+    """Adaptive model per the spec: init 1/symbol, +16 on use, halve
+    (rounding up) when the total passes 2^15."""
+
+    def __init__(self, nsym=256):
+        self.f, self.tot = [1] * nsym, nsym
+
+    def enc(self, rc, s):
+        rc.enc(sum(self.f[:s]), self.f[s], self.tot)
+        self.f[s] += 16
+        self.tot += 16
+        if self.tot > (1 << 15):
+            self.tot = 0
+            for i in range(len(self.f)):
+                self.f[i] = (self.f[i] + 1) >> 1
+                self.tot += self.f[i]
+
+
+class TestArithSpecStreams:
+    def test_cat_and_nosz_framing(self):
+        from portello_tpu.io import arith_nx16
+
+        # flags CAT(0x20), uint7 len, raw payload
+        assert arith_nx16.decode(b"\x20\x03abc") == b"abc"
+        # flags CAT|NOSZ(0x30): no length field, external length
+        assert arith_nx16.decode(b"\x30abcd", n_out=4) == b"abcd"
+
+    def test_pack_cat_framing(self):
+        from portello_tpu.io import arith_nx16
+
+        # PACK|CAT: 4-symbol map ACGT, 6 values, 2 bits each little-endian
+        # within the byte: ACGTAC -> 0|1<<2|2<<4|3<<6 = 0xE4, 0|1<<2 = 0x04
+        stream = b"\xa0\x06\x04ACGT\x02\xe4\x04"
+        assert arith_nx16.decode(stream) == b"ACGTAC"
+
+    def test_order0_worked_states(self):
+        """'AB' order-0, derived by hand + _RefRC:
+
+        encode 'A'(65): r = 0xFFFFFFFF//256 = 0xFFFFFF; low = 65*0xFFFFFF
+        = 0x40FFFFBF; range = 0xFFFFFF < 2^24 -> one renorm emitting the
+        initial zero cache, cache=0x40, low=0xFFFFBF00; model A: F[65]=17,
+        total=272.  encode 'B'(66): r = 0xFFFFFF00//272 = 15790320,
+        cum = 65+17 = 82; low overflows 32 bits -> the carry bumps the
+        cached 0x40 to 0x41 during the flush.  Payload:
+        00 41 4D 2C EB E0 00."""
+        from portello_tpu.io import arith_nx16
+
+        raw = b"AB"
+        fixture = bytes.fromhex("000200414d2cebe000")
+        rc = _RefRC()
+        m = _RefModel()
+        for b in raw:
+            m.enc(rc, b)
+        assert bytes([0x00, len(raw)]) + rc.finish() == fixture
+        assert arith_nx16.decode(fixture) == raw
+
+    def test_order0_longer_stream(self):
+        from portello_tpu.io import arith_nx16
+
+        raw = b"hello hello"
+        fixture = bytes.fromhex("000b00685f842fa92753b8087d2200")
+        rc = _RefRC()
+        m = _RefModel()
+        for b in raw:
+            m.enc(rc, b)
+        assert bytes([0x00, len(raw)]) + rc.finish() == fixture
+        assert arith_nx16.decode(fixture) == raw
+        # this repo's encoder happens to agree byte-for-byte here — pins
+        # the serialisation in both directions
+        assert arith_nx16.encode(raw, order=0) == fixture
+
+    def test_order1_worked_states(self):
+        """Order-1: one adaptive model per previous byte (initial context
+        0).  'abcabc': model[0] codes 'a', model[a] codes 'b' twice, etc."""
+        from portello_tpu.io import arith_nx16
+
+        for raw, hexstream in (
+            (b"abcabc", "010600616262ffffabadad00"),
+            (b"mississippi", "010b006d697305f9cc6ada4399104600"),
+        ):
+            fixture = bytes.fromhex(hexstream)
+            rc = _RefRC()
+            models = {}
+            last = 0
+            for b in raw:
+                m = models.get(last)
+                if m is None:
+                    m = models[last] = _RefModel()
+                m.enc(rc, b)
+                last = b
+            assert bytes([0x01, len(raw)]) + rc.finish() == fixture
+            assert arith_nx16.decode(fixture) == raw
+            assert arith_nx16.encode(raw, order=1) == fixture
+
+
+class TestFqzcompSpecStreams:
+    def test_multi_param_selector_dedup_rev(self):
+        """A stream this repo's fqzcomp encoder can NEVER produce: two
+        parameter sets + GFLAG_HAVE_STAB selector table + DO_REV + dedup.
+
+        Header, field by field:
+          05                      version 5
+          07                      gflags MULTI_PARAM|HAVE_STAB|DO_REV
+          02                      nparam = 2
+          01                      max_sel = 1
+          01 FF 00                stab double-RLE: value0 x1, value1 x255
+                                  (run 255 + continuation 0) = 256 entries
+          00 00 0C 40 42 0C 00    param0: ctx 0x0000, pflags DO_LEN|DO_SEL,
+                                  max_sym 64, qbits4/qshift2, qloc0/sloc12
+          00 10 1E 02 42 0C 00    param1: ctx 0x1000, pflags DO_LEN|DO_SEL|
+                                  DO_DEDUP|HAVE_QMAP, max_sym 2
+          21 2A                   qmap {33, 42}
+        then the range-coded payload: per record sel, 4-byte length models,
+        rev bit, (param1) dup bit, then per-quality adaptive models over
+        ctx = base + (qctx & 15) + (sel << 12).  Three records: param0
+        [5,6,5] forward; param1 [33,42,33] stored-reversed (decoder
+        re-reverses at the end); param1 dedup of the previous record."""
+        from portello_tpu.io import fqzcomp
+
+        stream = bytes.fromhex(
+            "0507020101ff0000000c40420c0000101e02420c00212a"
+            "00017ffffd0503edef81663755dccd54ef6100"
+        )
+        recs = [bytes([5, 6, 5]), bytes([33, 42, 33]), bytes([33, 42, 33])]
+        # rec1 and its dedup copy are flagged reversed
+        expected = recs[0] + recs[1][::-1] + recs[2][::-1]
+
+        # derivation (auditable): encode with the independent coder in the
+        # documented decode order
+        rc = _RefRC()
+        m_sel, m_rev, m_dup = _RefModel(2), _RefModel(2), _RefModel(2)
+        m_len = [_RefModel(256) for _ in range(4)]
+        m_q = {}
+        prev = None
+        for sel, rec, is_rev in (
+            (0, recs[0], False), (1, recs[1], True), (1, recs[2], False),
+        ):
+            m_sel.enc(rc, sel)
+            base, qmap = (0x0000, None) if sel == 0 else (0x1000, [33, 42])
+            ln = len(rec)
+            for bi in range(4):
+                m_len[bi].enc(rc, (ln >> (8 * bi)) & 0xFF)
+            m_rev.enc(rc, 1 if is_rev else 0)
+            if sel == 1:
+                isdup = prev == rec
+                m_dup.enc(rc, 1 if isdup else 0)
+                if isdup:
+                    continue
+            qctx = 0
+            for b in rec:
+                q = qmap.index(b) if qmap is not None else b
+                ctx = (base + (qctx & 15) + (sel << 12)) & 0xFFFF
+                m = m_q.get(ctx)
+                if m is None:
+                    m = m_q[ctx] = _RefModel(65)  # max(max_sym)+1
+                m.enc(rc, q)
+                qctx = (qctx << 2) + q
+            prev = rec
+        header = bytes.fromhex(
+            "0507020101ff0000000c40420c0000101e02420c00212a"
+        )
+        assert header + rc.finish() == stream
+        assert fqzcomp.decode(stream, n_out=len(expected)) == expected
+
+
+class TestTok3SpecStreams:
+    # hand-built stream for names "a1b2" x2: per-position streams carried
+    # as CAT-framed payloads (0x20 flags + uint7 length — the degenerate
+    # entropy stream both rANS Nx16 and arith accept), with positions 3 and
+    # 4's TYPE streams expressed as DUPLICATE descriptors (bit6) pointing
+    # back at positions 1 and 2 — a descriptor form this repo's encoder
+    # only emits when payloads collide, here forced deliberately.
+    #
+    #   0A000000 02000000 <flags>      ulen 10, nnames 2, coder flag
+    #   80 04 20020606                 pos0 TYPE:   [DIFF, DIFF]
+    #   06 0A 2008 00000000 00000000   pos0 DIFF:   u32 0, u32 0
+    #   80 04 2002010A                 pos1 TYPE:   [STRING, MATCH]
+    #   01 04 20026100                 pos1 STRING: "a\0"
+    #   80 04 2002070A                 pos2 TYPE:   [DIGITS, MATCH]
+    #   07 06 200401000000             pos2 DIGITS: u32 1
+    #   C0 01 00                       pos3 TYPE:   dup of (pos1, TYPE)
+    #   01 04 20026200                 pos3 STRING: "b\0"
+    #   C0 02 00                       pos4 TYPE:   dup of (pos2, TYPE)
+    #   07 06 200402000000             pos4 DIGITS: u32 2
+    #   80 04 20020C0C                 pos5 TYPE:   [END, END]
+    _BODY = (
+        "800420020606"
+        "060a2008000000000000000080042002010a01042002610080042002070a"
+        "0706200401000000c00100010420026200c002000706200402000000"
+        "800420020c0c"
+    )
+
+    def test_rans_variant_with_dup_streams(self):
+        from portello_tpu.io import tok3
+
+        stream = bytes.fromhex("0a00000002000000" + "00" + self._BODY)
+        assert tok3.decode(stream) == b"a1b2\x00a1b2\x00"
+
+    def test_arith_flag_variant(self):
+        """flags bit0 routes every stream payload through the arith codec;
+        the CAT framing byte (0x20 + uint7 len) is shared, so the same
+        payload bytes exercise the arith dispatch path."""
+        from portello_tpu.io import tok3
+
+        stream = bytes.fromhex("0a00000002000000" + "01" + self._BODY)
+        assert tok3.decode(stream) == b"a1b2\x00a1b2\x00"
