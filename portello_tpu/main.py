@@ -312,7 +312,7 @@ def run_local_workers(settings: Settings, argv: list[str]) -> None:
     # single try/finally below releases them.
     import tempfile
 
-    from portello_tpu.io.aln_input import cram_to_bam, is_cram_file
+    from portello_tpu.io.aln_input import is_cram_file
     from portello_tpu.utils.genome_segment import GenomeSegment
 
     temps: list[str] = []
@@ -356,40 +356,12 @@ def run_local_workers(settings: Settings, argv: list[str]) -> None:
             )
             logger.info("Scanned contig alignments once; index cached for workers")
 
-        if is_cram_file(settings.read_to_assembly_bam):
-            # one transcode instead of one per worker; workers consume the
-            # temp BAM directly (RR=0/embedded-ref CRAMs only — RR=1 needs
-            # the assembly reference and errors identically here or there)
-            from portello_tpu.io.index_build import build_bai
-
-            fd, tr = tempfile.mkstemp(suffix=".bam", prefix="ptpu_cram_")
-            os.close(fd)
-            temps.append(tr)
-            logger.info("Transcoding CRAM read input once for all workers")
-            cram_to_bam(settings.read_to_assembly_bam, tr,
-                        n_threads=max(1, settings.thread_count // 2))
-            # each worker's validate_settings_data calls load_index() on its
-            # BAM inputs (cli.rs:143-163 parity), so the temp BAM needs a
-            # .bai; this also enforces coordinate order for the fan-out
-            build_bai(tr)
-            temps.append(tr + ".bai")
-            replaced = []
-            skip2 = False
-            for a in base_args:
-                if skip2:
-                    replaced.append(tr)
-                    skip2 = False
-                    continue
-                if a == "--read-to-assembly":
-                    replaced.append(a)
-                    skip2 = True
-                    continue
-                if a.startswith("--read-to-assembly="):
-                    replaced.append(f"--read-to-assembly={tr}")
-                    continue
-                replaced.append(a)
-            base_args = replaced
-
+        # CRAM read input needs NO transcode: each worker's feed serves only
+        # its owned contig shard by .crai slice seek (push-mode CRAM feeder /
+        # python-feed fetch plan), so the workers collectively decode each
+        # container at most once — the reference streams reads through
+        # htslib region fetches regardless of container format
+        # (read_alignment_scanner.rs:382-394)
         logger.info(f"Running phase 2 across {n} local worker processes")
         procs = []
         for w in range(n):

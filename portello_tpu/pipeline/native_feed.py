@@ -320,16 +320,18 @@ class _FeederAborted(RuntimeError):
 
 
 def _cram_feeder(lib, push_handle, cram_path, reference, state,
-                 chunk_bytes=1 << 20, fetch_plan=None):
+                 chunk_bytes=1 << 20, fetch_plan=None,
+                 include_unmapped=True):
     """Producer thread: decode CRAM records and push uncompressed BAM bytes
     into the native scanner (direct streaming — replaces the temp-BAM
     transcode; the reference streams CRAM through htslib,
     read_alignment_scanner.rs:382-394).
 
     ``fetch_plan``: optional list of (tid, end) contig ranges — used for
-    --target-region runs, where only phase-1-surviving contigs can produce
-    output: the feeder then serves those contigs by .crai slice seek plus
-    the unmapped section, touching only the indexed containers."""
+    --target-region and contig-shard (multi-process) runs, where only some
+    contigs can produce output: the feeder then serves those contigs by
+    .crai slice seek (plus, when ``include_unmapped``, the unmapped
+    section), touching only the indexed containers."""
     import struct as _struct
 
     from portello_tpu.io.cram import CramReader
@@ -351,7 +353,8 @@ def _cram_feeder(lib, push_handle, cram_path, reference, state,
                 def _records():
                     for tid, end in fetch_plan:
                         yield from r.fetch(tid, 0, end)
-                    yield from r.fetch_unmapped()
+                    if include_unmapped:
+                        yield from r.fetch_unmapped()
 
                 source = _records()
             else:
@@ -472,7 +475,8 @@ def scan_and_remap_reads_native(
 
         logger.info("Streaming CRAM input directly into the native scanner")
         fetch_plan = None
-        if is_target_region:
+        include_unmapped = shard_plan is None or shard_plan.host_id == 0
+        if is_target_region or shard_plan is not None:
             from portello_tpu.io.crai import CraiIndex
 
             try:
@@ -480,21 +484,29 @@ def scan_and_remap_reads_native(
             except FileNotFoundError:
                 pass  # no index: feeder full-scans (CLI normally enforces)
             else:
+                def _want(ci, info):
+                    if is_target_region and not info.ordered_contig_segment_info:
+                        return False
+                    return shard_plan is None or shard_plan.owns(ci)
+
                 fetch_plan = [
                     (ci, contig_list.data[ci].length)
                     for ci, info in enumerate(all_contig_mapping_info)
-                    if info.ordered_contig_segment_info
+                    if _want(ci, info)
                 ]
                 logger.info(
-                    "Target region set: serving CRAM reads by .crai slice "
-                    f"seek over {len(fetch_plan)} mapped contigs"
+                    "Serving CRAM reads by .crai slice seek over "
+                    f"{len(fetch_plan)} contigs "
+                    f"(target_region={is_target_region}, "
+                    f"shard={shard_plan is not None})"
                 )
         push_handle = ctypes.c_void_p(lib.ptio_reader_open_push(0))
         feeder = threading.Thread(
             target=_cram_feeder,
             args=(lib, push_handle, read_to_assembly_bam, cram_reference,
                   feeder_state),
-            kwargs={"fetch_plan": fetch_plan},
+            kwargs={"fetch_plan": fetch_plan,
+                    "include_unmapped": include_unmapped},
             name="cram-feeder",
             daemon=True,
         )

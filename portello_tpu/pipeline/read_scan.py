@@ -363,14 +363,17 @@ def scan_and_remap_reads(
     n_primary = 0
     with open_alignment_input(read_to_assembly_bam, reference=ref_by_name) as reader:
         record_source = reader
-        if is_target_region and hasattr(reader, "fetch_unmapped") and not hasattr(
-            reader, "iter_raw"
+        if (
+            (is_target_region or shard_plan is not None)
+            and hasattr(reader, "fetch_unmapped")
+            and not hasattr(reader, "iter_raw")
         ):
-            # CRAM + --target-region: only contigs that survived the phase-1
-            # target filter can produce output, so serve the scan from the
-            # .crai — fetch just those contigs' containers plus the unmapped
-            # section instead of full-scanning (the reference serves every
-            # fetch from the index, read_alignment_scanner.rs:383).
+            # CRAM + --target-region or contig-shard runs: only some contigs
+            # can produce output, so serve the scan from the .crai — fetch
+            # just those contigs' containers (plus the unmapped section when
+            # this process emits it) instead of full-scanning (the reference
+            # serves every fetch from the index,
+            # read_alignment_scanner.rs:383).
             try:
                 reader.load_index()
             except FileNotFoundError:
@@ -378,17 +381,24 @@ def scan_and_remap_reads(
             else:
                 def _targeted_records():
                     for ci, info in enumerate(all_contig_mapping_info):
-                        if not info.ordered_contig_segment_info:
+                        if (
+                            is_target_region
+                            and not info.ordered_contig_segment_info
+                        ):
+                            continue
+                        if shard_plan is not None and not shard_plan.owns(ci):
                             continue
                         yield from reader.fetch(
                             ci, 0, contig_list.data[ci].length
                         )
-                    yield from reader.fetch_unmapped()
+                    if emit_unmapped:
+                        yield from reader.fetch_unmapped()
 
                 record_source = _targeted_records()
                 logger.info(
-                    "Target region set: serving CRAM reads by .crai slice "
-                    "seek over mapped contigs"
+                    "Serving CRAM reads by .crai slice seek "
+                    f"(target_region={is_target_region}, "
+                    f"shard={shard_plan is not None})"
                 )
         for record in record_source:
             if record.is_unmapped():

@@ -167,3 +167,98 @@ def test_dcn_coordinator_handshake_two_processes(tmp_path):
     merge_bams(merged_u, shards_u)
     assert content(merged_r) == content(r_single)
     assert content(merged_u) == content(u_single)
+
+
+def test_local_workers_cram_no_transcode(tmp_path, monkeypatch):
+    """--local-workers on CRAM input runs WITHOUT the temp-BAM transcode
+    (VERDICT r3 #7): each worker's feed serves its contig shard by .crai
+    slice seek; outputs equal the single-process CRAM run and no
+    ptpu_cram_* temp file is ever created."""
+    from portello_tpu.io import cram
+
+    scn = make_scenario(str(tmp_path), rng=np.random.default_rng(29))
+    crm = str(tmp_path / "read_to_asm.cram")
+    with BamReader(scn.read_bam) as r:
+        recs = list(r)
+        header = r.header
+    with cram.CramWriter(crm, header) as w:
+        for rec in recs:
+            w.write(rec)
+
+    # any temp files (parent or worker subprocesses) land here
+    tmpdir = tmp_path / "tmp"
+    tmpdir.mkdir()
+    monkeypatch.setenv("TMPDIR", str(tmpdir))
+    import tempfile
+
+    tempfile.tempdir = None  # drop the cached default so TMPDIR applies
+    try:
+        def run(tag, extra):
+            r = str(tmp_path / f"lwc_r_{tag}.bam")
+            u = str(tmp_path / f"lwc_u_{tag}.bam")
+            main([
+                "--assembly-to-ref", scn.contig_bam,
+                "--read-to-assembly", crm,
+                "--remapped-read-output", r,
+                "--unassembled-read-output", u,
+                "--ref", scn.ref_fasta,
+                "--device", "host",
+                *extra,
+            ])
+            return r, u
+
+        r1, u1 = run("single", [])
+        r2, u2 = run("workers", ["--local-workers", "2"])
+    finally:
+        tempfile.tempdir = None  # don't leak the patched dir to other tests
+
+    assert content(r2) == content(r1)
+    assert content(u2) == content(u1)
+    leftovers = list(tmpdir.glob("ptpu_cram_*"))
+    assert leftovers == [], leftovers
+
+
+def test_two_host_cram_native_feed_matches_single(tmp_path):
+    """Contig-sharded native-feed runs on CRAM input (per-shard .crai fetch
+    plan through the push feeder) merge to the single-host CRAM output."""
+    from portello_tpu.io import cram
+    from portello_tpu.pipeline import native_feed
+
+    if native_feed.get_lib() is None:
+        pytest.skip(f"ptscan unavailable: {native_feed.build_error()}")
+
+    scn = make_scenario(str(tmp_path), rng=np.random.default_rng(31))
+    crm = str(tmp_path / "read_to_asm.cram")
+    with BamReader(scn.read_bam) as r:
+        recs = list(r)
+        header = r.header
+    with cram.CramWriter(crm, header) as w:
+        for rec in recs:
+            w.write(rec)
+
+    def run(tag, extra):
+        r = str(tmp_path / f"cn_r_{tag}.bam")
+        u = str(tmp_path / f"cn_u_{tag}.bam")
+        main([
+            "--assembly-to-ref", scn.contig_bam,
+            "--read-to-assembly", crm,
+            "--remapped-read-output", r,
+            "--unassembled-read-output", u,
+            "--ref", scn.ref_fasta,
+            "--device", "cpu", "--feed", "native", "--batch-size", "32",
+            *extra,
+        ])
+        return r, u
+
+    r_single, u_single = run("single", [])
+    shards_r, shards_u = [], []
+    for host in range(2):
+        run(f"h{host}", ["--num-hosts", "2", "--host-id", str(host)])
+        shards_r.append(str(tmp_path / f"cn_r_h{host}.shard{host:02d}of02.bam"))
+        shards_u.append(str(tmp_path / f"cn_u_h{host}.shard{host:02d}of02.bam"))
+    merged_r = str(tmp_path / "cn_merged_r.bam")
+    merged_u = str(tmp_path / "cn_merged_u.bam")
+    merge_bams(merged_r, shards_r)
+    merge_bams(merged_u, shards_u)
+    assert content(merged_r) == content(r_single)
+    assert content(merged_u) == content(u_single)
