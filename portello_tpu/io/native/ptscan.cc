@@ -323,6 +323,9 @@ struct SegView {
   bool fwd;
   int32_t mapq;
   Cig cigar;
+  // segment came from the BAM record itself (vs its SA tag) — phase 1
+  // builds block maps only for these (contig_scan._add_primary_read)
+  bool from_primary = false;
 };
 
 Cig cigar_from_string(const std::string& s, std::string* err) {
@@ -658,16 +661,44 @@ int64_t upper_bound_i64(const int64_t* a, int64_t n, int64_t v) {
   return std::upper_bound(a, a + n, v) - a;
 }
 
-void parse_splits(Scanner& sc, ReadState& rs,
+
+// CPython int(str, 10) semantics for SA-tag numeric fields: surrounding
+// whitespace + optional sign + digits; anything else raises ValueError with
+// CPython's exact message (the Python walk is the oracle, so error parity
+// is part of the contract — tests/test_contig_scan_parallel.py).
+int64_t py_int10(const std::string& t) {
+  size_t b = 0, e = t.size();
+  while (b < e && std::isspace((unsigned char)t[b])) ++b;
+  while (e > b && std::isspace((unsigned char)t[e - 1])) --e;
+  size_t i = b;
+  bool neg = false;
+  if (i < e && (t[i] == '+' || t[i] == '-')) {
+    neg = t[i] == '-';
+    ++i;
+  }
+  bool ok = i < e;
+  int64_t v = 0;
+  for (; i < e && ok; ++i) {
+    if (t[i] < '0' || t[i] > '9')
+      ok = false;
+    else
+      v = v * 10 + (t[i] - '0');
+  }
+  if (!ok)
+    throw std::runtime_error(
+        "invalid literal for int() with base 10: '" + t + "'");
+  return neg ? -v : v;
+}
+
+void parse_splits(const RecView& rv, std::vector<SegView>* splits,
                   const std::map<std::string, int32_t>& contig_idx) {
-  const RecView& rv = rs.rv;
   int64_t left, right_start, read_len;
   cig_clip_positions(rv.cigar, &left, &right_start, &read_len);
   bool fwd = !(rv.flag & kFREVERSE);
   int64_t so_s = fwd ? left : read_len - right_start;
   int64_t so_e = fwd ? right_start : read_len - left;
-  rs.splits.push_back(
-      {so_s, so_e, rv.tid, rv.pos, fwd, rv.mapq, rv.cigar});
+  splits->push_back(
+      {so_s, so_e, rv.tid, rv.pos, fwd, rv.mapq, rv.cigar, true});
 
   size_t voff;
   uint8_t ty;
@@ -678,8 +709,18 @@ void parse_splits(Scanner& sc, ReadState& rs,
                                rv.qname);
     const char* s = (const char*)rv.raw + voff;
     std::string sa(s);  // NUL-terminated Z string
+    // phase A — parse_sa_aux_val: parse EVERY segment's fields before any
+    // cross-segment check runs (python parses the whole tag first, so a
+    // malformed field in segment 2 surfaces before segment 1's size check)
+    struct SaSeg {
+      int64_t pos;
+      bool fwd;
+      Cig cigar;
+      int32_t mapq;
+      std::string rname, text;
+    };
+    std::vector<SaSeg> parsed;
     size_t i0 = 0;
-    int seg_i = 0;
     while (i0 < sa.size()) {
       size_t semi = sa.find(';', i0);
       if (semi == std::string::npos) semi = sa.size();
@@ -706,44 +747,50 @@ void parse_splits(Scanner& sc, ReadState& rs,
       if (f.size() == 7 && f.back().empty()) f.pop_back();
       if (f.size() != 6)
         throw std::runtime_error("Unexpected segment in bam SA tag: " + seg);
-      // MAPQ is a u8 in the reference; out-of-range parses panic there
-      {
-        long mq_l = std::stol(f[4]);
-        if (mq_l < 0 || mq_l > 255)
-          throw std::runtime_error("Unexpected segment in bam SA tag: " + seg);
-      }
+      // field parse order mirrors parse_sa_segment: MAPQ (+u8 range),
+      // then the dataclass args — pos, strand, cigar, NM
+      int64_t mq_l = py_int10(f[4]);
+      if (mq_l < 0 || mq_l > 255)
+        throw std::runtime_error("Unexpected segment in bam SA tag: " + seg);
+      int64_t sa_pos = py_int10(f[1]) - 1;
+      bool sfwd = f[2] == "+";
       std::string cerr;
       Cig sc_cig = cigar_from_string(f[3], &cerr);
       if (!cerr.empty()) throw std::runtime_error(cerr);
-      if (!cig_has_aligned(sc_cig))
+      py_int10(f[5]);  // NM: parsed (and discarded) like the oracle
+      parsed.push_back(
+          {sa_pos, sfwd, std::move(sc_cig), (int32_t)mq_l, f[0], seg});
+    }
+    // phase B — per-segment checks in python's loop order
+    for (size_t seg_i = 0; seg_i < parsed.size(); ++seg_i) {
+      SaSeg& ps = parsed[seg_i];
+      if (!cig_has_aligned(ps.cigar))
         throw std::runtime_error(
             "Bam record split segment id unaligned in read " + rv.qname);
       int64_t l2, r2, rl2;
-      cig_clip_positions(sc_cig, &l2, &r2, &rl2);
+      cig_clip_positions(ps.cigar, &l2, &r2, &rl2);
       if (rl2 != read_len)
         throw std::runtime_error(
             "Inconsistent split read sizes in read " + rv.qname + ": " +
             std::to_string(rl2) + " != " + std::to_string(read_len));
-      auto it = contig_idx.find(f[0]);
+      auto it = contig_idx.find(ps.rname);
       if (it == contig_idx.end())
         throw std::runtime_error(
             "In read '" + rv.qname + "', the SA aux tag describes a split "
-            "read mapped to " + f[0] + ":" + std::to_string(std::stoll(f[1]) - 1) +
+            "read mapped to " + ps.rname + ":" + std::to_string(ps.pos) +
             " (in segment " + std::to_string(seg_i) + "), which is not found "
             "in the input reference fasta");
-      bool sfwd = f[2] == "+";
-      int64_t ss = sfwd ? l2 : rl2 - r2;
-      int64_t se = sfwd ? r2 : rl2 - l2;
-      rs.splits.push_back({ss, se, it->second, std::stoll(f[1]) - 1, sfwd,
-                           std::stoi(f[4]), std::move(sc_cig)});
-      ++seg_i;
+      int64_t ss = ps.fwd ? l2 : rl2 - r2;
+      int64_t se = ps.fwd ? r2 : rl2 - l2;
+      splits->push_back({ss, se, it->second, ps.pos, ps.fwd,
+                         ps.mapq, std::move(ps.cigar), false});
     }
-    std::stable_sort(rs.splits.begin(), rs.splits.end(),
+    std::stable_sort(splits->begin(), splits->end(),
                      [](const SegView& a, const SegView& b) {
                        return a.so_start < b.so_start;
                      });
   }
-  for (const SegView& s : rs.splits)
+  for (const SegView& s : *splits)
     if (s.so_start >= s.so_end)
       throw std::runtime_error(
           "Can't parse consistent split read information from SA tag format "
@@ -1453,7 +1500,7 @@ std::unique_ptr<ReadState> prepare_read(
   long long t1 = now_ns();
   decode_seq_ascii(rs->raw.data(), rs->rv, &rs->seq_fwd);
   long long t2 = now_ns();
-  parse_splits(const_cast<Scanner&>(sc), *rs, contig_idx);
+  parse_splits(rs->rv, &rs->splits, contig_idx);
   long long t3 = now_ns();
   g_prep_parse.fetch_add(t1 - t0, std::memory_order_relaxed);
   g_prep_seq.fetch_add(t2 - t1, std::memory_order_relaxed);
@@ -1601,6 +1648,154 @@ void commit_read(Scanner& sc, std::unique_ptr<ReadState> rs,
 
 
 }  // namespace
+
+
+// ---------------------------------------------------------------------------
+// Phase 1: contig alignment scan per-record walk
+// (pipeline/contig_scan.process_record / _add_primary_read; reference
+// contig_alignment_scanner/mod.rs:91-183).  The Python walk stays as the
+// oracle; this native batch engine removes the ~215 us/record of GIL-bound
+// small-array numpy that capped phase-1 thread scaling (PERF.md round 3).
+// ---------------------------------------------------------------------------
+
+constexpr int kFSECONDARY = 0x100;
+
+// build_block_map(ref_pos, cigar, ignore_hard_clip=False)
+// (ops/blockmap.py:79-127; reference read_to_ref_map.rs:101-137): per maximal
+// M/=/X run a (read_start -> ref_start) entry plus (read_end -> -1) gap
+// entry; duplicate keys keep the LAST entry (BTreeMap insert overwrite).
+void build_block_map_c(int64_t ref_pos, const Cig& c,
+                       std::vector<int64_t>* keys,
+                       std::vector<int64_t>* vals) {
+  int64_t rp = ref_pos, dp = 0;
+  size_t i = 0, n = c.size();
+  std::vector<int64_t> K, V;
+  while (i < n) {
+    if (is_align_match(c[i].code)) {
+      int64_t rs0 = dp, ref0 = rp;
+      while (i < n && is_align_match(c[i].code)) {
+        rp += c[i].len;
+        dp += c[i].len;
+        ++i;
+      }
+      if (dp > rs0) {
+        K.push_back(rs0);
+        V.push_back(ref0);
+        K.push_back(dp);
+        V.push_back(-1);
+      }
+    } else {
+      if (consumes_ref(c[i].code)) rp += c[i].len;
+      if (consumes_read_hard(c[i].code)) dp += c[i].len;
+      ++i;
+    }
+  }
+  keys->clear();
+  vals->clear();
+  for (size_t j = 0; j < K.size(); ++j) {
+    if (j + 1 < K.size() && K[j] == K[j + 1]) continue;  // keep last
+    keys->push_back(K[j]);
+    vals->push_back(V[j]);
+  }
+}
+
+struct P1Rec {
+  int64_t kind = 0;  // 0 skip, 1 primary, 2 supplementary
+  int32_t tid = -1;
+  int32_t contig = -1;  // -1 = qname not in the assembly contig list
+  std::string qname;
+  std::vector<SegView> segs;  // primary: ordered splits; supp: [record seg]
+  // per-seg block maps (empty for non-primary segments)
+  std::vector<std::vector<int64_t>> bm_keys, bm_vals;
+  std::vector<uint8_t> rev;  // reverse-strand contig sequence (primary only)
+  bool has_rev = false;
+  int64_t supp_clip0 = 0, supp_clip1 = 0;  // supp match-key clip fields
+  // per-record error ("KE:<qname>" = unknown contig KeyError; anything else
+  // = ValueError text).  The caller surfaces the LOWEST-index error so
+  // failure order matches the sequential Python walk exactly.
+  std::string err;
+};
+
+struct P1Handle {
+  std::map<std::string, int32_t> ref_idx;  // SA rname -> ref chrom index
+  std::map<std::string, int32_t> ctg_idx;  // qname -> assembly contig index
+  WorkPool pool;
+  int pool_threads = 0;
+  std::string error;
+  std::vector<P1Rec> recs;
+  // flattened outputs (valid until the next process call)
+  std::vector<int64_t> o_rec;  // 9 per record (see ptscan_p1_results)
+  std::vector<int64_t> o_seg;  // 11 per segment
+  std::vector<int64_t> o_cig;  // (code, len) pairs
+  std::vector<int64_t> o_bmk, o_bmv;
+  std::vector<uint8_t> o_rev;
+  std::vector<uint8_t> o_qname;
+};
+
+void p1_process_one(P1Handle& h, const uint8_t* raw, size_t len, P1Rec* out) {
+  RecView rv;
+  std::string err;
+  if (!parse_record(raw, len, &rv, &err)) throw std::runtime_error(err);
+  out->tid = rv.tid;
+  if ((rv.flag & kFUNMAP) || (rv.flag & kFSECONDARY)) {
+    out->kind = 0;
+    return;
+  }
+  out->qname = rv.qname;
+  auto it = h.ctg_idx.find(rv.qname);
+  if (it == h.ctg_idx.end())
+    throw std::runtime_error("KE:" + rv.qname);
+  out->contig = it->second;
+  if (rv.flag & kFSUPPL) {
+    // supplementary: match key + exact cigar + block map (mod.rs:135-183)
+    out->kind = 2;
+    int64_t left, right_start, read_len;
+    cig_clip_positions(rv.cigar, &left, &right_start, &read_len);
+    out->supp_clip0 = left;
+    out->supp_clip1 = read_len - right_start;
+    SegView seg;
+    seg.so_start = 0;
+    seg.so_end = 0;
+    seg.chrom = rv.tid;
+    seg.pos = rv.pos;
+    seg.fwd = !(rv.flag & kFREVERSE);
+    seg.mapq = rv.mapq;
+    seg.cigar = rv.cigar;
+    out->segs.push_back(std::move(seg));
+    out->bm_keys.emplace_back();
+    out->bm_vals.emplace_back();
+    build_block_map_c(rv.pos, rv.cigar, &out->bm_keys[0], &out->bm_vals[0]);
+    return;
+  }
+  // primary (_add_primary_read, mod.rs:91-133)
+  out->kind = 1;
+  parse_splits(rv, &out->segs, h.ref_idx);
+  bool need_rev = false;
+  for (size_t si = 0; si < out->segs.size(); ++si) {
+    out->bm_keys.emplace_back();
+    out->bm_vals.emplace_back();
+    const SegView& seg = out->segs[si];
+    if (seg.from_primary)
+      build_block_map_c(seg.pos, seg.cigar, &out->bm_keys[si],
+                        &out->bm_vals[si]);
+    if (!seg.fwd) need_rev = true;
+  }
+  if (need_rev) {
+    // stored sequence must be the reverse-strand contig sequence: a
+    // reverse-mapped record already stores it; a forward one needs
+    // rev-comp (mod.rs:113-125)
+    std::vector<uint8_t> seq;
+    decode_seq_ascii(raw, rv, &seq);
+    if (rv.flag & kFREVERSE) {
+      out->rev = std::move(seq);
+    } else {
+      out->rev.resize(seq.size());
+      for (size_t i = 0; i < seq.size(); ++i)
+        out->rev[i] = kLut.comp[seq[seq.size() - 1 - i]];
+    }
+    out->has_rev = true;
+  }
+}
 
 extern "C" {
 
@@ -2092,6 +2287,158 @@ void ptscan_destroy(void* hv) {
   if (h->sc.reader) ptio_reader_close(h->sc.reader);
   if (h->sc.remapped) ptio_writer_close(h->sc.remapped);
   if (h->sc.unassembled) ptio_writer_close(h->sc.unassembled);
+  delete h;
+}
+
+
+// ---- phase-1 exports (contig_scan native walk) ----
+
+typedef struct {
+  long long n_rec;
+  const int64_t* rec;   // 9/record: kind, tid, contig, seg_start, seg_count,
+                        // rev_off(-1 none), rev_len, qname_off, qname_len
+  long long n_seg;
+  const int64_t* seg;   // 11/segment: so_start, so_end, chrom, pos, is_fwd,
+                        // mapq, from_primary, cig_off(pairs), cig_n,
+                        // bm_off, bm_n  (supp rows: so_start/so_end carry
+                        // the match-key clip fields)
+  const int64_t* cig;   // (code, len) pairs
+  long long n_cig;      // in pairs
+  const int64_t* bmk;
+  const int64_t* bmv;
+  long long n_bm;
+  const uint8_t* rev;
+  long long n_rev;
+  const uint8_t* qname;
+  long long n_qname;
+} PtscanP1Out;
+
+void* ptscan_p1_create(long long n_ref, const char* ref_names_cat,
+                       const int64_t* ref_off, long long n_ctg,
+                       const char* ctg_names_cat, const int64_t* ctg_off,
+                       int n_threads) {
+  auto* h = new P1Handle();
+  for (long long i = 0; i < n_ref; ++i)
+    h->ref_idx.emplace(
+        std::string(ref_names_cat + ref_off[i],
+                    ref_names_cat + ref_off[i + 1]),
+        (int32_t)i);
+  for (long long i = 0; i < n_ctg; ++i)
+    h->ctg_idx.emplace(
+        std::string(ctg_names_cat + ctg_off[i],
+                    ctg_names_cat + ctg_off[i + 1]),
+        (int32_t)i);
+  h->pool_threads = n_threads;
+  pool_start(h->pool, n_threads);
+  return h;
+}
+
+const char* ptscan_p1_error(void* hv) {
+  return static_cast<P1Handle*>(hv)->error.c_str();
+}
+
+// Process one chunk of raw BAM record payloads (concatenated; offs has n+1
+// entries).  Returns 0 / -1 (message via ptscan_p1_error).  Parallel across
+// records on the handle's pool; outputs flatten in input order.
+int ptscan_p1_process(void* hv, const uint8_t* raw_cat, const int64_t* offs,
+                      long long n) {
+  auto* h = static_cast<P1Handle*>(hv);
+  h->error.clear();
+  h->recs.assign(n, P1Rec());
+  pool_run(h->pool, n, [&](int64_t i) {
+    P1Rec& r = h->recs[i];
+    try {
+      p1_process_one(*h, raw_cat + offs[i], (size_t)(offs[i + 1] - offs[i]),
+                     &r);
+    } catch (const std::exception& e) {
+      r.err = e.what();
+      if (r.err.empty()) r.err = "phase-1 record processing failed";
+    }
+  });
+  for (long long i = 0; i < n; ++i) {
+    if (!h->recs[i].err.empty()) {
+      h->error = h->recs[i].err;
+      return -1;
+    }
+  }
+  // flatten (input order)
+  h->o_rec.clear();
+  h->o_seg.clear();
+  h->o_cig.clear();
+  h->o_bmk.clear();
+  h->o_bmv.clear();
+  h->o_rev.clear();
+  h->o_qname.clear();
+  h->o_rec.reserve(9 * n);
+  for (long long i = 0; i < n; ++i) {
+    P1Rec& r = h->recs[i];
+    int64_t seg_start = (int64_t)(h->o_seg.size() / 11);
+    int64_t rev_off = -1, rev_len = 0;
+    if (r.has_rev) {
+      rev_off = (int64_t)h->o_rev.size();
+      rev_len = (int64_t)r.rev.size();
+      h->o_rev.insert(h->o_rev.end(), r.rev.begin(), r.rev.end());
+    }
+    int64_t q_off = (int64_t)h->o_qname.size();
+    h->o_qname.insert(h->o_qname.end(), r.qname.begin(), r.qname.end());
+    h->o_rec.push_back(r.kind);
+    h->o_rec.push_back(r.tid);
+    h->o_rec.push_back(r.contig);
+    h->o_rec.push_back(seg_start);
+    h->o_rec.push_back((int64_t)r.segs.size());
+    h->o_rec.push_back(rev_off);
+    h->o_rec.push_back(rev_len);
+    h->o_rec.push_back(q_off);
+    h->o_rec.push_back((int64_t)r.qname.size());
+    for (size_t si = 0; si < r.segs.size(); ++si) {
+      const SegView& sg = r.segs[si];
+      int64_t cig_off = (int64_t)(h->o_cig.size() / 2);
+      for (const Op& o : sg.cigar) {
+        h->o_cig.push_back(o.code);
+        h->o_cig.push_back(o.len);
+      }
+      int64_t bm_off = (int64_t)h->o_bmk.size();
+      h->o_bmk.insert(h->o_bmk.end(), r.bm_keys[si].begin(),
+                      r.bm_keys[si].end());
+      h->o_bmv.insert(h->o_bmv.end(), r.bm_vals[si].begin(),
+                      r.bm_vals[si].end());
+      int64_t f0 = sg.so_start, f1 = sg.so_end;
+      if (r.kind == 2) {
+        f0 = r.supp_clip0;
+        f1 = r.supp_clip1;
+      }
+      const int64_t row[11] = {
+          f0, f1, (int64_t)sg.chrom, sg.pos, sg.fwd ? 1 : 0,
+          (int64_t)sg.mapq, sg.from_primary ? 1 : 0, cig_off,
+          (int64_t)sg.cigar.size(), bm_off,
+          (int64_t)r.bm_keys[si].size()};
+      h->o_seg.insert(h->o_seg.end(), row, row + 11);
+    }
+  }
+  h->recs.clear();
+  return 0;
+}
+
+void ptscan_p1_results(void* hv, PtscanP1Out* out) {
+  auto* h = static_cast<P1Handle*>(hv);
+  out->n_rec = (long long)(h->o_rec.size() / 9);
+  out->rec = h->o_rec.data();
+  out->n_seg = (long long)(h->o_seg.size() / 11);
+  out->seg = h->o_seg.data();
+  out->cig = h->o_cig.data();
+  out->n_cig = (long long)(h->o_cig.size() / 2);
+  out->bmk = h->o_bmk.data();
+  out->bmv = h->o_bmv.data();
+  out->n_bm = (long long)h->o_bmk.size();
+  out->rev = h->o_rev.data();
+  out->n_rev = (long long)h->o_rev.size();
+  out->qname = h->o_qname.data();
+  out->n_qname = (long long)h->o_qname.size();
+}
+
+void ptscan_p1_destroy(void* hv) {
+  auto* h = static_cast<P1Handle*>(hv);
+  pool_stop(h->pool);
   delete h;
 }
 

@@ -241,9 +241,53 @@ def _g_budget(b: int) -> int:
     return min(MXI * b, max(GBUDGET, -(-b * GBUDGET // 512) // 8 * 8))
 
 
+def _slot_windows_wordgather(rows, starts, window, fill):
+    """(G, L) byte rows + (G, W) window starts -> (G, W, window) bytes.
+
+    Word-granularity take_along_axis: each window needs window//4 + 1 int32
+    words from its row (re-aligned by the sub-word byte offset), so the whole
+    slot-window fetch is a single ~(G, W*(window//4+1)) gather — thousands of
+    elements, vs the per-slot superblock matmuls whose pad/convert/dot chain
+    dominated the round-4 fwd profile (scripts/profile_fwd4.py).  ``fill``
+    pads out-of-range reads exactly like _window_bytes_mm_t (0xFE vs 0xFD
+    never compare equal).  Bit-identical windows by construction.
+    """
+    g, length = rows.shape
+    nw = starts.shape[1]
+    assert window % 4 == 0, "word realign assumes a 4-aligned window"
+    wpad = 64
+    padded = jnp.concatenate(
+        [
+            jnp.full((g, wpad), fill, jnp.uint8),
+            rows,
+            jnp.full((g, wpad + 64), fill, jnp.uint8),
+        ],
+        axis=1,
+    )
+    words = jax.lax.bitcast_convert_type(
+        padded.reshape(g, -1, 4), jnp.uint32
+    )  # (G, L'/4)
+    p = jnp.clip(starts + wpad, 0, length + wpad)  # starts >= -window by contract
+    wstart = p >> 2
+    o = (p & 3).astype(jnp.uint32)  # sub-word byte offset
+    k = window // 4
+    t = jnp.arange(k + 1, dtype=jnp.int32)
+    idx = (wstart[:, :, None] + t[None, None, :]).reshape(g, nw * (k + 1))
+    got = jnp.take_along_axis(words, idx, axis=1).reshape(g, nw, k + 1)
+    sh = (8 * o)[:, :, None]
+    lo = got[:, :, :k] >> sh
+    hi = jnp.where(
+        (o == 0)[:, :, None], jnp.uint32(0), got[:, :, 1:] << (32 - sh)
+    )
+    v = lo | hi  # (G, W, k) aligned words
+    shifts = (8 * jnp.arange(4, dtype=jnp.uint32))[None, None, None, :]
+    b = ((v[:, :, :, None] >> shifts) & 0xFF).astype(jnp.uint8)
+    return b.reshape(g, nw, window)
+
+
 def simplify_batch_compact(
     codes, lens, ref_pos, ref_win, read_seq, *, max_clusters, window, max_out,
-    row_fetch="onehot",
+    row_fetch="onehot", windows_mode="superblock",
 ):
     """Batch-level simplify with BATCH-compacted mixed-cluster windows
     (mm formulation).
@@ -322,15 +366,30 @@ def simplify_batch_compact(
         rows_a = expand_bytes(sel, ref_win)                # (G, L)
         rows_b = expand_bytes(sel, read_seq)
     bsg, rsg, dlg, ilg = gst[:, 0], gst[:, 1], gst[:, 2], gst[:, 3]
-    wa = jax.vmap(
-        lambda row, st: _window_bytes_mm_t(row, st, w, 0xFE)
-    )(rows_a, jnp.stack([bsg + dlg - w, bsg], axis=1))     # (G, w, 2)
-    wb = jax.vmap(
-        lambda row, st: _window_bytes_mm_t(row, st, w, 0xFD)
-    )(rows_b, jnp.stack([rsg + ilg - w, rsg], axis=1))
-    eqg = (wa == wb).astype(jnp.int32)
-    raw_r_g = jnp.sum(jax.lax.cumprod(eqg[:, :, 0], axis=1, reverse=True), axis=1)
-    raw_l_g = jnp.sum(jnp.cumprod(eqg[:, :, 1], axis=1), axis=1)
+    if windows_mode == "wordgather":
+        wa = _slot_windows_wordgather(
+            rows_a, jnp.stack([bsg + dlg - w, bsg], axis=1), w, 0xFE
+        )  # (G, 2, w)
+        wb = _slot_windows_wordgather(
+            rows_b, jnp.stack([rsg + ilg - w, rsg], axis=1), w, 0xFD
+        )
+        eqg = (wa == wb).astype(jnp.int32)
+        raw_r_g = jnp.sum(
+            jax.lax.cumprod(eqg[:, 0, :], axis=1, reverse=True), axis=1
+        )
+        raw_l_g = jnp.sum(jnp.cumprod(eqg[:, 1, :], axis=1), axis=1)
+    else:
+        wa = jax.vmap(
+            lambda row, st: _window_bytes_mm_t(row, st, w, 0xFE)
+        )(rows_a, jnp.stack([bsg + dlg - w, bsg], axis=1))     # (G, w, 2)
+        wb = jax.vmap(
+            lambda row, st: _window_bytes_mm_t(row, st, w, 0xFD)
+        )(rows_b, jnp.stack([rsg + ilg - w, rsg], axis=1))
+        eqg = (wa == wb).astype(jnp.int32)
+        raw_r_g = jnp.sum(
+            jax.lax.cumprod(eqg[:, :, 0], axis=1, reverse=True), axis=1
+        )
+        raw_l_g = jnp.sum(jnp.cumprod(eqg[:, :, 1], axis=1), axis=1)
 
     # scatter runs back to (item, slot)
     smask = (

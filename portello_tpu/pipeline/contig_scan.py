@@ -10,6 +10,7 @@ dense per-segment block tensors and replicated across hosts.
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -181,6 +182,134 @@ def load_contig_index(
     return payload["info"]
 
 
+class _NativeP1:
+    """ctypes wrapper for the ptscan.cc phase-1 per-record walk.
+
+    Wraps the flat result arrays back into the Python oracle's dataclasses
+    (ints/bools/np arrays with identical dtypes, so the pickled contig index
+    is byte-identical to the Python walk's).
+    """
+
+    def __init__(self, lib, ref_chrom_list, assembly_contig_list, threads):
+        import ctypes
+
+        from portello_tpu.pipeline.native_feed import _P1Out, i64p
+
+        self.lib = lib
+        self._P1Out = _P1Out
+        self._i64p = i64p
+        self._ctypes = ctypes
+        ref_names = [c.label for c in ref_chrom_list.data]
+        ctg_names = [c.label for c in assembly_contig_list.data]
+
+        def cat_off(names):
+            cat = "".join(names).encode()
+            off = np.zeros(len(names) + 1, np.int64)
+            np.cumsum([len(n.encode()) for n in names], out=off[1:])
+            return cat, off
+
+        ref_cat, ref_off = cat_off(ref_names)
+        ctg_cat, ctg_off = cat_off(ctg_names)
+        self._keep = (ref_cat, ref_off, ctg_cat, ctg_off)
+        self.h = ctypes.c_void_p(lib.ptscan_p1_create(
+            len(ref_names), ref_cat, i64p(ref_off),
+            len(ctg_names), ctg_cat, i64p(ctg_off),
+            int(max(threads, 1)),
+        ))
+        if not self.h:
+            raise RuntimeError("ptscan_p1_create failed")
+
+    def close(self):
+        if self.h:
+            self.lib.ptscan_p1_destroy(self.h)
+            self.h = None
+
+    def process(self, chunk):
+        """Run one chunk of raw BAM record payloads; yield commit ops."""
+        if not chunk:
+            return
+        import ctypes
+
+        from portello_tpu.ops.blockmap import BlockMap
+        from portello_tpu.pipeline.split_read import SeqOrderSplitReadSegment
+
+        offs = np.zeros(len(chunk) + 1, np.int64)
+        np.cumsum([len(r) for r in chunk], out=offs[1:])
+        cat = b"".join(chunk)
+        rc = self.lib.ptscan_p1_process(
+            self.h, cat, self._i64p(offs), len(chunk)
+        )
+        if rc != 0:
+            msg = self.lib.ptscan_p1_error(self.h).decode()
+            if msg.startswith("KE:"):
+                raise KeyError(msg[3:])
+            raise ValueError(msg)
+        out = self._P1Out()
+        self.lib.ptscan_p1_results(self.h, ctypes.byref(out))
+
+        def arr(ptr, n, dtype):
+            if n == 0:
+                return np.zeros(0, dtype)
+            # .view(dtype) swaps the ctypes-derived dtype instance for the
+            # canonical numpy singleton: pickle memoizes dtypes by identity,
+            # so without this the pickled index would differ from the Python
+            # walk's byte-for-byte (same values, fatter pickles)
+            return np.ctypeslib.as_array(ptr, shape=(n,)).view(dtype)
+
+        rec = arr(out.rec, out.n_rec * 9, np.int64).reshape(-1, 9)
+        seg = arr(out.seg, out.n_seg * 11, np.int64).reshape(-1, 11)
+        cig = arr(out.cig, out.n_cig * 2, np.int64).reshape(-1, 2)
+        bmk = arr(out.bmk, out.n_bm, np.int64)
+        bmv = arr(out.bmv, out.n_bm, np.int64)
+        rev = arr(out.rev, out.n_rev, np.uint8)
+        qn = arr(out.qname, out.n_qname, np.uint8)
+        qn_bytes = qn.tobytes()
+
+        for r in rec:
+            kind = int(r[0])
+            if kind == 0:
+                yield None
+                continue
+            tid, contig = int(r[1]), int(r[2])
+            s0, sn = int(r[3]), int(r[4])
+            qname = qn_bytes[int(r[7]) : int(r[7]) + int(r[8])].decode()
+            if kind == 2:
+                srow = seg[s0]
+                key = (tid, int(srow[3]), bool(srow[4]),
+                       int(srow[0]), int(srow[1]))
+                c0, cn = int(srow[7]), int(srow[8])
+                b0, bn = int(srow[9]), int(srow[10])
+                cigar = cig[c0 : c0 + cn].copy()
+                bm = BlockMap(bmk[b0 : b0 + bn].copy(), bmv[b0 : b0 + bn].copy())
+                yield (tid, contig, qname, None, (key, cigar, bm))
+                continue
+            infos = []
+            for srow in seg[s0 : s0 + sn]:
+                c0, cn = int(srow[7]), int(srow[8])
+                b0, bn = int(srow[9]), int(srow[10])
+                infos.append(ContigMappingSegmentInfo(
+                    SeqOrderSplitReadSegment(
+                        seq_order_read_start=int(srow[0]),
+                        seq_order_read_end=int(srow[1]),
+                        chrom_index=int(srow[2]),
+                        pos=int(srow[3]),
+                        is_fwd_strand=bool(srow[4]),
+                        cigar=cig[c0 : c0 + cn].copy(),
+                        mapq=int(srow[5]),
+                        from_primary_bam_record=bool(srow[6]),
+                    ),
+                    BlockMap(bmk[b0 : b0 + bn].copy(), bmv[b0 : b0 + bn].copy()),
+                ))
+            rev_seq = None
+            if int(r[5]) >= 0:
+                rev_seq = rev[int(r[5]) : int(r[5]) + int(r[6])].copy()
+            yield (tid, contig, qname, ContigMappingInfo(
+                qname=qname,
+                ordered_contig_segment_info=infos,
+                rev_contig_seq=rev_seq,
+            ), None)
+
+
 def scan_contig_bam(
     bam_path: str,
     ref_chrom_list: ChromList,
@@ -269,7 +398,43 @@ def scan_contig_bam(
     with open_alignment_input(bam_path, reference=ref_arg) as reader:
         native = getattr(reader, "_native", None)
         is_bam = hasattr(reader, "iter_raw")
-        if thread_count > 1 and native is not None:
+        p1lib = None
+        if is_bam and os.environ.get("PTPU_P1_NATIVE", "1") != "0":
+            try:
+                from portello_tpu.pipeline.native_feed import get_lib as _p1_get_lib
+
+                p1lib = _p1_get_lib()
+            except Exception:  # pragma: no cover - build-env dependent
+                p1lib = None
+        if p1lib is not None:
+            # Native per-record walk (ptscan.cc phase-1 engine): raw records
+            # stream off the BGZF decode pool in chunks; split parse, block
+            # maps and rev-comp run on the C++ pool (no GIL); the Python side
+            # only wraps the flat results into the oracle's dataclasses and
+            # commits in input order — byte-identical to the Python walk
+            # (tests/test_contig_scan_parallel.py).
+            if native is not None:
+                native.set_threads(thread_count)
+            reader._bgzf.seek_voffset(reader._data_voffset)
+            p1 = _NativeP1(
+                p1lib, ref_chrom_list, assembly_contig_list, thread_count
+            )
+            try:
+                chunk: list = []
+                nbytes = 0
+                max_chunk, max_bytes = 512, 16 << 20
+                for raw in reader.iter_raw():
+                    chunk.append(raw)
+                    nbytes += len(raw)
+                    if len(chunk) >= max_chunk or nbytes >= max_bytes:
+                        for op in p1.process(chunk):
+                            commit(op)
+                        chunk, nbytes = [], 0
+                for op in p1.process(chunk):
+                    commit(op)
+            finally:
+                p1.close()
+        elif thread_count > 1 and native is not None:
             # parallel inflate readahead + worker-parallel record compute,
             # ordered commit (BamReader path; CRAM input stays sequential)
             import collections

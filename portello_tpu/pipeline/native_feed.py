@@ -68,6 +68,26 @@ class _BatchDesc(ctypes.Structure):
     ]
 
 
+class _P1Out(ctypes.Structure):
+    """Flattened phase-1 walk results (ptscan.cc PtscanP1Out)."""
+
+    _fields_ = [
+        ("n_rec", ctypes.c_longlong),
+        ("rec", ctypes.POINTER(ctypes.c_int64)),
+        ("n_seg", ctypes.c_longlong),
+        ("seg", ctypes.POINTER(ctypes.c_int64)),
+        ("cig", ctypes.POINTER(ctypes.c_int64)),
+        ("n_cig", ctypes.c_longlong),
+        ("bmk", ctypes.POINTER(ctypes.c_int64)),
+        ("bmv", ctypes.POINTER(ctypes.c_int64)),
+        ("n_bm", ctypes.c_longlong),
+        ("rev", ctypes.POINTER(ctypes.c_uint8)),
+        ("n_rev", ctypes.c_longlong),
+        ("qname", ctypes.POINTER(ctypes.c_uint8)),
+        ("n_qname", ctypes.c_longlong),
+    ]
+
+
 def i64p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
@@ -120,6 +140,20 @@ def bind_lib(so_path: str):
     lib.ptio_reader_push_eof.argtypes = [ctypes.c_void_p]
     lib.ptio_reader_push_close.argtypes = [ctypes.c_void_p]
     lib.ptio_reader_close.argtypes = [ctypes.c_void_p]
+    # phase-1 per-record walk (contig_scan native path)
+    lib.ptscan_p1_create.restype = ctypes.c_void_p
+    lib.ptscan_p1_create.argtypes = [
+        ctypes.c_longlong, ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.c_longlong, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int,
+    ]
+    lib.ptscan_p1_process.restype = ctypes.c_int
+    lib.ptscan_p1_process.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_longlong,
+    ]
+    lib.ptscan_p1_results.argtypes = [ctypes.c_void_p, ctypes.POINTER(_P1Out)]
+    lib.ptscan_p1_error.restype = ctypes.c_char_p
+    lib.ptscan_p1_error.argtypes = [ctypes.c_void_p]
+    lib.ptscan_p1_destroy.argtypes = [ctypes.c_void_p]
     return lib
 
 

@@ -98,3 +98,69 @@ def test_lazy_decode_survives_mutation():
     rt = BamRecord.decode(lazy.encode())
     assert rt.seq.tobytes() == b"ACGT"
     assert rt.is_supplementary()
+
+
+def test_native_walk_matches_python_oracle(scenario, monkeypatch):
+    """The C++ phase-1 walk (ptscan_p1_*) must produce a pickle-identical
+    index to the pure-Python oracle walk (PTPU_P1_NATIVE=0)."""
+    scn, _ = scenario
+    monkeypatch.setenv("PTPU_P1_NATIVE", "0")
+    py_info, _, _ = _scan(scn, 1)
+    monkeypatch.setenv("PTPU_P1_NATIVE", "1")
+    nat_info, _, _ = _scan(scn, 4)
+    assert pickle.dumps(nat_info) == pickle.dumps(py_info)
+
+
+def test_native_walk_error_parity(tmp_path, monkeypatch):
+    """Error semantics parity between the native and Python walks: a
+    corrupt SA tag raises the same ValueError text; a read name missing
+    from the assembly contig list raises KeyError in both."""
+    from portello_tpu.io.bam import BamWriter
+    from portello_tpu.io.index_build import build_bai
+    from portello_tpu.testutil.simulate import make_scenario as _mk
+
+    scn = _mk(str(tmp_path), rng=np.random.default_rng(41))
+    ref_cl = ChromList.from_bam_filename(scn.contig_bam)
+    contig_cl = ChromList.from_bam_filename(scn.read_bam)
+
+    def scan(path):
+        return scan_contig_bam(path, ref_cl, contig_cl, None, thread_count=2)
+
+    def rewrite(mutate, out_name):
+        with BamReader(scn.contig_bam) as r:
+            recs = list(r)
+            header = r.header
+        out = str(tmp_path / out_name)
+        with BamWriter(out, header) as w:
+            for rec in recs:
+                w.write(mutate(rec) or rec)
+        build_bai(out)
+        return out
+
+    # corrupt SA tag on the first record
+    def bad_sa(rec):
+        if not rec.is_supplementary() and not rec.is_unmapped():
+            rec.push_tag(b"SA", b"Z", "chr1,notanint,+,4M,60,0;")
+        rec.raw = None  # encode() passes raw bytes through when set
+        return rec
+
+    bad1 = rewrite(bad_sa, "bad_sa.bam")
+    errs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("PTPU_P1_NATIVE", mode)
+        with pytest.raises(ValueError) as ei:
+            scan(bad1)
+        errs[mode] = str(ei.value)
+    assert errs["0"] == errs["1"]
+
+    # read name absent from the contig list
+    def bad_name(rec):
+        rec.qname = b"not_a_contig"
+        rec.raw = None
+        return rec
+
+    bad2 = rewrite(bad_name, "bad_name.bam")
+    for mode in ("0", "1"):
+        monkeypatch.setenv("PTPU_P1_NATIVE", mode)
+        with pytest.raises(KeyError, match="not_a_contig"):
+            scan(bad2)
