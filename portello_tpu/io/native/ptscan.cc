@@ -64,6 +64,10 @@ struct SeqLuts {
   uint8_t enc2[65536];    // idx = s[i] | s[i+1]<<8
   uint8_t enc2c[65536];   // idx = s[-i-1] | s[-i]<<8 (flipped walk)
   uint8_t dec2[256][2];   // packed byte -> both ASCII chars
+  uint8_t dec2rc[256][2];  // packed byte -> both revcomp ASCII chars, swapped
+  uint8_t rcpack[256];     // packed byte -> revcomp packed byte (nib swap)
+  uint8_t code_comp[16];   // nibble code -> complement nibble code
+  uint8_t code_comp_ascii[16];  // nibble code -> complement ASCII char
   SeqLuts() {
     for (int i = 0; i < 256; ++i) comp[i] = 'N';
     const char* pairs = "ATCGGCTANN";
@@ -78,6 +82,10 @@ struct SeqLuts {
       enc[(uint8_t)std::tolower(kSeqChars[i])] = i;
     }
     for (int i = 0; i < 256; ++i) enc_comp[i] = enc[comp[i]];
+    for (int c = 0; c < 16; ++c) {
+      code_comp_ascii[c] = comp[(uint8_t)kSeqChars[c]];
+      code_comp[c] = enc[code_comp_ascii[c]];
+    }
     for (int v = 0; v < 65536; ++v) {
       uint8_t lo = (uint8_t)(v & 0xFF), hi = (uint8_t)(v >> 8);
       enc2[v] = (uint8_t)((enc[lo] << 4) | enc[hi]);
@@ -86,6 +94,13 @@ struct SeqLuts {
     for (int b = 0; b < 256; ++b) {
       dec2[b][0] = (uint8_t)kSeqChars[b >> 4];
       dec2[b][1] = (uint8_t)kSeqChars[b & 0xF];
+      // reverse-complement pair tables: when walking the packed stream
+      // backwards one output unit covers exactly one input byte with its
+      // nibbles swapped (even-length fast path; odd lengths peel the head
+      // nibble first) — out chars are comp(lo), comp(hi)
+      dec2rc[b][0] = code_comp_ascii[b & 0xF];
+      dec2rc[b][1] = code_comp_ascii[b >> 4];
+      rcpack[b] = (uint8_t)((code_comp[b & 0xF] << 4) | code_comp[b >> 4]);
     }
   }
 };
@@ -295,6 +310,35 @@ bool parse_record(const uint8_t* raw, size_t n, RecView* rv, std::string* err) {
     }
   }
   return true;
+}
+
+const uint8_t* packed_seq_ptr(const uint8_t* raw, const RecView& rv) {
+  return raw + 32 + rv.qname.size() + 1 + 4 * (size_t)rv.n_cigar;
+}
+
+// Decode the 4-bit packed BAM seq straight into ``dst`` (ASCII), skipping
+// the intermediate per-read buffer the fill used to copy from.
+void decode_seq_into(const uint8_t* packed, int64_t l_seq, uint8_t* dst) {
+  int64_t n2 = l_seq / 2;
+  for (int64_t j = 0; j < n2; ++j)
+    std::memcpy(dst + 2 * (size_t)j, kLut.dec2[packed[j]], 2);
+  if (l_seq & 1) dst[l_seq - 1] = kLut.dec2[packed[n2]][0];
+}
+
+// Reverse-complement decode straight from the packed stream: out[i] =
+// comp(base[l_seq-1-i]).  Even lengths pair-walk dec2rc; odd lengths peel
+// the final base (high nibble of the last byte) first, after which the
+// remaining pairs realign to whole input bytes.
+void decode_seq_rc_into(const uint8_t* packed, int64_t l_seq, uint8_t* dst) {
+  int64_t i = 0;
+  int64_t src = (l_seq - 1) / 2;
+  if (l_seq & 1) {
+    dst[0] = kLut.code_comp_ascii[packed[src] >> 4];
+    i = 1;
+    --src;
+  }
+  for (; i < l_seq; i += 2, --src)
+    std::memcpy(dst + i, kLut.dec2rc[packed[src]], 2);
 }
 
 void decode_seq_ascii(const uint8_t* raw, const RecView& rv,
@@ -797,12 +841,21 @@ void parse_splits(const RecView& rv, std::vector<SegView>* splits,
           "in read: " + rv.qname);
 }
 
+const std::vector<uint8_t>& seq_ascii(ReadState& rs) {
+  // lazy: only the host-fallback exact path needs the ASCII form now (the
+  // fill and the finisher work straight off the raw packed bytes)
+  if (rs.seq_fwd.empty() && rs.rv.l_seq > 0)
+    decode_seq_ascii(rs.raw.data(), rs.rv, &rs.seq_fwd);
+  return rs.seq_fwd;
+}
+
 const std::vector<uint8_t>& read_seq_oriented(ReadState& rs, bool flip) {
-  if (!flip) return rs.seq_fwd;
-  if (rs.seq_rc.empty() && !rs.seq_fwd.empty()) {
-    rs.seq_rc.resize(rs.seq_fwd.size());
-    for (size_t i = 0; i < rs.seq_fwd.size(); ++i)
-      rs.seq_rc[i] = kLut.comp[rs.seq_fwd[rs.seq_fwd.size() - 1 - i]];
+  const std::vector<uint8_t>& fwd = seq_ascii(rs);
+  if (!flip) return fwd;
+  if (rs.seq_rc.empty() && !fwd.empty()) {
+    rs.seq_rc.resize(fwd.size());
+    for (size_t i = 0; i < fwd.size(); ++i)
+      rs.seq_rc[i] = kLut.comp[fwd[fwd.size() - 1 - i]];
   }
   return rs.seq_rc;
 }
@@ -905,10 +958,10 @@ bool host_lift_item(Scanner& sc, ReadState& rs, Item& it, int64_t* out_pos,
 
     // read-length invariant (read_alignment_scanner.rs:204-229)
     int64_t crl = cig_read_len_hard(em);
-    if (crl != (int64_t)rs.seq_fwd.size())
+    if (crl != (int64_t)rs.rv.l_seq)
       throw std::runtime_error(
           "Failed to remap qname: " + rs.rv.qname + ": seq len " +
-          std::to_string(rs.seq_fwd.size()) + " != lifted cigar read len " +
+          std::to_string(rs.rv.l_seq) + " != lifted cigar read len " +
           std::to_string(crl));
 
     Cig simp;
@@ -971,7 +1024,7 @@ void encode_record(const ReadState& rs, const OutRecord& r,
   const RecView& rv = rs.rv;
   Cig cigar = r.cigar;
   std::vector<uint8_t> extra_tags;
-  int64_t l_seq = rs.seq_fwd.size();
+  int64_t l_seq = rv.l_seq;
   if (cigar.size() > 0xFFFF) {
     // long-cigar CG spill (io/bam.py encode)
     int64_t rspan = cig_ref_span(cigar);
@@ -1023,28 +1076,36 @@ void encode_record(const ReadState& rs, const OutRecord& r,
     out->resize(b + 4);
     std::memcpy(out->data() + b, &u, 4);
   }
-  // seq (possibly revcomp) 4-bit packed — two bases per output byte,
-  // branchless (this loop is on the finisher's encode path)
+  // seq 4-bit packed, straight from the raw record bytes: pass-through is
+  // a memcpy; the flipped case is a reversed rcpack LUT walk (nibble swap +
+  // complement; odd lengths peel the head nibble then re-align) — no ASCII
+  // round trip on the finisher's encode path
   {
-    const std::vector<uint8_t>& fwd = rs.seq_fwd;
+    const uint8_t* packed = packed_seq_ptr(rv.raw, rv);
     size_t b = out->size();
     out->resize(b + (l_seq + 1) / 2, 0);
     uint8_t* dst = out->data() + b;
-    int64_t i = 0;
-    if (r.flipped) {
-      const uint8_t* s = fwd.data() + l_seq - 1;
-      for (; i + 1 < l_seq; i += 2) {
-        uint16_t v = (uint16_t)(s[-(i + 1)] | (s[-i] << 8));
-        dst[i / 2] = kLut.enc2c[v];
+    if (!r.flipped) {
+      std::memcpy(dst, packed, (size_t)((l_seq + 1) / 2));
+      if (l_seq & 1) dst[l_seq / 2] &= 0xF0;  // clear any stale pad nibble
+    } else if (l_seq > 0) {
+      if (l_seq & 1) {
+        // head = comp of the final base (high nibble of the last byte);
+        // subsequent rcpack bytes straddle output bytes by one nibble
+        uint8_t cur = kLut.code_comp[packed[(l_seq - 1) / 2] >> 4];
+        const uint8_t* src = packed + (l_seq - 3) / 2;
+        int64_t n = l_seq / 2;
+        for (int64_t k = 0; k < n; ++k, --src) {
+          uint8_t rp = kLut.rcpack[*src];
+          dst[k] = (uint8_t)((cur << 4) | (rp >> 4));
+          cur = rp & 0xF;
+        }
+        dst[n] = (uint8_t)(cur << 4);
+      } else {
+        const uint8_t* src = packed + l_seq / 2 - 1;
+        for (int64_t k = 0; k < l_seq / 2; ++k, --src)
+          dst[k] = kLut.rcpack[*src];
       }
-      if (i < l_seq) dst[i / 2] = kLut.enc_comp[s[-i]] << 4;
-    } else {
-      const uint8_t* s = fwd.data();
-      for (; i + 1 < l_seq; i += 2) {
-        uint16_t v = (uint16_t)(s[i] | (s[i + 1] << 8));
-        dst[i / 2] = kLut.enc2[v];
-      }
-      if (i < l_seq) dst[i / 2] = kLut.enc[s[i]] << 4;
     }
   }
   // qual (possibly reversed)
@@ -1324,7 +1385,7 @@ void prepare_item(const Scanner& sc, ReadState& rs, int seg_index, int64_t g,
   }
   int64_t ref_span = ref_hi - ref_lo;
   int64_t n_cig = (int64_t)cig.size();
-  int64_t seq_len = (int64_t)rs.seq_fwd.size();
+  int64_t seq_len = (int64_t)rs.rv.l_seq;
 
   // Liftover update-grid rows under the device formula
   // (pipeline_model._count_update_rows / liftover_parallel visits): per
@@ -1459,12 +1520,18 @@ void fill_item_row(const Scanner& sc, ReadState& rs, const Item& it,
   }
   ac.ref_base[i] = (int32_t)it.dref_lo;
   {
-    const std::vector<uint8_t>& rseq = read_seq_oriented(rs, it.need_flip);
-    std::memcpy(&ac.read_seq[i * c.max_seq], rseq.data(), rseq.size());
-    if ((int64_t)rseq.size() < ac.prev_seq[i])
-      std::memset(&ac.read_seq[i * c.max_seq + rseq.size()], 0,
-                  ac.prev_seq[i] - (int64_t)rseq.size());
-    ac.prev_seq[i] = (int32_t)rseq.size();
+    // decode the 4-bit packed BAM seq straight into the slot row (one pass;
+    // the old ASCII staging buffer cost a full extra write+read per record)
+    int64_t l_seq = rs.rv.l_seq;
+    uint8_t* dst = &ac.read_seq[i * c.max_seq];
+    const uint8_t* packed = packed_seq_ptr(rs.raw.data(), rs.rv);
+    if (it.need_flip)
+      decode_seq_rc_into(packed, l_seq, dst);
+    else
+      decode_seq_into(packed, l_seq, dst);
+    if (l_seq < ac.prev_seq[i])
+      std::memset(dst + l_seq, 0, ac.prev_seq[i] - l_seq);
+    ac.prev_seq[i] = (int32_t)l_seq;
   }
   if (it.is_rev_contig) {
     int64_t span = cig_ref_span(cig);
@@ -1498,7 +1565,8 @@ std::unique_ptr<ReadState> prepare_read(
   if (!parse_record(rs->raw.data(), rs->raw.size(), &rs->rv, &err))
     throw std::runtime_error(err);
   long long t1 = now_ns();
-  decode_seq_ascii(rs->raw.data(), rs->rv, &rs->seq_fwd);
+  // seq ASCII decode is lazy now (host-fallback items only): the fill and
+  // the finisher consume the raw packed bytes directly
   long long t2 = now_ns();
   parse_splits(rs->rv, &rs->splits, contig_idx);
   long long t3 = now_ns();
@@ -1522,16 +1590,10 @@ std::unique_ptr<ReadState> prepare_read(
   }
   long long t4 = now_ns();
   g_prep_items.fetch_add(t4 - t3, std::memory_order_relaxed);
-  // Materialize the reverse complement HERE, while this read is owned by
-  // one thread: fill_item_row later runs items in parallel, and two
-  // flipped items of the same read would race on the lazy seq_rc init
-  // (resize + concurrent writes = UB / torn output).
-  for (const Item& it : rs->items)
-    if (it.need_flip) {
-      read_seq_oriented(*rs, true);
-      break;
-    }
-  g_prep_rc.fetch_add(now_ns() - t4, std::memory_order_relaxed);
+  // (the old eager seq_rc materialization is gone: the fill decodes the
+  // flipped row straight from the raw packed bytes, and every remaining
+  // ASCII consumer — host shift / fallback compute — runs inside prepare
+  // while this thread owns the read, so the lazy init cannot race)
   return rs;
 }
 
@@ -2175,10 +2237,10 @@ int ptscan_post_results(void* hv, const int32_t* codes, const int32_t* lens,
         }
       } else if (mapped[i]) {
         // read-length invariant (read_alignment_scanner.rs:204-229)
-        if (read_len[i] != (int64_t)rs.seq_fwd.size())
+        if (read_len[i] != (int64_t)rs.rv.l_seq)
           throw std::runtime_error(
               "Failed to remap qname: " + rs.rv.qname + ": seq len " +
-              std::to_string(rs.seq_fwd.size()) +
+              std::to_string(rs.rv.l_seq) +
               " != lifted cigar read len " + std::to_string(read_len[i]));
         it.has_result = true;
         it.ref2_pos = res_pos[i];
