@@ -47,9 +47,13 @@ def clean_up_edge_indels(codes, lens):
     am = is_align_match(codes) & valid
     any_am = am.any()
     idx = jnp.arange(n, dtype=jnp.int32)
+    # argmax-of-flip, deliberately: the masked min/max reduction form
+    # measured consistently ~5-15% SLOWER on the full fwd graph
+    # (scripts/profile_lean4.py, round 4) despite removing the reverse
     first = jnp.where(any_am, jnp.argmax(am).astype(jnp.int32), jnp.int32(n))
     last = jnp.where(
-        any_am, jnp.int32(n) - 1 - jnp.argmax(am[::-1]).astype(jnp.int32), jnp.int32(-1)
+        any_am, jnp.int32(n) - 1 - jnp.argmax(am[::-1]).astype(jnp.int32),
+        jnp.int32(-1),
     )
     lead = idx < first
     trail = idx > last

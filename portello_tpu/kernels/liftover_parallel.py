@@ -151,11 +151,26 @@ def _liftover_parallel_single(ops, lens, n_ops, ref1_pos, bk, bv, nb, mm: bool =
     this_idx = lo_r + t + 1 - pre_r
     last_idx = this_idx - 1
     if mm:
-        this_kv = expand_mask(onehot_eq(this_idx, max_blocks), bkv)
-        last_kv = expand_mask(onehot_eq(last_idx, max_blocks), bkv)
-        this_key = this_kv[:, 0]
-        last_key = last_kv[:, 0]
-        last_val = last_kv[:, 1]
+        # ONE lookup for this+last: table row i packs [bk[i], bk[i-1],
+        # bv[i-1]] over an extended domain [0, max_blocks] (row max_blocks
+        # serves this_idx == nb == max_blocks, whose "this" key is overridden
+        # to +inf below anyway; row 0's last fields are 0, matching the old
+        # zero-mask rows — unread: this_idx == 0 implies have_last is False).
+        # Halves the block-lookup mask build + matmul count.
+        shifted_k = jnp.concatenate([jnp.zeros(1, bk.dtype), bk])
+        shifted_v = jnp.concatenate([jnp.zeros(1, bv.dtype), bv])
+        table3 = jnp.stack(
+            [
+                jnp.concatenate([bk, jnp.zeros(1, bk.dtype)]),
+                shifted_k,
+                shifted_v,
+            ],
+            axis=1,
+        )
+        kv3 = expand_mask(onehot_eq(this_idx, max_blocks + 1), table3)
+        this_key = kv3[:, 0]
+        last_key = kv3[:, 1]
+        last_val = kv3[:, 2]
     else:
         both = jnp.take_along_axis(
             bkv,
