@@ -1,5 +1,6 @@
-"""Build a .bai/.csi index for a coordinate-sorted BAM (samtools index
-equivalent; --csi covers contigs past the BAI 2^29 limit)."""
+"""Build a .bai/.csi index for a coordinate-sorted BAM, or a .crai for a
+CRAM (samtools index equivalent; --csi covers contigs past the BAI 2^29
+limit; CRAM inputs are detected by magic and get a .crai)."""
 
 from __future__ import annotations
 
@@ -10,7 +11,7 @@ from portello_tpu.io.index_build import build_bai, build_csi
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="portello-tpu index")
-    p.add_argument("bam")
+    p.add_argument("bam", help="BAM or CRAM file")
     p.add_argument("-o", "--output", default=None)
     p.add_argument(
         "--csi", action="store_true",
@@ -21,6 +22,13 @@ def main(argv=None) -> None:
         help="CSI minimal interval width as a power of two (default 14)",
     )
     args = p.parse_args(argv)
+    from portello_tpu.io.aln_input import is_cram_file
+
+    if is_cram_file(args.bam):
+        from portello_tpu.io.index_build import build_crai
+
+        print(build_crai(args.bam, args.output))
+        return
     if args.csi:
         out = build_csi(args.bam, args.output, min_shift=args.min_shift)
     else:

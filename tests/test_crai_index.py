@@ -192,3 +192,16 @@ def test_target_region_cram_seeks_and_matches_bam(tmp_path, monkeypatch):
     assert 0 < phase2.bytes_read < file_size * 0.9, (
         phase2.bytes_read, file_size,
     )
+
+
+def test_index_tool_builds_crai(tmp_path, capsys):
+    """`portello-tpu index` on a CRAM input builds the .crai (samtools index
+    parity for the CRAM container format)."""
+    from portello_tpu.tools.index import main as index_main
+
+    make_scenario(str(tmp_path), rng=np.random.default_rng(13))
+    crm = tmp_path / "t.cram"
+    _bam_to_cram(tmp_path / "read_to_asm.bam", crm, write_index=False)
+    index_main([str(crm)])
+    assert (tmp_path / "t.cram.crai").exists()
+    assert CraiIndex.load(str(crm)).entries
