@@ -35,8 +35,13 @@ class CraiEntry:
 
 def _index_candidates(cram_path: str):
     yield cram_path + ".crai"
-    stem = cram_path.rsplit(".", 1)[0]
-    if stem != cram_path:
+    # splitext only strips the basename's extension — a plain rsplit(".")
+    # would let a dotted DIRECTORY name produce a candidate outside the
+    # file's directory (and silently load an unrelated index)
+    import os
+
+    stem, ext = os.path.splitext(cram_path)
+    if ext:
         yield stem + ".crai"
 
 
@@ -45,6 +50,11 @@ class CraiIndex:
 
     def __init__(self, entries: list[CraiEntry]):
         self.entries = entries
+        # per-seq_id entry lists: fetch plans query one contig at a time, so
+        # a flat scan would be O(contigs x slices) on fragmented assemblies
+        self._by_seq: dict[int, list[CraiEntry]] = {}
+        for e in entries:
+            self._by_seq.setdefault(e.seq_id, []).append(e)
 
     @staticmethod
     def load(cram_path: str) -> "CraiIndex":
@@ -90,8 +100,8 @@ class CraiIndex:
         zero-based [beg, end) on ``tid`` (htslib overlap convention:
         entry covers 1-based [start, start+span))."""
         offs = set()
-        for e in self.entries:
-            if e.seq_id != tid or e.span <= 0:
+        for e in self._by_seq.get(tid, ()):
+            if e.span <= 0:
                 continue
             e_beg0 = e.start - 1
             if e_beg0 < end and e_beg0 + e.span > beg:
@@ -102,4 +112,4 @@ class CraiIndex:
         """Sorted unique container offsets holding unmapped (seq_id -1)
         slices (FetchDefinition::Unmapped parity,
         reference read_alignment_scanner.rs:537-559)."""
-        return sorted({e.container_offset for e in self.entries if e.seq_id == -1})
+        return sorted({e.container_offset for e in self._by_seq.get(-1, ())})

@@ -1094,6 +1094,28 @@ class CramReader:
                 if rec.alignment_end() > beg:
                     yield rec
 
+    def fetch_many(self, ranges):
+        """Yield records of several whole-contig ranges in (tid, pos) order.
+
+        ``ranges``: list of (tid, end) pairs.  Unlike per-tid ``fetch``
+        loops, every container is decoded AT MOST ONCE even when a
+        multi-reference container holds records of several requested tids
+        (fragmented-assembly CRAMs pack many tiny contigs per container) —
+        record order is preserved because containers and in-container
+        records are coordinate-sorted."""
+        idx = self.load_index()
+        want = {int(t): int(e) for t, e in ranges}
+        offs = sorted({
+            o for t, e in want.items() for o in idx.query_containers(t, 0, e)
+        })
+        for off in offs:
+            for rec in self._iter_container_at(off):
+                end = want.get(rec.tid)
+                if end is None or rec.pos >= end:
+                    continue
+                if rec.alignment_end() > 0:
+                    yield rec
+
     def fetch_unmapped(self):
         """Yield unmapped (seq_id -1) records via the index
         (FetchDefinition::Unmapped parity, read_alignment_scanner.rs:537-559)."""

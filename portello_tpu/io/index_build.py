@@ -225,7 +225,8 @@ def build_csi(
     return out_path
 
 
-def build_crai(cram_path: str, out_path: str | None = None) -> str:
+def build_crai(cram_path: str, out_path: str | None = None,
+               reference=None) -> str:
     """Build a .crai index for an existing CRAM file.
 
     Walks container headers (skipping bodies wholesale), parses each slice
@@ -234,13 +235,17 @@ def build_crai(cram_path: str, out_path: str | None = None) -> str:
     start/span lines require record positions (htslib cram_index_build does
     the same).  The reference requires this index on CRAM inputs
     (cli.rs:147-163 via bam::IndexedReader).
+
+    ``reference``: name-keyed chrom dict, needed only when the CRAM holds
+    reference-based (RR=1) multi-reference slices without embedded refs —
+    single-ref slices never decode records here.
     """
     from portello_tpu.io import cram as cr
     from portello_tpu.io.crai import CraiEntry, CraiIndex
     from portello_tpu.ops import cigar as cg
 
     entries: list[CraiEntry] = []
-    with cr.CramReader(cram_path) as r:
+    with cr.CramReader(cram_path, reference=reference) as r:
         f = r.f
         while True:
             c_off = f.tell()

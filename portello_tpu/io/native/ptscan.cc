@@ -1591,9 +1591,12 @@ std::unique_ptr<ReadState> prepare_read(
   long long t4 = now_ns();
   g_prep_items.fetch_add(t4 - t3, std::memory_order_relaxed);
   // (the old eager seq_rc materialization is gone: the fill decodes the
-  // flipped row straight from the raw packed bytes, and every remaining
-  // ASCII consumer — host shift / fallback compute — runs inside prepare
-  // while this thread owns the read, so the lazy init cannot race)
+  // flipped row straight from the raw packed bytes.  The remaining ASCII
+  // consumers are host shift / fallback compute inside prepare (this thread
+  // owns the read) AND host_lift_item re-runs from ptscan_post_results for
+  // device-overflow rows — the latter is safe only because post_results is
+  // invoked from the single Python drive thread; if results intake ever
+  // moves onto a pool, the lazy seq_fwd/seq_rc init needs a per-read lock)
   return rs;
 }
 

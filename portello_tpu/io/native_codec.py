@@ -25,7 +25,11 @@ _build_error: str | None = None
 
 def _build() -> str | None:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO]
+    # compile into a per-pid temp and publish atomically: concurrent
+    # processes racing on a stale .so must never dlopen a half-written
+    # library (os.replace is atomic on POSIX)
+    tmp_so = f"{_SO}.tmp{os.getpid()}"
+    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", tmp_so]
     # libdeflate (the codec htslib links for BGZF) when present; zlib-only
     # fallback otherwise
     proc = subprocess.run(
@@ -37,7 +41,10 @@ def _build() -> str | None:
             capture_output=True, text=True,
         )
     if proc.returncode != 0:
+        if os.path.exists(tmp_so):
+            os.remove(tmp_so)
         return proc.stderr[-2000:]
+    os.replace(tmp_so, _SO)
     return None
 
 

@@ -256,6 +256,9 @@ def _slot_windows_wordgather(rows, starts, window, fill):
     nw = starts.shape[1]
     assert window % 4 == 0, "word realign assumes a 4-aligned window"
     wpad = 64
+    # the front pad must absorb the most negative in-contract start
+    # (starts >= -window); a wider window needs a wider pad
+    assert window <= wpad, f"window {window} exceeds the {wpad}-byte pad"
     padded = jnp.concatenate(
         [
             jnp.full((g, wpad), fill, jnp.uint8),

@@ -34,13 +34,20 @@ _U8P = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
 
 def _build() -> str | None:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    # compile into a per-pid temp and publish atomically: concurrent
+    # processes racing on a stale .so must never dlopen a half-written
+    # library (os.replace is atomic on POSIX)
+    tmp_so = f"{_SO}.tmp{os.getpid()}"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
-        "-o", _SO, "-lpthread",
+        "-o", tmp_so, "-lpthread",
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
+        if os.path.exists(tmp_so):
+            os.remove(tmp_so)
         return proc.stderr[-2000:]
+    os.replace(tmp_so, _SO)
     return None
 
 

@@ -102,7 +102,11 @@ def u8p(a):
 
 def _build() -> str | None:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO]
+    # compile into a per-pid temp and publish atomically: concurrent
+    # processes racing on a stale .so must never dlopen a half-written
+    # library (os.replace is atomic on POSIX)
+    tmp_so = f"{_SO}.tmp{os.getpid()}"
+    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", tmp_so]
     # libdeflate (the codec htslib links for BGZF) when present; zlib-only
     # fallback otherwise
     proc = subprocess.run(
@@ -113,7 +117,12 @@ def _build() -> str | None:
             base + ["-DPTIO_NO_LIBDEFLATE", "-lz", "-lpthread"],
             capture_output=True, text=True,
         )
-    return proc.stderr[-2000:] if proc.returncode != 0 else None
+    if proc.returncode != 0:
+        if os.path.exists(tmp_so):
+            os.remove(tmp_so)
+        return proc.stderr[-2000:]
+    os.replace(tmp_so, _SO)
+    return None
 
 
 def bind_lib(so_path: str):
@@ -362,10 +371,11 @@ def _cram_feeder(lib, push_handle, cram_path, reference, state,
     read_alignment_scanner.rs:382-394).
 
     ``fetch_plan``: optional list of (tid, end) contig ranges — used for
-    --target-region and contig-shard (multi-process) runs, where only some
-    contigs can produce output: the feeder then serves those contigs by
-    .crai slice seek (plus, when ``include_unmapped``, the unmapped
-    section), touching only the indexed containers."""
+    contig-shard (multi-process) runs, where this process lifts only reads
+    whose primary alignment is on an owned contig: the feeder then serves
+    those contigs by .crai slice seek (plus, when ``include_unmapped``, the
+    unmapped section), touching only the indexed containers and decoding
+    each shared multi-reference container at most once (fetch_many)."""
     import struct as _struct
 
     from portello_tpu.io.cram import CramReader
@@ -385,8 +395,7 @@ def _cram_feeder(lib, push_handle, cram_path, reference, state,
             buf += r.header.encode()
             if fetch_plan is not None:
                 def _records():
-                    for tid, end in fetch_plan:
-                        yield from r.fetch(tid, 0, end)
+                    yield from r.fetch_many(fetch_plan)
                     if include_unmapped:
                         yield from r.fetch_unmapped()
 
@@ -510,7 +519,14 @@ def scan_and_remap_reads_native(
         logger.info("Streaming CRAM input directly into the native scanner")
         fetch_plan = None
         include_unmapped = shard_plan is None or shard_plan.host_id == 0
-        if is_target_region or shard_plan is not None:
+        if shard_plan is not None:
+            # Shard narrowing only: ownership is keyed on the PRIMARY
+            # record's tid (the same test the scanner applies), so fetching
+            # just the owned contigs is sound.  --target-region narrowing is
+            # deliberately NOT done: a primary on a filtered-out contig can
+            # carry an SA split onto a surviving one, and skipping its
+            # contig would silently drop that split's lifted records (the
+            # reference scans every contig, read_alignment_scanner.rs:638).
             from portello_tpu.io.crai import CraiIndex
 
             try:
@@ -518,21 +534,14 @@ def scan_and_remap_reads_native(
             except FileNotFoundError:
                 pass  # no index: feeder full-scans (CLI normally enforces)
             else:
-                def _want(ci, info):
-                    if is_target_region and not info.ordered_contig_segment_info:
-                        return False
-                    return shard_plan is None or shard_plan.owns(ci)
-
                 fetch_plan = [
                     (ci, contig_list.data[ci].length)
-                    for ci, info in enumerate(all_contig_mapping_info)
-                    if _want(ci, info)
+                    for ci in range(len(all_contig_mapping_info))
+                    if shard_plan.owns(ci)
                 ]
                 logger.info(
-                    "Serving CRAM reads by .crai slice seek over "
-                    f"{len(fetch_plan)} contigs "
-                    f"(target_region={is_target_region}, "
-                    f"shard={shard_plan is not None})"
+                    "Serving this shard's CRAM reads by .crai slice seek "
+                    f"over {len(fetch_plan)} owned contigs"
                 )
         push_handle = ctypes.c_void_p(lib.ptio_reader_open_push(0))
         feeder = threading.Thread(

@@ -364,41 +364,37 @@ def scan_and_remap_reads(
     with open_alignment_input(read_to_assembly_bam, reference=ref_by_name) as reader:
         record_source = reader
         if (
-            (is_target_region or shard_plan is not None)
+            shard_plan is not None
             and hasattr(reader, "fetch_unmapped")
             and not hasattr(reader, "iter_raw")
         ):
-            # CRAM + --target-region or contig-shard runs: only some contigs
-            # can produce output, so serve the scan from the .crai — fetch
-            # just those contigs' containers (plus the unmapped section when
-            # this process emits it) instead of full-scanning (the reference
-            # serves every fetch from the index,
-            # read_alignment_scanner.rs:383).
+            # CRAM + contig-shard runs: this process lifts only reads whose
+            # PRIMARY alignment is on an owned contig (the same
+            # shard_plan.owns(record.tid) test the loop below applies), so
+            # fetching just the owned contigs' containers by .crai seek is
+            # sound.  Narrowing by --target-region is deliberately NOT done:
+            # a read's primary can sit on a filtered-out contig while an SA
+            # split segment maps onto a surviving one — skipping that contig
+            # would silently drop the split's lifted records (the reference
+            # scans every contig too, read_alignment_scanner.rs:638).
             try:
                 reader.load_index()
             except FileNotFoundError:
                 pass  # direct API use without an index: full scan
             else:
                 def _targeted_records():
-                    for ci, info in enumerate(all_contig_mapping_info):
-                        if (
-                            is_target_region
-                            and not info.ordered_contig_segment_info
-                        ):
-                            continue
-                        if shard_plan is not None and not shard_plan.owns(ci):
-                            continue
-                        yield from reader.fetch(
-                            ci, 0, contig_list.data[ci].length
-                        )
+                    owned = [
+                        (ci, contig_list.data[ci].length)
+                        for ci in range(len(all_contig_mapping_info))
+                        if shard_plan.owns(ci)
+                    ]
+                    yield from reader.fetch_many(owned)
                     if emit_unmapped:
                         yield from reader.fetch_unmapped()
 
                 record_source = _targeted_records()
                 logger.info(
-                    "Serving CRAM reads by .crai slice seek "
-                    f"(target_region={is_target_region}, "
-                    f"shard={shard_plan is not None})"
+                    "Serving this shard's CRAM reads by .crai slice seek"
                 )
         for record in record_source:
             if record.is_unmapped():

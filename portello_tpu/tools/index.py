@@ -21,13 +21,23 @@ def main(argv=None) -> None:
         "--min-shift", type=int, default=14,
         help="CSI minimal interval width as a power of two (default 14)",
     )
+    p.add_argument(
+        "--ref", default=None,
+        help="reference FASTA (CRAM inputs whose multi-reference slices "
+             "need the external reference to decode record positions)",
+    )
     args = p.parse_args(argv)
     from portello_tpu.io.aln_input import is_cram_file
 
     if is_cram_file(args.bam):
         from portello_tpu.io.index_build import build_crai
 
-        print(build_crai(args.bam, args.output))
+        reference = None
+        if args.ref:
+            from portello_tpu.io.fasta import get_genome_ref_from_fasta
+
+            reference = get_genome_ref_from_fasta(args.ref).chroms
+        print(build_crai(args.bam, args.output, reference=reference))
         return
     if args.csi:
         out = build_csi(args.bam, args.output, min_shift=args.min_shift)

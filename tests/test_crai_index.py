@@ -129,32 +129,74 @@ def test_cli_rejects_unindexed_cram(tmp_path):
         ])
 
 
-def test_target_region_cram_seeks_and_matches_bam(tmp_path, monkeypatch):
-    """--target-region on CRAM input serves reads by .crai slice seek: the
-    run touches only the indexed containers (bytes-read counter stays well
-    under the file size) and its outputs equal the BAM target-region run."""
-    from portello_tpu.io import aln_input
+def test_target_region_cram_full_scans_and_matches_bam(tmp_path):
+    """--target-region must NOT narrow the CRAM scan by contig: a read's
+    primary can live on a filtered-out contig while an SA split segment maps
+    onto a surviving one (the reference scans every contig,
+    read_alignment_scanner.rs:638).  This test plants exactly such a
+    cross-contig split read and asserts the CRAM target-region output equals
+    the BAM target-region output."""
+    from portello_tpu.io.bam import FSUPPLEMENTARY, BamRecord, BamWriter
+    from portello_tpu.io.index_build import build_bai
     from portello_tpu.main import main
+    from portello_tpu.ops import cigar as cg
+    from portello_tpu.testutil.simulate import make_scenario
 
     make_scenario(str(tmp_path), rng=np.random.default_rng(12))
-    crm = tmp_path / "read_to_asm.cram"
-    _bam_to_cram(tmp_path / "read_to_asm.bam", crm, records_per_slice=8)
+    bam = tmp_path / "read_to_asm.bam"
+    with BamReader(str(bam)) as r:
+        recs = list(r)
+        header = r.header
 
-    # capture the phase-2 CramReader instance to read its byte counter
-    readers = []
-    real_open = aln_input.open_alignment_input
-
-    def spy_open(path, reference=None):
-        r = real_open(path, reference=reference)
-        if str(path).endswith(".cram"):
-            readers.append(r)
-        return r
-
-    monkeypatch.setattr(aln_input, "open_alignment_input", spy_open)
-    # target the first chromosome's head: phase 1 then keeps only contigs
-    # overlapping it
+    # contig forward sequences + their ref spans, from the asm records
     with BamReader(str(tmp_path / "asm_to_ref.bam")) as r:
-        chrom = r.header.refs[0][0]
+        asm_header = r.header
+        asm = {rec.qname.decode(): rec for rec in r if not rec.is_supplementary()}
+    from portello_tpu.ops.seq import rev_comp
+
+    c1 = asm["ctg1"]
+    c2 = asm["ctg2"]
+    c1_seq = c1.seq if not c1.is_reverse() else rev_comp(c1.seq)
+    c2_seq = c2.seq if not c2.is_reverse() else rev_comp(c2.seq)
+
+    # cross-contig split read: primary on ctg1, SA split onto ctg2
+    half = 120
+    p1, p2 = 40, 60
+    sseq = np.concatenate([c1_seq[p1 : p1 + half], c2_seq[p2 : p2 + half]])
+    cig_a = cg.cigar((cg.M, half), (cg.S, half))
+    cig_b = cg.cigar((cg.S, half), (cg.M, half))
+    sa_a = f"ctg1,{p1 + 1},+,{cg.to_string(cig_a)},60,0;"
+    sa_b = f"ctg2,{p2 + 1},+,{cg.to_string(cig_b)},60,0;"
+    prim = BamRecord(
+        qname=b"xsplit", flag=0, tid=0, pos=p1, mapq=60, cigar=cig_a,
+        seq=sseq, qual=np.full(2 * half, 30, np.uint8),
+    )
+    prim.push_tag(b"SA", b"Z", sa_b)
+    supp = BamRecord(
+        qname=b"xsplit", flag=FSUPPLEMENTARY, tid=1, pos=p2, mapq=60,
+        cigar=cig_b, seq=sseq, qual=np.full(2 * half, 30, np.uint8),
+    )
+    supp.push_tag(b"SA", b"Z", sa_a)
+    recs2 = sorted(
+        [r for r in recs if not r.is_unmapped()] + [prim, supp],
+        key=lambda r: (r.tid, r.pos),
+    ) + [r for r in recs if r.is_unmapped()]
+    bam2 = tmp_path / "read_to_asm_x.bam"
+    with BamWriter(str(bam2), header) as w:
+        for rec in recs2:
+            w.write(rec)
+    build_bai(str(bam2))
+    crm = tmp_path / "read_to_asm_x.cram"
+    _bam_to_cram(bam2, crm, records_per_slice=8)
+
+    # region covering ctg2's ref span but NOT ctg1's
+    c2_chrom = asm_header.refs[c2.tid][0]
+    c2_lo = c2.pos
+    c2_hi = c2.pos + int(cg.get_cigar_ref_offset(c2.cigar))
+    region = f"{c2_chrom}:{c2_lo + 1}-{c2_hi}"
+    assert not (c1.tid == c2.tid and c1.pos < c2_hi and
+                c1.pos + int(cg.get_cigar_ref_offset(c1.cigar)) > c2_lo), (
+        "scenario assumption: ctg1 must not overlap the region")
 
     def run(tag, r2a):
         out = tmp_path / f"rem_{tag}.bam"
@@ -166,11 +208,11 @@ def test_target_region_cram_seeks_and_matches_bam(tmp_path, monkeypatch):
             "--unassembled-read-output", str(un),
             "--ref", str(tmp_path / "ref.fa"),
             "--device", "host", "--feed", "python",
-            "--target-region", f"{chrom}:1-2000",
+            "--target-region", region,
         ])
         return out, un
 
-    out_b, un_b = run("bam", tmp_path / "read_to_asm.bam")
+    out_b, un_b = run("bam", bam2)
     out_c, un_c = run("cram", crm)
 
     def recs_sam(path, zero_unmapped_mapq=False):
@@ -182,11 +224,44 @@ def test_target_region_cram_seeks_and_matches_bam(tmp_path, monkeypatch):
                 out.append(rec.to_sam(r.header))
         return sorted(out)
 
-    assert recs_sam(out_b) == recs_sam(out_c)
-    assert recs_sam(un_b, True) == recs_sam(un_c, True)
+    sams_b = recs_sam(out_b)
+    # the cross-contig split's ctg2 segment must be lifted despite its
+    # primary sitting on the non-targeted ctg1
+    assert any(s.startswith("xsplit\t") for s in sams_b), sams_b[:3]
+    assert recs_sam(out_c) == sams_b
+    assert recs_sam(un_c, True) == recs_sam(un_b, True)
 
-    # the phase-2 reader (the last CRAM reader opened) must have seeked,
-    # not full-scanned: well under the total file bytes
+
+def test_shard_cram_seeks_by_crai(tmp_path, monkeypatch):
+    """Contig-shard runs DO narrow the CRAM scan (ownership is keyed on the
+    primary's tid, exactly the filter the scan applies): the shard's
+    phase-2 reader must seek, not full-scan (bytes-read counter)."""
+    from portello_tpu.io import aln_input
+    from portello_tpu.main import main
+
+    make_scenario(str(tmp_path), rng=np.random.default_rng(12))
+    crm = tmp_path / "read_to_asm.cram"
+    _bam_to_cram(tmp_path / "read_to_asm.bam", crm, records_per_slice=4)
+
+    readers = []
+    real_open = aln_input.open_alignment_input
+
+    def spy_open(path, reference=None):
+        r = real_open(path, reference=reference)
+        if str(path).endswith(".cram"):
+            readers.append(r)
+        return r
+
+    monkeypatch.setattr(aln_input, "open_alignment_input", spy_open)
+    main([
+        "--assembly-to-ref", str(tmp_path / "asm_to_ref.bam"),
+        "--read-to-assembly", str(crm),
+        "--remapped-read-output", str(tmp_path / "rem.bam"),
+        "--unassembled-read-output", str(tmp_path / "un.bam"),
+        "--ref", str(tmp_path / "ref.fa"),
+        "--device", "host", "--feed", "python",
+        "--num-hosts", "2", "--host-id", "1",
+    ])
     file_size = crm.stat().st_size
     phase2 = readers[-1]
     assert 0 < phase2.bytes_read < file_size * 0.9, (
