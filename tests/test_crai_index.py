@@ -280,3 +280,65 @@ def test_index_tool_builds_crai(tmp_path, capsys):
     index_main([str(crm)])
     assert (tmp_path / "t.cram.crai").exists()
     assert CraiIndex.load(str(crm)).entries
+
+
+def test_fetch_many_matches_per_tid_fetch_and_decodes_once(tmp_path):
+    """fetch_many == concatenated per-tid fetches (order preserved), with
+    each container decoded at most once even when multi-ref containers are
+    shared between requested tids."""
+    make_scenario(str(tmp_path), rng=np.random.default_rng(14))
+    crm = tmp_path / "m.cram"
+    # large slices force multi-ref containers shared across contigs
+    _bam_to_cram(tmp_path / "read_to_asm.bam", crm, records_per_slice=64)
+
+    with BamReader(str(tmp_path / "read_to_asm.bam")) as r:
+        n_ref = len(r.header.refs)
+        lens = [ln for _, ln in r.header.refs]
+        header = r.header
+    ranges = [(t, lens[t]) for t in range(n_ref)]
+
+    with cram.CramReader(str(crm)) as cr:
+        per_tid = []
+        for t, e in ranges:
+            per_tid += [rec.to_sam(header) for rec in cr.fetch(t, 0, e)]
+    with cram.CramReader(str(crm)) as cr:
+        decodes = []
+        real = cr._iter_container_at
+
+        def spy(off):
+            decodes.append(off)
+            return real(off)
+
+        cr._iter_container_at = spy
+        many = [rec.to_sam(header) for rec in cr.fetch_many(ranges)]
+    assert sorted(many) == sorted(per_tid)
+    assert len(decodes) == len(set(decodes)), "container decoded twice"
+
+
+def test_crai_parse_rejects_malformed(tmp_path):
+    import gzip
+
+    bad_lines = [
+        b"1\t2\t3\t4\t5\n",           # 5 columns
+        b"1\t2\t3\t4\t5\t6\t7\n",     # 7 columns
+        b"a\t2\t3\t4\t5\t6\n",        # non-int
+    ]
+    for raw in bad_lines:
+        p = tmp_path / "x.crai"
+        p.write_bytes(gzip.compress(raw))
+        with pytest.raises(ValueError):
+            CraiIndex.load(str(tmp_path / "x"))  # stemless candidate probe
+        p.unlink()
+
+
+def test_crai_candidate_stays_in_directory(tmp_path):
+    """A dotted DIRECTORY name must not make the fallback candidate escape
+    the file's directory (os.path.splitext, not rsplit)."""
+    d = tmp_path / "data.v2"
+    d.mkdir()
+    f = d / "reads"  # extensionless file
+    f.write_bytes(b"CRAM")
+    # a decoy index OUTSIDE the directory that rsplit would have found
+    (tmp_path / "data.crai").write_bytes(b"decoy")
+    with pytest.raises(FileNotFoundError):
+        CraiIndex.load(str(f))
