@@ -164,3 +164,127 @@ def test_native_walk_error_parity(tmp_path, monkeypatch):
         monkeypatch.setenv("PTPU_P1_NATIVE", mode)
         with pytest.raises(KeyError, match="not_a_contig"):
             scan(bad2)
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_native_walk_fuzz_matches_oracle(tmp_path, monkeypatch, seed):
+    """Differential fuzz for the C++ phase-1 walk: randomized contig records
+    — split reads across random contigs/strands, hard/soft clip mixes,
+    reverse primaries, supplementary records — must produce a
+    pickle-identical index to the Python oracle walk."""
+    from portello_tpu.io.bam import (
+        FREVERSE,
+        FSUPPLEMENTARY,
+        BamHeader,
+        BamRecord,
+        BamWriter,
+    )
+    from portello_tpu.io.index_build import build_bai
+    from portello_tpu.ops import cigar as cg
+    from portello_tpu.testutil.simulate import rand_seq
+
+    rng = np.random.default_rng(seed)
+    n_ref = 3
+    ref_names = [f"chr{i}" for i in range(n_ref)]
+    ref_lens = [30000] * n_ref
+    header = BamHeader.from_refs(list(zip(ref_names, ref_lens)))
+
+    def rand_cigar(read_len, left_clip, right_clip, hard):
+        mid = read_len - left_clip - right_clip
+        parts = []
+        if left_clip:
+            parts.append((cg.H if hard else cg.S, left_clip))
+        # alternate M/I/D runs inside
+        remaining = mid
+        while remaining > 0:
+            m = int(rng.integers(1, max(remaining, 2)))
+            m = min(m, remaining)
+            parts.append((cg.M, m))
+            remaining -= m
+            if remaining > 1 and rng.random() < 0.5:
+                if rng.random() < 0.5:
+                    i = int(rng.integers(1, min(remaining, 5) + 1))
+                    parts.append((cg.I, i))
+                    remaining -= i
+                else:
+                    parts.append((cg.D, int(rng.integers(1, 6))))
+        if right_clip:
+            parts.append((cg.H if hard else cg.S, right_clip))
+        return cg.cigar(*parts)
+
+    recs = []
+    contig_names = []
+    for ci in range(8):
+        qname = f"fz{ci:02d}"
+        read_len = int(rng.integers(60, 400))
+        n_segs = int(rng.integers(1, 4))
+        # partition the read into n_segs aligned windows (sequencing order)
+        cuts = sorted(rng.choice(
+            np.arange(1, read_len), size=n_segs - 1, replace=False
+        ).tolist()) if n_segs > 1 else []
+        bounds = [0] + cuts + [read_len]
+        segs = []
+        for si in range(n_segs):
+            lo, hi = bounds[si], bounds[si + 1]
+            fwd = bool(rng.random() < 0.7)
+            hard = bool(rng.random() < 0.3) and si > 0
+            # read-order clip positions -> strand-local clips
+            l_clip, r_clip = (lo, read_len - hi) if fwd else (
+                read_len - hi, lo
+            )
+            cigar = rand_cigar(read_len, l_clip, r_clip, hard)
+            tid = int(rng.integers(0, n_ref))
+            pos = int(rng.integers(0, 20000))
+            segs.append((tid, pos, fwd, cigar, hard))
+        sa_strs = [
+            f"{ref_names[t]},{p + 1},{'+' if f else '-'},"
+            f"{cg.to_string(c)},60,0;"
+            for t, p, f, c, _ in segs
+        ]
+        for si, (tid, pos, fwd, cigar, hard) in enumerate(segs):
+            flag = 0 if si == 0 else FSUPPLEMENTARY
+            if not fwd:
+                flag |= FREVERSE
+            sa = "".join(s for j, s in enumerate(sa_strs) if j != si)
+            seq_len = read_len if not hard else int(
+                sum(int(ln) for code, ln in cigar
+                    if code in (cg.M, cg.I, cg.S))
+            )
+            rec = BamRecord(
+                qname=qname.encode(), flag=flag, tid=tid, pos=pos, mapq=60,
+                cigar=cigar, seq=rand_seq(rng, seq_len),
+                qual=np.full(seq_len, 30, np.uint8),
+            )
+            if sa:
+                rec.push_tag(b"SA", b"Z", sa)
+            recs.append(rec)
+        contig_names.append((qname, read_len))
+
+    recs.sort(key=lambda r: (r.tid, r.pos))
+    bam = str(tmp_path / "fuzz_asm.bam")
+    with BamWriter(bam, header) as w:
+        for rec in recs:
+            w.write(rec)
+    build_bai(bam)
+
+    ref_cl = ChromList.from_pairs(list(zip(ref_names, ref_lens)))
+    contig_cl = ChromList.from_pairs(contig_names)
+
+    def scan():
+        return scan_contig_bam(bam, ref_cl, contig_cl, None, thread_count=3)
+
+    monkeypatch.setenv("PTPU_P1_NATIVE", "0")
+    try:
+        py_info = scan()
+        py_err = None
+    except Exception as e:  # noqa: BLE001 - parity includes errors
+        py_info, py_err = None, (type(e).__name__, str(e))
+    monkeypatch.setenv("PTPU_P1_NATIVE", "1")
+    try:
+        nat_info = scan()
+        nat_err = None
+    except Exception as e:  # noqa: BLE001
+        nat_info, nat_err = None, (type(e).__name__, str(e))
+    assert py_err == nat_err
+    if py_err is None:
+        assert pickle.dumps(nat_info) == pickle.dumps(py_info)
