@@ -32,7 +32,6 @@ from __future__ import annotations
 import bz2
 
 from portello_tpu.io.rans_nx16 import (
-    RansNx16Error,
     _pack,
     _unpack,
     read_uint7,

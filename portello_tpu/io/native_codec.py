@@ -12,7 +12,6 @@ import os
 import subprocess
 import threading
 
-import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "native", "ptio.cc")

@@ -24,16 +24,13 @@ import jax.numpy as jnp
 
 from portello_tpu.kernels.cigar_kernels import (
     D,
-    EQ,
     H,
     I,
-    INT32_MAX,
     M,
     N,
     P,
     PAD,
     S,
-    X,
     cleanup_and_compress,
     is_align_match,
 )

@@ -33,7 +33,6 @@ from portello_tpu.kernels.cigar_kernels import (
     INT32_MAX,
     M,
     N,
-    P,
     PAD,
     S,
     consumes_ref,

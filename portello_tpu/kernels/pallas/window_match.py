@@ -28,7 +28,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 PAD_LO = 128          # front sentinel pad (starts can reach -window)
 SB = 128              # superblock width (bytes)

@@ -37,7 +37,6 @@ from portello_tpu.pipeline.read_scan import (
     finish_remapped_alignment_set,
     get_contig_split_segments_from_read_mapping,
     get_liftover_alignment_for_read_and_contig_segment,
-    process_read,
 )
 from portello_tpu.pipeline.split_read import get_seq_order_read_split_segments
 

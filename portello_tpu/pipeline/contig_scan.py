@@ -15,7 +15,6 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from portello_tpu.io.bam import BamReader
 from portello_tpu.ops import cigar as cg
 from portello_tpu.ops.blockmap import BlockMap, build_block_map
 from portello_tpu.ops.clip import clip_alignment_read_edges

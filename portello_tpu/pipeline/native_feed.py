@@ -29,7 +29,6 @@ import ctypes
 import logging
 import os
 import subprocess
-import sys
 import threading
 
 import numpy as np

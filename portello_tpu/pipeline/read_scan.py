@@ -16,7 +16,7 @@ import sys
 import numpy as np
 
 from portello_tpu._version import PROGRAM_NAME, PROGRAM_VERSION
-from portello_tpu.io.bam import BamHeader, BamReader, BamRecord, BamWriter
+from portello_tpu.io.bam import BamHeader, BamRecord, BamWriter
 from portello_tpu.ops import cigar as cg
 from portello_tpu.ops.liftover import liftover_read_alignment
 from portello_tpu.ops.seq import rev_comp

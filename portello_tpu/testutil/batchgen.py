@@ -13,7 +13,6 @@ import numpy as np
 
 from portello_tpu.kernels.cigar_kernels import INT32_MAX, PAD
 from portello_tpu.models.batch import BucketConfig
-from portello_tpu.ops import cigar as cg
 from portello_tpu.ops.blockmap import build_block_map
 from portello_tpu.testutil.simulate import apply_edits, rand_seq
 

@@ -19,7 +19,6 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
-import jax.numpy as jnp
 
 if len(sys.argv) > 1 and sys.argv[1] == "cpu":
     jax.config.update("jax_platforms", "cpu")

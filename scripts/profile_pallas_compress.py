@@ -8,7 +8,6 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 if len(sys.argv) > 1 and sys.argv[1] == "cpu":

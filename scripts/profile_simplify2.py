@@ -74,8 +74,6 @@ def p2(c, l, p, rw, rq):
 
 def p3(c, l, p, rw, rq):
     """clusters + runs + emission build (no final compress)."""
-    from portello_tpu.kernels import simplify_kernel as sk
-
     # replicate _simplify_single up to the flatten
     cl = find_clusters(c, l, p, MC)
     dl, il, bs, rs = cl["del_len"], cl["ins_len"], cl["ref_start"], cl["read_start"]

@@ -11,7 +11,6 @@ import pytest
 from portello_tpu.io.bai import bam_reg2bin
 from portello_tpu.io.bam import (
     FREVERSE,
-    FSUPPLEMENTARY,
     FUNMAP,
     BamHeader,
     BamReader,
@@ -19,7 +18,7 @@ from portello_tpu.io.bam import (
     BamWriter,
     assert_bam_eof,
 )
-from portello_tpu.io.bgzf import BGZF_EOF, BgzfReader, BgzfWriter, check_eof_marker
+from portello_tpu.io.bgzf import BgzfReader, BgzfWriter, check_eof_marker
 from portello_tpu.io.fasta import get_genome_ref_from_fasta, write_fasta
 from portello_tpu.io.index_build import build_bai
 from portello_tpu.ops import cigar as cg

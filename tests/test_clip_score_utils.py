@@ -2,7 +2,6 @@
 (vectors from reference clip_alignment.rs:183-252, score_alignment.rs:167-190,
 int_range.rs:163-237, util.rs:157-225, genome_segment.rs:173-283, seq_util.rs)."""
 
-import numpy as np
 import pytest
 
 from portello_tpu.ops import cigar as cg

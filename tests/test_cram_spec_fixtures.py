@@ -15,7 +15,6 @@ file decodes byte streams this repo's writer never produced:
 
 import struct
 
-import numpy as np
 import pytest
 
 from portello_tpu.io import cram

@@ -4,7 +4,7 @@ input contracts must fail loudly here too."""
 import numpy as np
 import pytest
 
-from portello_tpu.io.bam import FREVERSE, FSUPPLEMENTARY, BamHeader, BamRecord, BamWriter
+from portello_tpu.io.bam import FSUPPLEMENTARY, BamHeader, BamRecord, BamWriter
 from portello_tpu.io.index_build import build_bai
 from portello_tpu.ops import cigar as cg
 from portello_tpu.pipeline.contig_scan import scan_contig_bam

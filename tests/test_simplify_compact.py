@@ -12,7 +12,6 @@ import numpy as np
 import pytest
 
 from portello_tpu.ops import cigar as cg
-from portello_tpu.ops.seq import from_bytes
 from portello_tpu.ops.simplify import simplify_alignment_indels
 
 jax = pytest.importorskip("jax")

@@ -11,7 +11,6 @@ import numpy as np
 import pytest
 
 from portello_tpu.models.batch import BucketConfig, build_liftover_batch
-from portello_tpu.ops import cigar as cg
 from portello_tpu.ops.blockmap import build_block_map
 
 jax = pytest.importorskip("jax")
