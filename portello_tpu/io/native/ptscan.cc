@@ -106,6 +106,115 @@ struct SeqLuts {
 };
 const SeqLuts kLut;
 
+// ---- SIMD (AVX2) nibble codecs -----------------------------------------
+// The fill's seq decode and the finisher's flip re-pack walked packed BAM
+// nibbles one byte at a time through pair LUTs; a 16-entry pshufb LUT is
+// the native form of that table and processes 32 packed bytes (64 bases)
+// per iteration.  Scalar forms remain as the tail handler, the short-input
+// path, and the non-x86 fallback; outputs are byte-identical
+// (tests/test_simd_codecs.py fuzzes all lengths against the scalar walk).
+#if defined(__x86_64__) && defined(__GNUC__)
+#define PTSCAN_X86 1
+#include <immintrin.h>
+
+bool have_avx2() {
+  static const bool v = [] {
+    const char* e = std::getenv("PTPU_SIMD");
+    if (e && e[0] == '0') return false;
+    __builtin_cpu_init();
+    return __builtin_cpu_supports("avx2") != 0;
+  }();
+  return v;
+}
+
+// 32 packed bytes -> 64 ASCII chars per iteration: out[2j] = chars[in>>4],
+// out[2j+1] = chars[in&0xF].
+__attribute__((target("avx2")))
+void decode_seq_avx2(const uint8_t* packed, int64_t n2, uint8_t* dst) {
+  const __m256i lut = _mm256_broadcastsi128_si256(
+      _mm_loadu_si128((const __m128i*)kSeqChars));
+  const __m256i m0f = _mm256_set1_epi8(0x0F);
+  int64_t j = 0;
+  for (; j + 32 <= n2; j += 32) {
+    __m256i v = _mm256_loadu_si256((const __m256i*)(packed + j));
+    __m256i hi = _mm256_and_si256(_mm256_srli_epi16(v, 4), m0f);
+    __m256i lo = _mm256_and_si256(v, m0f);
+    __m256i ch = _mm256_shuffle_epi8(lut, hi);
+    __m256i cl = _mm256_shuffle_epi8(lut, lo);
+    // unpack interleaves per 128-bit lane; permute2x128 restores byte order
+    __m256i il = _mm256_unpacklo_epi8(ch, cl);
+    __m256i ih = _mm256_unpackhi_epi8(ch, cl);
+    _mm256_storeu_si256((__m256i*)(dst + 2 * j),
+                        _mm256_permute2x128_si256(il, ih, 0x20));
+    _mm256_storeu_si256((__m256i*)(dst + 2 * j + 32),
+                        _mm256_permute2x128_si256(il, ih, 0x31));
+  }
+  for (; j < n2; ++j) std::memcpy(dst + 2 * (size_t)j, kLut.dec2[packed[j]], 2);
+}
+
+// full 32-byte reverse: per-lane pshufb reverse + lane swap
+__attribute__((target("avx2")))
+inline __m256i reverse_bytes_avx2(__m256i v) {
+  const __m256i rev = _mm256_setr_epi8(
+      15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0,
+      15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0);
+  v = _mm256_shuffle_epi8(v, rev);
+  return _mm256_permute2x128_si256(v, v, 0x01);
+}
+
+// n_pairs reverse-complement pairs: out[2k] = comp_ascii[src0[-k] & 0xF],
+// out[2k+1] = comp_ascii[src0[-k] >> 4], walking src0 DOWN.  All vector
+// loads stay inside packed[src0 - n_pairs + 1 .. src0].
+__attribute__((target("avx2")))
+void decode_rc_avx2(const uint8_t* src0, int64_t n_pairs, uint8_t* dst) {
+  const __m256i lut = _mm256_broadcastsi128_si256(
+      _mm_loadu_si128((const __m128i*)kLut.code_comp_ascii));
+  const __m256i m0f = _mm256_set1_epi8(0x0F);
+  int64_t k = 0;
+  for (; k + 32 <= n_pairs; k += 32) {
+    __m256i v = _mm256_loadu_si256((const __m256i*)(src0 - k - 31));
+    v = reverse_bytes_avx2(v);
+    __m256i lo = _mm256_and_si256(v, m0f);
+    __m256i hi = _mm256_and_si256(_mm256_srli_epi16(v, 4), m0f);
+    __m256i cl = _mm256_shuffle_epi8(lut, lo);
+    __m256i ch = _mm256_shuffle_epi8(lut, hi);
+    __m256i il = _mm256_unpacklo_epi8(cl, ch);
+    __m256i ih = _mm256_unpackhi_epi8(cl, ch);
+    _mm256_storeu_si256((__m256i*)(dst + 2 * k),
+                        _mm256_permute2x128_si256(il, ih, 0x20));
+    _mm256_storeu_si256((__m256i*)(dst + 2 * k + 32),
+                        _mm256_permute2x128_si256(il, ih, 0x31));
+  }
+  for (; k < n_pairs; ++k)
+    std::memcpy(dst + 2 * (size_t)k, kLut.dec2rc[src0[-k]], 2);
+}
+
+// n re-packed bytes: dst[k] = rcpack[src0[-k]] (nibble swap + complement),
+// walking src0 DOWN — the even-length finisher flip path.
+__attribute__((target("avx2")))
+void rcpack_avx2(const uint8_t* src0, int64_t n, uint8_t* dst) {
+  const __m256i lut = _mm256_broadcastsi128_si256(
+      _mm_loadu_si128((const __m128i*)kLut.code_comp));
+  const __m256i m0f = _mm256_set1_epi8(0x0F);
+  const __m256i mf0 = _mm256_set1_epi8((char)0xF0);
+  int64_t k = 0;
+  for (; k + 32 <= n; k += 32) {
+    __m256i v = _mm256_loadu_si256((const __m256i*)(src0 - k - 31));
+    v = reverse_bytes_avx2(v);
+    __m256i lo = _mm256_and_si256(v, m0f);
+    __m256i hi = _mm256_and_si256(_mm256_srli_epi16(v, 4), m0f);
+    __m256i cl = _mm256_shuffle_epi8(lut, lo);
+    __m256i ch = _mm256_shuffle_epi8(lut, hi);
+    __m256i out = _mm256_or_si256(
+        _mm256_and_si256(_mm256_slli_epi16(cl, 4), mf0), ch);
+    _mm256_storeu_si256((__m256i*)(dst + k), out);
+  }
+  for (; k < n; ++k) dst[k] = kLut.rcpack[src0[-k]];
+}
+#else
+inline bool have_avx2() { return false; }
+#endif
+
 // ---- cigar helpers (ops/cigar.py) ----
 
 int64_t cig_ref_span(const Cig& c) {
@@ -320,8 +429,15 @@ const uint8_t* packed_seq_ptr(const uint8_t* raw, const RecView& rv) {
 // the intermediate per-read buffer the fill used to copy from.
 void decode_seq_into(const uint8_t* packed, int64_t l_seq, uint8_t* dst) {
   int64_t n2 = l_seq / 2;
-  for (int64_t j = 0; j < n2; ++j)
-    std::memcpy(dst + 2 * (size_t)j, kLut.dec2[packed[j]], 2);
+#ifdef PTSCAN_X86
+  if (n2 >= 32 && have_avx2()) {
+    decode_seq_avx2(packed, n2, dst);
+  } else
+#endif
+  {
+    for (int64_t j = 0; j < n2; ++j)
+      std::memcpy(dst + 2 * (size_t)j, kLut.dec2[packed[j]], 2);
+  }
   if (l_seq & 1) dst[l_seq - 1] = kLut.dec2[packed[n2]][0];
 }
 
@@ -337,20 +453,51 @@ void decode_seq_rc_into(const uint8_t* packed, int64_t l_seq, uint8_t* dst) {
     i = 1;
     --src;
   }
+#ifdef PTSCAN_X86
+  int64_t n_pairs = (l_seq - i) / 2;
+  if (n_pairs >= 32 && have_avx2()) {
+    decode_rc_avx2(packed + src, n_pairs, dst + i);
+    return;
+  }
+#endif
   for (; i < l_seq; i += 2, --src)
     std::memcpy(dst + i, kLut.dec2rc[packed[src]], 2);
+}
+
+// Flip re-pack: packed BAM seq -> revcomp packed seq (the finisher's
+// flipped-record encode; no ASCII round trip).  ``dst`` needs
+// (l_seq+1)/2 bytes.  Odd lengths peel the head nibble (comp of the final
+// base), after which rcpack bytes straddle output bytes by one nibble.
+void repack_seq_rc(const uint8_t* packed, int64_t l_seq, uint8_t* dst) {
+  if (l_seq <= 0) return;
+  if (l_seq & 1) {
+    uint8_t cur = kLut.code_comp[packed[(l_seq - 1) / 2] >> 4];
+    const uint8_t* src = packed + (l_seq - 3) / 2;
+    int64_t n = l_seq / 2;
+    for (int64_t k = 0; k < n; ++k, --src) {
+      uint8_t rp = kLut.rcpack[*src];
+      dst[k] = (uint8_t)((cur << 4) | (rp >> 4));
+      cur = rp & 0xF;
+    }
+    dst[n] = (uint8_t)(cur << 4);
+  } else {
+    const uint8_t* src = packed + l_seq / 2 - 1;
+#ifdef PTSCAN_X86
+    if (l_seq / 2 >= 32 && have_avx2()) {
+      rcpack_avx2(src, l_seq / 2, dst);
+      return;
+    }
+#endif
+    for (int64_t k = 0; k < l_seq / 2; ++k, --src)
+      dst[k] = kLut.rcpack[*src];
+  }
 }
 
 void decode_seq_ascii(const uint8_t* raw, const RecView& rv,
                       std::vector<uint8_t>* out) {
   size_t off = 32 + rv.qname.size() + 1 + 4 * (size_t)rv.n_cigar;
   out->resize(rv.l_seq);
-  const uint8_t* packed = raw + off;
-  uint8_t* dst = out->data();
-  int32_t n2 = rv.l_seq / 2;
-  for (int32_t j = 0; j < n2; ++j)
-    std::memcpy(dst + 2 * (size_t)j, kLut.dec2[packed[j]], 2);
-  if (rv.l_seq & 1) dst[rv.l_seq - 1] = kLut.dec2[packed[n2]][0];
+  decode_seq_into(raw + off, rv.l_seq, out->data());
 }
 
 const uint8_t* qual_ptr(const uint8_t* raw, const RecView& rv) {
@@ -1088,24 +1235,8 @@ void encode_record(const ReadState& rs, const OutRecord& r,
     if (!r.flipped) {
       std::memcpy(dst, packed, (size_t)((l_seq + 1) / 2));
       if (l_seq & 1) dst[l_seq / 2] &= 0xF0;  // clear any stale pad nibble
-    } else if (l_seq > 0) {
-      if (l_seq & 1) {
-        // head = comp of the final base (high nibble of the last byte);
-        // subsequent rcpack bytes straddle output bytes by one nibble
-        uint8_t cur = kLut.code_comp[packed[(l_seq - 1) / 2] >> 4];
-        const uint8_t* src = packed + (l_seq - 3) / 2;
-        int64_t n = l_seq / 2;
-        for (int64_t k = 0; k < n; ++k, --src) {
-          uint8_t rp = kLut.rcpack[*src];
-          dst[k] = (uint8_t)((cur << 4) | (rp >> 4));
-          cur = rp & 0xF;
-        }
-        dst[n] = (uint8_t)(cur << 4);
-      } else {
-        const uint8_t* src = packed + l_seq / 2 - 1;
-        for (int64_t k = 0; k < l_seq / 2; ++k, --src)
-          dst[k] = kLut.rcpack[*src];
-      }
+    } else {
+      repack_seq_rc(packed, l_seq, dst);
     }
   }
   // qual (possibly reversed)
@@ -2505,6 +2636,23 @@ void ptscan_p1_destroy(void* hv) {
   auto* h = static_cast<P1Handle*>(hv);
   pool_stop(h->pool);
   delete h;
+}
+
+// Debug/fuzz surface for the seq nibble codecs (tests/test_simd_codecs.py
+// pins the SIMD forms byte-for-byte to the scalar walks across lengths).
+// mode 0: forward decode (packed -> ASCII), out needs l_seq bytes.
+// mode 1: reverse-complement decode, out needs l_seq bytes.
+// mode 2: flip re-pack (packed -> revcomp packed), out needs
+//         (l_seq+1)/2 bytes — the finisher's flipped-seq encode.
+void ptscan_dbg_seqcodec(int mode, const uint8_t* packed, long long l_seq,
+                         uint8_t* out) {
+  if (mode == 0) {
+    decode_seq_into(packed, l_seq, out);
+  } else if (mode == 1) {
+    decode_seq_rc_into(packed, l_seq, out);
+  } else {
+    repack_seq_rc(packed, l_seq, out);
+  }
 }
 
 }  // extern "C"

@@ -162,6 +162,14 @@ def bind_lib(so_path: str):
     lib.ptscan_p1_error.restype = ctypes.c_char_p
     lib.ptscan_p1_error.argtypes = [ctypes.c_void_p]
     lib.ptscan_p1_destroy.argtypes = [ctypes.c_void_p]
+    # seq nibble codec debug surface (tests/test_simd_codecs.py)
+    lib.ptscan_dbg_seqcodec.restype = None
+    lib.ptscan_dbg_seqcodec.argtypes = [
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_longlong,
+        np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS"),
+    ]
     return lib
 
 
