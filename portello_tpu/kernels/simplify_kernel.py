@@ -288,32 +288,23 @@ def _slot_windows_wordgather(rows, starts, window, fill):
     return b.reshape(g, nw, window)
 
 
-def simplify_batch_compact(
-    codes, lens, ref_pos, ref_win, read_seq, *, max_clusters, window, max_out,
-    row_fetch="onehot", windows_mode="superblock",
+def _compact_core(
+    codes, lens, ref_pos, runs_fn, *, max_clusters, window, max_out,
 ):
-    """Batch-level simplify with BATCH-compacted mixed-cluster windows
-    (mm formulation).
+    """Shared batch-compaction machinery for the mm simplify variants.
 
-    Mixed clusters are rare (~0.05/read), yet the per-item window compare
-    pays two full-sequence superblock-table conversions per item — the
-    dominant simplify cost (PERF.md "window-fetch wall").  Here the batch's
-    mixed (item, cluster) pairs are compacted to ``GBUDGET`` global slots;
-    only those slots' sequence ROWS are gathered (exact one-hot byte
-    matmuls) and converted, cutting conversion traffic ~B/GBUDGET-fold.
-    Reads whose mixed clusters exceed MXI per item or spill the global
-    budget fall back to the exact host path (flag), preserving exactness.
-
-    Every per-slot result is bit-identical to the per-item fetch (same
-    _window_bytes_mm_t on the same bytes), so outputs equal
-    ``simplify_batch`` wherever no budget flag fires.
+    Detects each item's mixed clusters, compacts the batch's (item, cluster)
+    pairs into ``_g_budget`` global slots, calls ``runs_fn(gst, gitem) ->
+    (raw_r_g, raw_l_g)`` to window-compare the slots (the only part that
+    differs between the per-item-table and device-resident formulations),
+    scatters the runs back, and finishes.  ``gst`` is (G, 4) int32 per-slot
+    [ref_start, read_start, del_len, ins_len]; ``gitem`` (G,) the slot's
+    item index (0 for empty slots, whose runs are never consumed).
     """
-    from portello_tpu.kernels.cluster_utils import _window_bytes_mm_t
-    from portello_tpu.kernels.expand import expand_bytes, expand_sum, onehot_eq
+    from portello_tpu.kernels.expand import expand_sum
 
     b = codes.shape[0]
     g_budget = _g_budget(b)
-    w = window
 
     def part1(c, l, p):
         cl, cvalid, pure, one_one, mixed = _cluster_cases(
@@ -355,44 +346,7 @@ def simplify_batch_compact(
     item_ids = jnp.repeat(jnp.arange(b, dtype=jnp.int32), MXI)
     gitem = expand_sum(gmask, item_ids[:, None])[:, 0]    # (G,)
 
-    # fetch ONLY the slots' sequence rows.  Both forms are exact and measure
-    # the SAME in-context (scripts/profile_rowfetch.py: the (B, L) table
-    # conversion the one-hot dot needs is not a bottleneck at G=64 slots);
-    # one-hot is the shipped default, the row take kept as the A/B record.
-    # Empty slots (gitem 0 from the zero mask row) fetch row 0 harmlessly:
-    # their runs are never scattered back (smask excludes them).
-    if row_fetch == "gather":
-        rows_a = jnp.take(ref_win, gitem, axis=0)
-        rows_b = jnp.take(read_seq, gitem, axis=0)
-    else:
-        sel = onehot_eq(gitem, b)
-        rows_a = expand_bytes(sel, ref_win)                # (G, L)
-        rows_b = expand_bytes(sel, read_seq)
-    bsg, rsg, dlg, ilg = gst[:, 0], gst[:, 1], gst[:, 2], gst[:, 3]
-    if windows_mode == "wordgather":
-        wa = _slot_windows_wordgather(
-            rows_a, jnp.stack([bsg + dlg - w, bsg], axis=1), w, 0xFE
-        )  # (G, 2, w)
-        wb = _slot_windows_wordgather(
-            rows_b, jnp.stack([rsg + ilg - w, rsg], axis=1), w, 0xFD
-        )
-        eqg = (wa == wb).astype(jnp.int32)
-        raw_r_g = jnp.sum(
-            jax.lax.cumprod(eqg[:, 0, :], axis=1, reverse=True), axis=1
-        )
-        raw_l_g = jnp.sum(jnp.cumprod(eqg[:, 1, :], axis=1), axis=1)
-    else:
-        wa = jax.vmap(
-            lambda row, st: _window_bytes_mm_t(row, st, w, 0xFE)
-        )(rows_a, jnp.stack([bsg + dlg - w, bsg], axis=1))     # (G, w, 2)
-        wb = jax.vmap(
-            lambda row, st: _window_bytes_mm_t(row, st, w, 0xFD)
-        )(rows_b, jnp.stack([rsg + ilg - w, rsg], axis=1))
-        eqg = (wa == wb).astype(jnp.int32)
-        raw_r_g = jnp.sum(
-            jax.lax.cumprod(eqg[:, :, 0], axis=1, reverse=True), axis=1
-        )
-        raw_l_g = jnp.sum(jnp.cumprod(eqg[:, :, 1], axis=1), axis=1)
+    raw_r_g, raw_l_g = runs_fn(gst, gitem)
 
     # scatter runs back to (item, slot)
     smask = (
@@ -423,6 +377,133 @@ def simplify_batch_compact(
     return jax.vmap(part2)(
         codes, lens, ref_pos, cl, cvalid, pure, one_one, mixed, rank,
         n_mix, runs2, item_spill,
+    )
+
+
+def simplify_batch_compact(
+    codes, lens, ref_pos, ref_win, read_seq, *, max_clusters, window, max_out,
+    row_fetch="onehot", windows_mode="superblock",
+):
+    """Batch-level simplify with BATCH-compacted mixed-cluster windows
+    (mm formulation).
+
+    Mixed clusters are rare (~0.05/read), yet the per-item window compare
+    pays two full-sequence superblock-table conversions per item — the
+    dominant simplify cost (PERF.md "window-fetch wall").  Here the batch's
+    mixed (item, cluster) pairs are compacted to ``GBUDGET`` global slots;
+    only those slots' sequence ROWS are gathered (exact one-hot byte
+    matmuls) and converted, cutting conversion traffic ~B/GBUDGET-fold.
+    Reads whose mixed clusters exceed MXI per item or spill the global
+    budget fall back to the exact host path (flag), preserving exactness.
+
+    Every per-slot result is bit-identical to the per-item fetch (same
+    _window_bytes_mm_t on the same bytes), so outputs equal
+    ``simplify_batch`` wherever no budget flag fires.
+    """
+    from portello_tpu.kernels.cluster_utils import _window_bytes_mm_t
+    from portello_tpu.kernels.expand import expand_bytes, onehot_eq
+
+    b = codes.shape[0]
+    w = window
+
+    def runs_fn(gst, gitem):
+        # fetch ONLY the slots' sequence rows.  Both forms are exact and
+        # measure the SAME in-context (scripts/profile_rowfetch.py: the
+        # (B, L) table conversion the one-hot dot needs is not a bottleneck
+        # at G=64 slots); one-hot is the shipped default, the row take kept
+        # as the A/B record.  Empty slots (gitem 0 from the zero mask row)
+        # fetch row 0 harmlessly: their runs are never scattered back.
+        if row_fetch == "gather":
+            rows_a = jnp.take(ref_win, gitem, axis=0)
+            rows_b = jnp.take(read_seq, gitem, axis=0)
+        else:
+            sel = onehot_eq(gitem, b)
+            rows_a = expand_bytes(sel, ref_win)                # (G, L)
+            rows_b = expand_bytes(sel, read_seq)
+        bsg, rsg, dlg, ilg = gst[:, 0], gst[:, 1], gst[:, 2], gst[:, 3]
+        if windows_mode == "wordgather":
+            wa = _slot_windows_wordgather(
+                rows_a, jnp.stack([bsg + dlg - w, bsg], axis=1), w, 0xFE
+            )  # (G, 2, w)
+            wb = _slot_windows_wordgather(
+                rows_b, jnp.stack([rsg + ilg - w, rsg], axis=1), w, 0xFD
+            )
+            eqg = (wa == wb).astype(jnp.int32)
+            raw_r_g = jnp.sum(
+                jax.lax.cumprod(eqg[:, 0, :], axis=1, reverse=True), axis=1
+            )
+            raw_l_g = jnp.sum(jnp.cumprod(eqg[:, 1, :], axis=1), axis=1)
+        else:
+            wa = jax.vmap(
+                lambda row, st: _window_bytes_mm_t(row, st, w, 0xFE)
+            )(rows_a, jnp.stack([bsg + dlg - w, bsg], axis=1))     # (G, w, 2)
+            wb = jax.vmap(
+                lambda row, st: _window_bytes_mm_t(row, st, w, 0xFD)
+            )(rows_b, jnp.stack([rsg + ilg - w, rsg], axis=1))
+            eqg = (wa == wb).astype(jnp.int32)
+            raw_r_g = jnp.sum(
+                jax.lax.cumprod(eqg[:, :, 0], axis=1, reverse=True), axis=1
+            )
+            raw_l_g = jnp.sum(jnp.cumprod(eqg[:, :, 1], axis=1), axis=1)
+        return raw_r_g, raw_l_g
+
+    return _compact_core(
+        codes, lens, ref_pos, runs_fn,
+        max_clusters=max_clusters, window=window, max_out=max_out,
+    )
+
+
+def simplify_batch_compact_resident(
+    codes, lens, ref_pos, ref_words, g_sb, g_off, read_packed,
+    *, max_clusters, window, max_out,
+):
+    """``simplify_batch_compact`` with the reference device-resident and the
+    read rows packed (kernels/resident.py — round-5 window-path
+    reformulation; design + exactness argument in that module's docstring).
+
+    ``ref_words``: (NSB, 16) uint32 global superblock table.
+    ``g_sb``/``g_off``: (B,) int32 per-item global base of the window origin
+    (``ref_pos`` coordinates are relative to it, exactly like ``ref_win``'s
+    origin in the table variant).
+    ``read_packed``: (B, max_seq//2) BAM nibble rows.
+
+    Output-identical to ``simplify_batch_compact`` on the corresponding
+    unpacked tables (tests/test_resident.py).
+    """
+    from portello_tpu.kernels.expand import expand_bytes, expand_mask, onehot_eq
+    from portello_tpu.kernels.resident import (
+        fetch_read_windows_packed,
+        fetch_ref_windows_global,
+    )
+
+    b = codes.shape[0]
+    w = window
+
+    def runs_fn(gst, gitem):
+        sel = onehot_eq(gitem, b)
+        rows_b = expand_bytes(sel, read_packed)            # (G, Lp)
+        gbase = expand_mask(sel, jnp.stack([g_sb, g_off], axis=1))  # (G, 2)
+        bsg, rsg, dlg, ilg = gst[:, 0], gst[:, 1], gst[:, 2], gst[:, 3]
+        # flat (2G,) window starts, slot-major [right, left] pairs
+        starts_a = jnp.stack([bsg + dlg - w, bsg], axis=1).reshape(-1)
+        gsb2 = jnp.repeat(gbase[:, 0], 2)
+        goff2 = jnp.repeat(gbase[:, 1], 2)
+        wa = fetch_ref_windows_global(ref_words, gsb2, goff2, starts_a, w)
+        g = gst.shape[0]
+        wa = wa.reshape(w, g, 2).transpose(1, 0, 2)        # (G, w, 2)
+        wb = fetch_read_windows_packed(
+            rows_b, jnp.stack([rsg + ilg - w, rsg], axis=1), w
+        )                                                  # (G, w, 2)
+        eqg = (wa == wb).astype(jnp.int32)
+        raw_r_g = jnp.sum(
+            jax.lax.cumprod(eqg[:, :, 0], axis=1, reverse=True), axis=1
+        )
+        raw_l_g = jnp.sum(jnp.cumprod(eqg[:, :, 1], axis=1), axis=1)
+        return raw_r_g, raw_l_g
+
+    return _compact_core(
+        codes, lens, ref_pos, runs_fn,
+        max_clusters=max_clusters, window=window, max_out=max_out,
     )
 
 

@@ -178,6 +178,46 @@ def fwd_batch(ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq,
 
 @partial(
     jax.jit,
+    static_argnames=("max_out", "max_clusters", "window", "max_rows"),
+)
+def fwd_batch_resident(
+    ops, lens, n_ops, pos, bk, bv, nb, g_sb, g_off, ref_base, read_packed,
+    ref_words, *, max_out, max_clusters, window, max_rows=None,
+):
+    """Forward pipeline with the reference device-resident and the read
+    sequence packed (mm formulation only; kernels/resident.py).
+
+    Replaces ``fwd_batch``'s two (B, max_seq) uint8 tables: ``ref_words`` is
+    the run-global superblock reference table (resident in HBM across
+    batches), ``g_sb``/``g_off`` locate each item's window origin
+    (= ``ref_base``) inside it, and ``read_packed`` is the (B, max_seq//2)
+    BAM-nibble read row.  Outputs are bit-identical to ``fwd_batch`` with
+    mm=True on the corresponding unpacked tables (tests/test_resident.py).
+    """
+    from portello_tpu.kernels.simplify_kernel import (
+        simplify_batch_compact_resident,
+    )
+
+    l_codes, l_lens, l_n, ref2_pos, mapped, overflow = jax.vmap(
+        lambda o, l, n, p, k, v, m: _lift_core(
+            o, l, n, p, k, v, m, max_out=max_out, mm=True, max_rows=max_rows
+        )
+    )(ops, lens, n_ops, pos, bk, bv, nb)
+    read_len = jax.vmap(cigar_read_len)(l_codes, l_lens)
+    s_codes, s_lens, s_n, s_pos_rel, s_fb = simplify_batch_compact_resident(
+        l_codes, l_lens, ref2_pos - ref_base, ref_words, g_sb, g_off,
+        read_packed, max_clusters=max_clusters, window=window, max_out=max_out,
+    )
+    return {
+        "codes": s_codes, "lens": s_lens, "n_out": s_n,
+        "ref2_pos": s_pos_rel + ref_base, "mapped": mapped,
+        "read_len": read_len,
+        "fallback": s_fb | overflow,
+    }
+
+
+@partial(
+    jax.jit,
     static_argnames=("max_out", "max_clusters", "window", "mm", "max_rows"),
 )
 def rev_batch_fused(ops, lens, n_ops, pos, win_base, contig_win, bk, bv, nb,
