@@ -100,6 +100,30 @@ def fast_item_arrays(rng, b, bcfg, read_len, rev, read_rate=0.0025, contig_rate=
     return ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq
 
 
+def resident_timing_args(items_fwd, rng, table_mb):
+    """Resident-form timing args paired to table-form fwd items: a
+    ``table_mb`` synthetic superblock reference table (content-random —
+    kernel cost is data-independent given shapes) with window origins
+    scattered across it, plus the packed read rows.  Timing-faithful to the
+    production dispatch (native_feed resident mode); bit-equality of the two
+    formulations is enforced separately by tests/test_resident.py and the
+    native-feed resident CLI tests."""
+    from portello_tpu.kernels.resident import SB, pack_seq_rows
+
+    ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq = items_fwd
+    b = len(n_ops)
+    nsb = table_mb * (1 << 20) // SB
+    words = rng.integers(0, 2**32, size=(nsb, SB // 4), dtype=np.uint32)
+    g_sb = rng.integers(2, nsb - 4096, size=b, dtype=np.int64).astype(np.int32)
+    g_off = rng.integers(0, SB, size=b, dtype=np.int32)
+    packed = pack_seq_rows(np.asarray(read_seq))
+    return (
+        np.asarray(ops), np.asarray(lens), np.asarray(n_ops), np.asarray(pos),
+        np.asarray(bk), np.asarray(bv), np.asarray(nb), g_sb, g_off,
+        np.asarray(ref_base), packed,
+    ), words
+
+
 _PROTOCOLS_USED: set[str] = set()
 
 
@@ -516,6 +540,20 @@ def main():
 
     dev_fwd = tuple(jax.device_put(a, device) for a in fwd_items)
 
+    # PRODUCTION graph selection: on the TPU mm path the feed dispatches the
+    # resident formulation (HBM-resident superblock reference + packed read
+    # rows — native_feed resident mode, round 5), so that is what the
+    # headline times; the per-item-table graph is kept as a one-pass
+    # diagnostic.  Table size via PTPU_BENCH_TABLE_MB (default 256).
+    from portello_tpu.models.pipeline_model import fwd_batch_resident
+
+    table_mb = int(os.environ.get("PTPU_BENCH_TABLE_MB", "256" if mm else "8"))
+    rkw = {k: v for k, v in kw.items() if k != "mm"}
+    if mm:
+        res_fwd_np, words_np = resident_timing_args(fwd_items, rng, table_mb)
+        dev_res_fwd = tuple(jax.device_put(a, device) for a in res_fwd_np)
+        dev_words = jax.device_put(words_np, device)
+
     # ---- rev-item host shift (the PRODUCTION routing since round 3):
     # the reverse-contig left-shift runs on the host during prep
     # (ptcore_shift_batch in both feeds), so rev items dispatch the SAME
@@ -570,13 +608,16 @@ def main():
         sh_lens = np.asarray(l_)[:, : bcfg.max_ops]
         sh_n, sh_pos = np.asarray(n_), np.asarray(p_)
 
-    rev_fwd_args = tuple(
-        jax.device_put(np.asarray(a), device)
-        for a in (
-            sh_codes, sh_lens, sh_n, sh_pos + r_wb,
-            r_bk, r_bv, r_nb, r_rwin, r_rbase, r_rseq,
-        )
+    rev_fwd_items = (
+        sh_codes, sh_lens, sh_n, sh_pos + r_wb,
+        r_bk, r_bv, r_nb, r_rwin, r_rbase, r_rseq,
     )
+    rev_fwd_args = tuple(
+        jax.device_put(np.asarray(a), device) for a in rev_fwd_items
+    )
+    if mm:
+        res_rev_np, _ = resident_timing_args(rev_fwd_items, rng, table_mb)
+        dev_res_rev = tuple(jax.device_put(a, device) for a in res_rev_np)
 
     # ---- sustained per-batch chip times, interleaved passes (fwd, rev,
     # fwd, rev) with best-of per term: relay-side drift between calls swings
@@ -590,19 +631,42 @@ def main():
     # ~10% effects the remaining optimizations produce.  ``value_runs`` in the
     # JSON carries every run so the spread is self-reported.
     n_runs = max(int(os.environ.get("PTPU_BENCH_RUNS", "3" if mm else "1")), 1)
+    if mm:
+        graph = "resident"
+
+        def time_fwd_leg(r):
+            return sustained_batch_time(
+                lambda *a: fwd_batch_resident(*a[:-1], a[-1], **rkw),
+                (*dev_res_fwd, dev_words), r, 3, already_batched=True,
+            )
+
+        def time_rev_leg(r):
+            return sustained_batch_time(
+                lambda *a: fwd_batch_resident(*a[:-1], a[-1], **rkw),
+                (*dev_res_rev, dev_words), r, 3, already_batched=True,
+            )
+    else:
+        graph = "table"
+
+        def time_fwd_leg(r):
+            return sustained_batch_time(
+                lambda *a: fwd_batch(*a, **kw), dev_fwd, r, 3,
+                already_batched=True,
+            )
+
+        def time_rev_leg(r):
+            return sustained_batch_time(
+                lambda *a: fwd_batch(*a, **kw), rev_fwd_args, r, 3,
+                already_batched=True,
+            )
+
     run_pairs = []  # (t_fwd, t_rev_fwd) per run
     for run_i in range(n_runs):
         t_fwd_passes, t_rev_passes = [], []
         n_passes = 2 if mm else 1
         for _ in range(n_passes):
-            t_fwd_passes.append(sustained_batch_time(
-                lambda *a: fwd_batch(*a, **kw), dev_fwd, reps, 3,
-                already_batched=True,
-            ))
-            t_rev_passes.append(sustained_batch_time(
-                lambda *a: fwd_batch(*a, **kw), rev_fwd_args, reps, 3,
-                already_batched=True,
-            ))
+            t_fwd_passes.append(time_fwd_leg(reps))
+            t_rev_passes.append(time_rev_leg(reps))
         run_pairs.append((min(t_fwd_passes), min(t_rev_passes)))
         sys.stderr.write(
             f"[bench] run {run_i + 1}/{n_runs}: t_fwd="
@@ -623,7 +687,15 @@ def main():
             lambda *a: rev_batch(*a, **kw), dev_rev, reps, 3,
             already_batched=True,
         )
+        # table-form fwd graph, one pass: round-over-round comparability
+        # with the pre-round-5 headline (and the standing resident-vs-table
+        # on-chip A/B, scripts/profile_resident.py)
+        t_fwd_table = sustained_batch_time(
+            lambda *a: fwd_batch(*a, **kw), dev_fwd, reps, 3,
+            already_batched=True,
+        )
     else:
+        t_fwd_table = None
         # gather path (CPU smoke): the staged device-shift diagnostic is
         # omitted — rev_batch there is 3 separate dispatches, which the
         # in-jit repetition protocol cannot wrap
@@ -649,16 +721,21 @@ def main():
     t_mix = run_mixes[med_i]
     reads_per_s = batch / t_mix
 
-    # real single-dispatch overhead (transfer + tunnel RTT), reported
-    # separately.  The FIRST standalone call traces+compiles fwd_batch's own
-    # executable (the sustained loops compile wrappers), so warm it up and
-    # time the second call; np.asarray fetches to host because
+    # real single-dispatch overhead (transfer + tunnel RTT) of the
+    # PRODUCTION graph (host batch args, reference table already resident),
+    # reported separately.  The FIRST standalone call traces+compiles the
+    # graph's own executable (the sustained loops compile wrappers), so warm
+    # it up and time the second call; np.asarray fetches to host because
     # block_until_ready does not reliably wait through the relay.
-    out = fwd_batch(*fwd_items, **kw)
-    np.asarray(out["n_out"])
+    if mm:
+        def _prod_call():
+            return fwd_batch_resident(*res_fwd_np, dev_words, **rkw)
+    else:
+        def _prod_call():
+            return fwd_batch(*fwd_items, **kw)
+    np.asarray(_prod_call()["n_out"])
     t0 = time.perf_counter()
-    out = fwd_batch(*fwd_items, **kw)
-    np.asarray(out["n_out"])
+    np.asarray(_prod_call()["n_out"])
     dispatch_overhead = time.perf_counter() - t0 - t_fwd
 
     host_rps = host_oracle_time(fwd_items, n_sample=min(24, batch))
@@ -742,7 +819,13 @@ def main():
                 "baseline_reads_per_s": round(baseline_rps, 1),
                 "device": str(device),
                 "batch": batch,
+                "graph": graph,
+                "resident_table_mb": table_mb if mm else None,
                 "t_fwd_ms": round(t_fwd * 1e3, 3),
+                "t_fwd_table_ms": (
+                    round(t_fwd_table * 1e3, 3) if t_fwd_table is not None
+                    else None
+                ),
                 "t_rev_fwd_ms": round(t_rev_fwd * 1e3, 3),
                 "t_rev_devshift_chain_ms": (
                     round(t_rev_devshift * 1e3, 3)

@@ -620,11 +620,16 @@ constexpr int64_t kChunk = 128;
 struct Slot {
   std::vector<int32_t> ops, lens, n_ops, pos, bk, bv, nb, ref_base, win_base;
   std::vector<uint8_t> ref_win, read_seq, contig_win;
+  // resident mode only: packed nibble rows (max_seq/2 per row) + per-item
+  // ref chrom index (ref_win/read_seq stay empty — never allocated)
+  std::vector<uint8_t> read_packed;
+  std::vector<int32_t> ref_chrom;
   // Per-row content lengths from the row's PREVIOUS occupant: everything
   // beyond them is still pad from the last fill, so re-padding only the
   // [cur, prev) suffix keeps the invariant while skipping ~25% of fill
   // bytes at uniform read lengths (rows are disjoint across fill workers).
   std::vector<int32_t> prev_ops, prev_nb, prev_ref, prev_seq, prev_win;
+  std::vector<int32_t> prev_pseq;  // resident mode: packed-row content len
   std::vector<PendingRef> refs;  // row -> (read, item)
   int64_t count = 0;             // rows assigned
   int accum = 0;
@@ -777,6 +782,13 @@ struct Scanner {
   // dispatch the fwd graph; false (PTPU_HOST_SHIFT=0) = device shift chain.
   bool host_shift = true;
   bool all_host = false;  // PTPU_ALL_HOST=1: no-chip leg of the offload A/B
+  // Resident-reference slot mode (kernels/resident.py): rows carry the raw
+  // 4-bit packed read seq (half the bytes, straight memcpy / rcpack — no
+  // nibble decode) plus the item's REF CHROM index instead of the filled
+  // ref_win + decoded read_seq tables; the device fetches reference windows
+  // from the HBM-resident genome.  Requires host-shift routing (the
+  // device-shift rev graph consumes the ASCII tables).
+  bool resident = false;
 
   std::vector<BucketCfg> buckets;
   int64_t batch_size = 512;
@@ -1636,21 +1648,42 @@ void fill_item_row(const Scanner& sc, ReadState& rs, const Item& it,
     ac.bv[i * c.max_blocks + j] = (int32_t)sc.bm_vals[it.bm_lo + j];
   }
   ac.nb[i] = (int32_t)nb;
-  {
-    int64_t g = it.contig_seg;
-    const uint8_t* chrom_ref = sc.ref_ptrs[sc.seg_chrom[g]];
-    int64_t chrom_len = sc.ref_lens[sc.seg_chrom[g]];
-    int64_t w_end = std::min(
-        it.dref_lo + c.max_seq, chrom_len);  // window covers <= max_seq
-    int64_t w_len = std::max<int64_t>(w_end - it.dref_lo, 0);
-    std::memcpy(&ac.ref_win[i * c.max_seq], chrom_ref + it.dref_lo, w_len);
-    if (w_len < ac.prev_ref[i])
-      std::memset(&ac.ref_win[i * c.max_seq + w_len], 0,
-                  ac.prev_ref[i] - w_len);
-    ac.prev_ref[i] = (int32_t)w_len;
-  }
-  ac.ref_base[i] = (int32_t)it.dref_lo;
-  {
+  if (sc.resident) {
+    // resident mode: the reference stays in device HBM — emit only the ref
+    // chrom index (Python maps it + ref_base to the global superblock
+    // offset) and the RAW packed nibble row (memcpy / rcpack, no decode).
+    ac.ref_chrom[i] = sc.seg_chrom[it.contig_seg];
+    int64_t l_seq = rs.rv.l_seq;
+    int64_t n_packed = (l_seq + 1) / 2;
+    int64_t row_w = (c.max_seq + 1) / 2;
+    uint8_t* dst = &ac.read_packed[i * row_w];
+    const uint8_t* packed = packed_seq_ptr(rs.raw.data(), rs.rv);
+    if (it.need_flip) {
+      repack_seq_rc(packed, l_seq, dst);
+    } else {
+      std::memcpy(dst, packed, n_packed);
+      // odd length: the BAM pad nibble should be 0 per spec, but mask it so
+      // a nonconforming producer can't leak bytes past the read into the
+      // row (the device widens it to '='; output-neutral either way)
+      if (l_seq & 1) dst[n_packed - 1] &= 0xF0;
+    }
+    if (n_packed < ac.prev_pseq[i])
+      std::memset(dst + n_packed, 0, ac.prev_pseq[i] - n_packed);
+    ac.prev_pseq[i] = (int32_t)n_packed;
+  } else {
+    {
+      int64_t g = it.contig_seg;
+      const uint8_t* chrom_ref = sc.ref_ptrs[sc.seg_chrom[g]];
+      int64_t chrom_len = sc.ref_lens[sc.seg_chrom[g]];
+      int64_t w_end = std::min(
+          it.dref_lo + c.max_seq, chrom_len);  // window covers <= max_seq
+      int64_t w_len = std::max<int64_t>(w_end - it.dref_lo, 0);
+      std::memcpy(&ac.ref_win[i * c.max_seq], chrom_ref + it.dref_lo, w_len);
+      if (w_len < ac.prev_ref[i])
+        std::memset(&ac.ref_win[i * c.max_seq + w_len], 0,
+                    ac.prev_ref[i] - w_len);
+      ac.prev_ref[i] = (int32_t)w_len;
+    }
     // decode the 4-bit packed BAM seq straight into the slot row (one pass;
     // the old ASCII staging buffer cost a full extra write+read per record)
     int64_t l_seq = rs.rv.l_seq;
@@ -1664,6 +1697,7 @@ void fill_item_row(const Scanner& sc, ReadState& rs, const Item& it,
       std::memset(dst + l_seq, 0, ac.prev_seq[i] - l_seq);
     ac.prev_seq[i] = (int32_t)l_seq;
   }
+  ac.ref_base[i] = (int32_t)it.dref_lo;
   if (it.is_rev_contig) {
     int64_t span = cig_ref_span(cig);
     const uint8_t* rc = sc.rc_bytes + sc.rc_off[rseg.chrom];
@@ -1765,9 +1799,15 @@ Slot* get_free_slot(Scanner& sc, int ai) {
   s->bk.assign(rows * c.max_blocks, INT32_MAX);
   s->bv.assign(rows * c.max_blocks, -1);
   s->nb.assign(rows, 0);
-  s->ref_win.assign(rows * c.max_seq, 0);
+  if (sc.resident) {
+    s->read_packed.assign(rows * ((c.max_seq + 1) / 2), 0);
+    s->ref_chrom.assign(rows, 0);
+    s->prev_pseq.assign(rows, 0);
+  } else {
+    s->ref_win.assign(rows * c.max_seq, 0);
+    s->read_seq.assign(rows * c.max_seq, 0);
+  }
   s->ref_base.assign(rows, 0);
-  s->read_seq.assign(rows * c.max_seq, 0);
   if (rev) {
     s->contig_win.assign(rows * c.max_seq, 0);
     s->win_base.assign(rows, 0);
@@ -1803,10 +1843,17 @@ void pad_slot_tail(Scanner& sc, Slot& s) {
     s.prev_nb[i] = 0;
     s.nb[i] = 0;
     s.ref_base[i] = 0;
-    std::memset(&s.ref_win[i * c.max_seq], 0, s.prev_ref[i]);
-    s.prev_ref[i] = 0;
-    std::memset(&s.read_seq[i * c.max_seq], 0, s.prev_seq[i]);
-    s.prev_seq[i] = 0;
+    if (sc.resident) {
+      s.ref_chrom[i] = 0;
+      std::memset(&s.read_packed[i * ((c.max_seq + 1) / 2)], 0,
+                  s.prev_pseq[i]);
+      s.prev_pseq[i] = 0;
+    } else {
+      std::memset(&s.ref_win[i * c.max_seq], 0, s.prev_ref[i]);
+      s.prev_ref[i] = 0;
+      std::memset(&s.read_seq[i * c.max_seq], 0, s.prev_seq[i]);
+      s.prev_seq[i] = 0;
+    }
     if (rev) {
       std::memset(&s.contig_win[i * c.max_seq], 0, s.prev_win[i]);
       s.prev_win[i] = 0;
@@ -2009,6 +2056,10 @@ typedef struct {
   uint8_t* read_seq;
   uint8_t* contig_win;
   int32_t* win_base;
+  // resident slot mode only (null otherwise): packed nibble rows
+  // (count x max_seq/2) + per-item ref chrom index
+  uint8_t* read_packed;
+  int32_t* ref_chrom;
 } PtscanBatchDesc;
 
 struct ScannerHandle {
@@ -2033,7 +2084,8 @@ void* ptscan_create(
     const int64_t* bm_vals, const int64_t* rc_off, const uint8_t* rc_bytes,
     long long n_buckets, const int64_t* bucket_dims /*4 per bucket*/,
     long long batch_size, int is_target_region, const uint8_t* owned,
-    int emit_unmapped, int prep_threads, void* ext_reader) {
+    int emit_unmapped, int prep_threads, void* ext_reader,
+    int resident_mode) {
   auto* h = new ScannerHandle();
   Scanner& sc = h->sc;
   // release any acquired reader/writers on every failure path (writer
@@ -2134,6 +2186,10 @@ void* ptscan_create(
     sc.host_shift = !(e && e[0] == '0');
     const char* ah = getenv("PTPU_ALL_HOST");
     sc.all_host = ah && ah[0] == '1';
+    // resident slot mode needs every device item on the fwd graph (the
+    // device-shift rev graph consumes the ASCII tables), so host-shift
+    // routing is a hard requirement
+    sc.resident = resident_mode != 0 && sc.host_shift;
   }
   // Parallel BGZF readahead: the serial inflate in the framing loop was the
   // measured host-feed ceiling (~42 us/item at 18 kb; PERF.md phase split).
@@ -2327,11 +2383,13 @@ int ptscan_next_batch(void* hv, PtscanBatchDesc* out) {
   out->bk = s->bk.data();
   out->bv = s->bv.data();
   out->nb = s->nb.data();
-  out->ref_win = s->ref_win.data();
+  out->ref_win = sc.resident ? nullptr : s->ref_win.data();
   out->ref_base = s->ref_base.data();
-  out->read_seq = s->read_seq.data();
+  out->read_seq = sc.resident ? nullptr : s->read_seq.data();
   out->contig_win = (eb.accum % 2) ? s->contig_win.data() : nullptr;
   out->win_base = (eb.accum % 2) ? s->win_base.data() : nullptr;
+  out->read_packed = sc.resident ? s->read_packed.data() : nullptr;
+  out->ref_chrom = sc.resident ? s->ref_chrom.data() : nullptr;
   return 1;
 }
 

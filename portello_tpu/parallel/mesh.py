@@ -72,6 +72,48 @@ def make_sharded_fwd_step(
     )
 
 
+def make_sharded_fwd_resident_step(
+    mesh: Mesh, *, max_out: int, max_clusters: int, window: int,
+    max_rows: int | None = None,
+):
+    """Sharded resident-mode forward step (``fwd_batch_resident``): batch
+    tensors shard on dim 0; the global superblock reference table is
+    REPLICATED (every chip holds the genome — the per-window fetch must see
+    the whole table, and replication keeps the hot path collective-free).
+
+    The caller should place ``ref_words`` once with
+    ``replicated_sharding(mesh)`` so the table isn't re-transferred per
+    dispatch.
+    """
+    from jax import shard_map
+
+    from portello_tpu.models.pipeline_model import fwd_batch_resident
+
+    spec = P("data")
+
+    def local(ops, lens, n_ops, pos, bk, bv, nb, g_sb, g_off, ref_base,
+              read_packed, ref_words):
+        return fwd_batch_resident(
+            ops, lens, n_ops, pos, bk, bv, nb, g_sb, g_off, ref_base,
+            read_packed, ref_words,
+            max_out=max_out, max_clusters=max_clusters, window=window,
+            max_rows=max_rows,
+        )
+
+    return jax.jit(
+        shard_map(
+            local, mesh=mesh,
+            in_specs=(spec,) * 11 + (P(None, None),),
+            out_specs=spec,
+        )
+    )
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Every-device replication (the resident reference table's placement)."""
+    return NamedSharding(mesh, P())
+
+
 def make_sharded_rev_step(
     mesh: Mesh, *, max_out: int, max_clusters: int, window: int, mm: bool = False,
     max_rows: int | None = None,

@@ -64,6 +64,9 @@ class _BatchDesc(ctypes.Structure):
         ("read_seq", ctypes.POINTER(ctypes.c_uint8)),
         ("contig_win", ctypes.POINTER(ctypes.c_uint8)),
         ("win_base", ctypes.POINTER(ctypes.c_int32)),
+        # resident slot mode only (null otherwise)
+        ("read_packed", ctypes.POINTER(ctypes.c_uint8)),
+        ("ref_chrom", ctypes.POINTER(ctypes.c_int32)),
     ]
 
 
@@ -279,14 +282,20 @@ def create_scanner(
     shard_plan,
     thread_count: int,
     push_reader=None,
+    resident: bool = False,
 ):
     """Marshal the phase-1 index + config and call ``ptscan_create``.
 
-    The single owner of the 35-positional-argument ABI (also used by the
+    The single owner of the 36-positional-argument ABI (also used by the
     jax-free TSAN harness, scripts/tsan_native.py).  Returns ``(handle,
     keepalive)`` — the C++ scanner keeps RAW POINTERS into the index and
     reference arrays, so the caller must hold ``keepalive`` (and the
     ``reference`` list) alive until ``ptscan_destroy``.
+
+    ``resident``: emit resident-mode slots (packed read rows + ref chrom
+    index; no ref_win/read_seq tables) — kernels/resident.py.  The C++ side
+    additionally requires host-shift routing and silently falls back to
+    table slots under PTPU_HOST_SHIFT=0; the feed mirrors that condition.
     """
     idx = _flat_index(contig_list, all_contig_mapping_info)
 
@@ -348,6 +357,7 @@ def create_scanner(
         owned_ptr if owned_ptr is not None else ctypes.c_void_p(None),
         ctypes.c_int(emit_unmapped), ctypes.c_int(max(1, thread_count)),
         push_reader if push_reader is not None else ctypes.c_void_p(None),
+        ctypes.c_int(1 if resident else 0),
     )
     h = ctypes.c_void_p(h)
     if not h:
@@ -506,12 +516,52 @@ def scan_and_remap_reads_native(
         mesh = make_mesh(devices=jax.local_devices())
         logger.info(f"Sharding batches over {n_dev} local devices")
 
-        def get_sharded(bi: int, is_rev: bool, kw: dict):
-            key = (bi, is_rev)
+        def get_sharded(bi: int, kind: str, kw: dict):
+            key = (bi, kind)
             if key not in sharded_fns:
-                mk = make_sharded_rev_step if is_rev else make_sharded_fwd_step
+                if kind == "rev":
+                    mk = make_sharded_rev_step
+                elif kind == "res":
+                    from portello_tpu.parallel.mesh import (
+                        make_sharded_fwd_resident_step as mk,
+                    )
+                else:
+                    mk = make_sharded_fwd_step
                 sharded_fns[key] = mk(mesh, **kw)
             return sharded_fns[key]
+
+    # Resident slot mode (VERDICT r4 #1a/#2; kernels/resident.py): the genome
+    # stays in device HBM as a superblock table and read rows transfer PACKED
+    # — the fill's 24 KB/item ref memcpy + nibble decode and 3/4 of the
+    # per-batch H2D disappear.  Default on for the TPU mm path under
+    # host-shift routing; PTPU_RESIDENT=1/0 forces.
+    host_shift = os.environ.get("PTPU_HOST_SHIFT", "1") != "0"
+    force_res = {"1": True, "0": False}.get(os.environ.get("PTPU_RESIDENT", ""))
+    use_resident = (
+        force_res
+        if force_res is not None
+        else (mm and jax.default_backend() == "tpu")
+    ) and host_shift
+    res_words = res_goff = None
+    split_global_base = None
+    if use_resident:
+        from portello_tpu.kernels.resident import (
+            build_global_ref,
+            split_global_base,
+        )
+        from portello_tpu.models.pipeline_model import fwd_batch_resident
+
+        words_np, res_goff = build_global_ref(reference)
+        if use_shard:
+            from portello_tpu.parallel.mesh import replicated_sharding
+
+            res_words = jax.device_put(words_np, replicated_sharding(mesh))
+        else:
+            res_words = jax.device_put(words_np)
+        logger.info(
+            f"Resident reference table: {words_np.nbytes / 2**20:.0f} MiB in "
+            "device memory; packed read rows"
+        )
 
     header = get_alignment_file_header(ref_chrom_list, cmdline).encode()
 
@@ -568,7 +618,7 @@ def scan_and_remap_reads_native(
             unassembled_read_output, header, reference, ref_chrom_list,
             contig_list, all_contig_mapping_info, buckets, batch_size,
             is_target_region, shard_plan, thread_count,
-            push_reader=push_handle,
+            push_reader=push_handle, resident=use_resident,
         )
     except BaseException:
         # create failed: the scanner did NOT take reader ownership.  The
@@ -631,9 +681,7 @@ def scan_and_remap_reads_native(
         bk = grab2(d.bk, bcfg.max_blocks)
         bv = grab2(d.bv, bcfg.max_blocks)
         nb = grab1(d.nb)
-        ref_win = grab2(d.ref_win, bcfg.max_seq, np.uint8)
         ref_base = grab1(d.ref_base)
-        read_seq = grab2(d.read_seq, bcfg.max_seq, np.uint8)
         kw = dict(
             max_out=bcfg.resolved_max_out(),
             max_clusters=bcfg.max_clusters,
@@ -641,6 +689,32 @@ def scan_and_remap_reads_native(
             mm=mm,
             max_rows=bcfg.resolved_max_rows(),
         )
+        if use_resident and not is_rev:
+            # resident slots carry packed rows + the ref chrom index; map
+            # (chrom, ref_base) -> global superblock coordinates here (the
+            # fancy-index makes fresh arrays — nothing aliases the slot
+            # after dispatch returns)
+            read_packed = grab2(
+                d.read_packed, (bcfg.max_seq + 1) // 2, np.uint8
+            )
+            ref_chrom = grab1(d.ref_chrom)
+            g_sb, g_off = split_global_base(
+                res_goff[ref_chrom] + ref_base.astype(np.int64)
+            )
+            res_args = (
+                ops, lens, n_ops, pos, bk, bv, nb, g_sb, g_off, ref_base,
+                read_packed,
+            )
+            rkw = {k: v for k, v in kw.items() if k != "mm"}
+            if use_shard:
+                return get_sharded(b, "res", rkw)(*res_args, res_words)
+            return fwd_batch_resident(*res_args, res_words, **rkw)
+        if use_resident:  # pragma: no cover - guarded by the C++ gate
+            raise RuntimeError(
+                "resident slot mode emitted a device-shift rev batch"
+            )
+        ref_win = grab2(d.ref_win, bcfg.max_seq, np.uint8)
+        read_seq = grab2(d.read_seq, bcfg.max_seq, np.uint8)
         if is_rev:
             contig_win = grab2(d.contig_win, bcfg.max_seq, np.uint8)
             win_base = grab1(d.win_base)
@@ -649,13 +723,13 @@ def scan_and_remap_reads_native(
                 ref_win, ref_base, read_seq,
             )
             if use_shard:
-                return get_sharded(b, True, kw)(*rev_args)
+                return get_sharded(b, "rev", kw)(*rev_args)
             return rev_batch(*rev_args, **kw)
         fwd_args = (
             ops, lens, n_ops, pos, bk, bv, nb, ref_win, ref_base, read_seq
         )
         if use_shard:
-            return get_sharded(b, False, kw)(*fwd_args)
+            return get_sharded(b, "fwd", kw)(*fwd_args)
         return fwd_batch(*fwd_args, **kw)
 
     def post(out):

@@ -460,3 +460,51 @@ def test_native_feed_all_host_routing(tmp_path):
 
     assert _last_stats["device_items"] == 0
     assert _last_stats["host_items"] > 0
+
+
+def test_native_feed_resident_mode(tmp_path, monkeypatch):
+    """Resident slot mode (PTPU_RESIDENT=1; auto on the TPU mm path): the
+    C++ fill emits packed nibble rows + ref chrom indices, the device
+    fetches reference windows from the HBM-resident superblock table
+    (kernels/resident.py), and output must be record-identical to the
+    table-slot run — including reverse-contig reads (host-shifted, flip
+    re-packed rows) and odd-length reads (nibble parity)."""
+    rng = np.random.default_rng(61)
+    make_scenario(str(tmp_path), rng=rng, n_reads_per_contig=50, read_len=401)
+    out_t, un_t = _run_cli(tmp_path, "res_table", "native")
+    monkeypatch.setenv("PTPU_RESIDENT", "1")
+    out_r, un_r = _run_cli(tmp_path, "res_resident", "native")
+    assert _records(out_r) == _records(out_t)
+    assert _records(un_r) == _records(un_t)
+    assert len(_records(out_t)) > 0
+    from portello_tpu.pipeline.native_feed import _last_stats
+
+    assert _last_stats["device_items"] > 0  # the resident graph really ran
+
+
+def test_native_feed_resident_sharded(tmp_path, monkeypatch):
+    """Resident mode under multi-device batch sharding: the superblock
+    table is replicated over the mesh, batches shard on dim 0
+    (mesh.make_sharded_fwd_resident_step); output must match the
+    single-device table run."""
+    rng = np.random.default_rng(62)
+    make_scenario(str(tmp_path), rng=rng, n_reads_per_contig=40, read_len=400)
+    out_t, un_t = _run_cli(tmp_path, "ress_table", "native")
+    monkeypatch.setenv("PTPU_RESIDENT", "1")
+    monkeypatch.setenv("PTPU_SHARD", "1")
+    out_r, un_r = _run_cli(tmp_path, "ress_shard", "native")
+    assert _records(out_r) == _records(out_t)
+    assert _records(un_r) == _records(un_t)
+
+
+def test_native_feed_resident_requires_host_shift(tmp_path, monkeypatch):
+    """PTPU_RESIDENT=1 + PTPU_HOST_SHIFT=0 is contradictory (the
+    device-shift rev graph consumes the ASCII tables); both the C++ gate
+    and the feed must fall back to table slots, output unchanged."""
+    rng = np.random.default_rng(63)
+    make_scenario(str(tmp_path), rng=rng, n_reads_per_contig=30, read_len=300)
+    out_t, _ = _run_cli(tmp_path, "reshs_table", "native")
+    monkeypatch.setenv("PTPU_RESIDENT", "1")
+    monkeypatch.setenv("PTPU_HOST_SHIFT", "0")
+    out_r, _ = _run_cli(tmp_path, "reshs_devshift", "native")
+    assert _records(out_r) == _records(out_t)
