@@ -86,6 +86,7 @@ def main():
         h, _keep = nf.create_scanner(
             lib, scn.read_bam, out_r, out_u, header, reference, ref_cl,
             asm_cl, info, buckets, batch_size, False, None, threads,
+            resident=os.environ.get("PTPU_RESIDENT") == "1",
         )
         desc = nf._BatchDesc()
 
