@@ -118,6 +118,11 @@ def main():
         "python-mm", bam,
         ["--device", "cpu", "--feed", "python"], {"PTPU_MM": "1"},
     )
+    legs["native-res"] = run(
+        "native-res", bam,
+        ["--device", "cpu", "--feed", "native", "--threads", "4"],
+        {"PTPU_RESIDENT": "1"},
+    )
     legs["workers2"] = run(
         "workers2", bam, ["--device", "host", "--local-workers", "2"]
     )
