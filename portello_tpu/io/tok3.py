@@ -16,12 +16,22 @@ coded with rANS Nx16.  Serialised layout implemented here:
     duplicates carry [u8 pos][u8 type]; otherwise uint7 compressed length
     + an rANS Nx16 stream.
 
-No htslib exists in this image to cross-check the serialisation
-byte-for-byte, so (as with the CRAM container itself — see io/cram.py)
-conformance is established by spec-derived structural fixtures plus
-encoder-independent decode tests (tests/test_tok3.py); the token model
-and stream algebra follow the published algorithm.  The arithmetic-coder
-variant (flags bit0) routes the token streams through io/arith_nx16.
+No htslib exists in this image to cross-check against its binary output,
+so conformance is established in three layers: spec-derived structural
+fixtures decode streams this encoder never produced (tests/test_tok3.py);
+the DECODER accepts foreign-shaped streams hand-assembled per the spec
+(tests/test_cram_spec_fixtures.py); and the ENCODER's exact output bytes
+are pinned against independently-transcribed entropy stages + hand-written
+framing for worked examples covering DIFF/MATCH/DELTA, CAT framing,
+order-0 bodies, and the bit-6 duplicate-stream descriptor
+(TestEncoderGoldenOutputs).  Remaining named ambiguity vs htslib: where
+the spec permits encoder CHOICE — which names to DUP/DIFF against, when a
+stream is worth the dup descriptor (here: identical blob longer than 8
+bytes), and the per-stream order-0/order-1 pick — this encoder's choices
+are deliberate and any conformant decoder accepts them, but the choices
+(and therefore compressed sizes) need not match htslib's byte-for-byte.
+The arithmetic-coder variant (flags bit0) routes the token streams
+through io/arith_nx16.
 """
 
 from __future__ import annotations

@@ -490,3 +490,198 @@ class TestTok3SpecStreams:
 
         stream = bytes.fromhex("0a00000002000000" + "01" + self._BODY)
         assert tok3.decode(stream) == b"a1b2\x00a1b2\x00"
+
+
+# ---------------------------------------------------------------------------
+# ENCODER-golden fixtures (VERDICT r4 #5): the sections above pin what the
+# DECODERS accept; these pin the exact bytes this repo's encoders EMIT.
+# Expected streams are assembled from hand-written framing (headers,
+# descriptors, CAT frames, uint7 lengths — every byte annotated) plus
+# independent transcriptions of the published entropy stages (_RefRansO0
+# below for rANS Nx16 order-0; the _RefRC/_RefModel range coder above for
+# the arith variant), with the two simplest rANS bodies additionally pinned
+# to fully hand-derived literals.  A divergence in any serialisation choice
+# the encoders make now fails byte-for-byte instead of hiding behind
+# round-trips (the round-2 rANS-O1 failure mode, write side).
+# ---------------------------------------------------------------------------
+
+
+def _ref_uint7(v: int) -> bytes:
+    parts = [v & 0x7F]
+    v >>= 7
+    while v:
+        parts.append(0x80 | (v & 0x7F))
+        v >>= 7
+    return bytes(reversed(parts))
+
+
+class _RefRansO0:
+    """Independent transcription of the htscodecs rANS Nx16 order-0 encoder:
+    NormaliseFrequencies to 2^12 (floor 1 for present symbols, residue onto
+    the largest), the ascending "+1-run" alphabet serialisation, uint7
+    frequencies, and 4 interleaved states encoding backward with a single
+    16-bit renormalisation against x_max = ((2^15 >> 12) << 16) * freq.
+    Used to DERIVE fixtures — not the implementation under test."""
+
+    @staticmethod
+    def _alpha(A: list[int]) -> bytes:
+        out = bytearray([A[0]])
+        i = 0
+        while i < len(A):
+            nxt = A[i + 1] if i + 1 < len(A) else 0
+            out.append(nxt)
+            if nxt == A[i] + 1:
+                run = 0
+                while i + 2 + run < len(A) and A[i + 2 + run] == nxt + 1 + run:
+                    run += 1
+                out.append(run)
+                i += 1 + run
+            else:
+                i += 1
+        return bytes(out)
+
+    @classmethod
+    def encode(cls, raw: bytes) -> bytes:
+        counts = [0] * 256
+        for b in raw:
+            counts[b] += 1
+        F = [(c * 4096) // len(raw) for c in counts]
+        for s in range(256):
+            if counts[s] and F[s] == 0:
+                F[s] = 1
+        F[F.index(max(F))] += 4096 - sum(F)
+        C = [0] * 257
+        for s in range(256):
+            C[s + 1] = C[s] + F[s]
+        A = [s for s in range(256) if F[s]]
+        tab = bytearray(cls._alpha(A))
+        for s in A:
+            tab += _ref_uint7(F[s])
+        R = [0x8000] * 4
+        rev = bytearray()
+        for i in range(len(raw) - 1, -1, -1):
+            s = raw[i]
+            f = F[s]
+            r = R[i % 4]
+            if r >= ((0x8000 >> 12) << 16) * f:
+                rev += bytes([(r >> 8) & 0xFF, r & 0xFF])
+                r >>= 16
+            R[i % 4] = ((r // f) << 12) + (r % f) + C[s]
+        body = b"".join(struct.pack("<I", R[j]) for j in range(4))
+        return (
+            b"\x00" + _ref_uint7(len(raw)) + bytes(tab) + body
+            + bytes(reversed(rev))
+        )
+
+
+def _ref_arith_o0(raw: bytes) -> bytes:
+    """arith Nx16 order-0 frame via the independent range-coder/model
+    transcription above: flags 0x00, uint7 raw length, RC payload."""
+    rc = _RefRC()
+    m = _RefModel()
+    for b in raw:
+        m.enc(rc, b)
+    return b"\x00" + _ref_uint7(len(raw)) + rc.finish()
+
+
+class TestEncoderGoldenOutputs:
+    # two names, 21 bytes each incl. the NUL separator (ulen 42 = 0x2A):
+    # tokens STRING "abcdefghi" / CHAR "." / STRING "abcdefghi" / DIGITS n.
+    # Name 2 MATCHes positions 1-3 and DELTAs the digits, so the encode
+    # exercises DIFF, MATCH, DELTA, CAT framing, order-0 bodies, and the
+    # bit-6 duplicate-stream descriptor (the 10-byte STRING stream repeats
+    # at position 3).
+    _NAMES = b"abcdefghi.abcdefghi1\x00abcdefghi.abcdefghi2\x00"
+
+    @staticmethod
+    def _frag(desc: int, comp: bytes) -> bytes:
+        return bytes([desc]) + _ref_uint7(len(comp)) + comp
+
+    def test_ref_rans_o0_hand_derived_bodies(self):
+        """The two simple order-0 bodies, fully derived by hand.
+
+        8 zero bytes: alphabet {0} -> 00 00; freq 4096 -> uint7 A0 00.
+        Encoding symbol 0 (freq 4096 = the whole 2^12 table, cum 0) maps
+        state 0x8000 to ((0x8000//4096)<<12) + (0x8000%4096) + 0 = 0x8000:
+        all four states stay at the 2^15 lower bound and no renormalisation
+        bytes are emitted -> four LE words 00 80 00 00.
+
+        01 00 00 00: counts {0:3, 1:1} normalise to F0=3072 (uint7 98 00),
+        F1=1024 (88 00); alphabet {0,1} -> 00 01 00 00.  States 1-3 encode
+        symbol 0: (0x8000//3072)<<12 + (0x8000%3072) = (10<<12)+2048 =
+        0xA800.  State 0 encodes symbol 1 (cum 3072): (0x8000//1024)<<12
+        + 0 + 3072 = 0x20C00."""
+        assert _RefRansO0.encode(b"\x00" * 8) == bytes.fromhex(
+            "0008" + "0000a000" + "00800000" * 4
+        )
+        assert _RefRansO0.encode(b"\x01\x00\x00\x00") == bytes.fromhex(
+            "0004" + "00010000" + "9800" + "8800"
+            + "000c0200" + "00a80000" * 3
+        )
+
+    def _expected(self, o0, flags: int) -> bytes:
+        f = self._frag
+        return (
+            struct.pack("<II", 42, 2) + bytes([flags])
+            + f(0x80, b"\x20\x02\x06\x06")          # pos0 TYPE [DIFF,DIFF]
+            + f(0x06, o0(b"\x00" * 8))              # pos0 DIFF u32 0, u32 0
+            + f(0x80, b"\x20\x02\x01\x0a")          # pos1 TYPE [STRING,MATCH]
+            + f(0x01, o0(b"abcdefghi\x00"))         # pos1 STRING
+            + f(0x80, b"\x20\x02\x02\x0a")          # pos2 TYPE [CHAR,MATCH]
+            + f(0x02, b"\x20\x01\x2e")              # pos2 CHAR "."
+            + f(0x80, b"\x20\x02\x01\x0a")          # pos3 TYPE [STRING,MATCH]
+            + bytes([0x41, 1, 1])                   # pos3 STRING = dup(1,1)
+            + f(0x80, b"\x20\x02\x07\x08")          # pos4 TYPE [DIGITS,DELTA]
+            + f(0x07, o0(b"\x01\x00\x00\x00"))      # pos4 DIGITS u32 1
+            + f(0x08, b"\x20\x01\x01")              # pos4 DELTA +1
+            + f(0x80, b"\x20\x02\x0c\x0c")          # pos5 TYPE [END,END]
+        )
+
+    def test_tok3_encoder_bytes_rans(self):
+        from portello_tpu.io import tok3
+
+        got = tok3.encode(self._NAMES)
+        assert got == self._expected(_RefRansO0.encode, 0)
+        assert tok3.decode(got) == self._NAMES
+
+    def test_tok3_encoder_bytes_arith(self):
+        from portello_tpu.io import tok3
+
+        got = tok3.encode(self._NAMES, use_arith=True)
+        assert got == self._expected(_ref_arith_o0, 1)
+        assert tok3.decode(got) == self._NAMES
+
+    def test_arith_encoder_bytes(self):
+        """Production arith encode, order 0: flags 00, uint7 4, then the
+        carry-propagating range coder payload (independent transcription)."""
+        from portello_tpu.io import arith_nx16
+
+        raw = b"ABAB"
+        assert arith_nx16.encode(raw, order=0) == _ref_arith_o0(raw)
+        # sub-4-byte payloads must CAT (flags 0x20, uint7 len, raw)
+        assert arith_nx16.encode(b"AB", order=0) == b"\x20\x02AB"
+
+    def test_rans_encoder_bytes(self):
+        """Production rANS Nx16 encode, order 0, pinned to the independent
+        transcription (and transitively to the hand-derived literals)."""
+        from portello_tpu.io import rans_nx16
+
+        for raw in (b"\x00" * 8, b"\x01\x00\x00\x00", b"abcdefghi\x00",
+                    b"qualityquality!!"):
+            assert rans_nx16.encode(raw, order=0) == _RefRansO0.encode(raw)
+        assert rans_nx16.encode(b"ab", order=0) == b"\x20\x02ab"
+
+    def test_fqzcomp_encoder_header_bytes(self):
+        """fqzcomp header the writer emits for a single-symbol quality run:
+        vers 5, gflags 0; param block: context 0000, pflags 0x34
+        (DO_LEN|HAVE_QMAP|HAVE_PTAB), max_sym 1, qbits/qshift A5 (10,5),
+        qloc/sloc 0F (0,15), ploc/dloc AF (10,15), qmap [0x23 '#'], ptab
+        (64 runs of 16) RLE'd to 10 10 3F (run 16, equal-run marker 16,
+        63 further copies)."""
+        from portello_tpu.io import fqzcomp
+
+        enc = fqzcomp.encode(b"##", [2])
+        hdr = bytes.fromhex("0500" + "0000" + "34" + "01" + "a5" + "0f"
+                            + "af" + "23" + "10103f")
+        assert enc[: len(hdr)] == hdr
+        assert fqzcomp.decode(enc, 2) == b"##"
