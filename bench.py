@@ -792,11 +792,30 @@ def main():
     # must not lose the chip numbers.
     e2e_fields = {}
     if os.environ.get("PTPU_BENCH_SKIP_E2E") != "1":
+        # SUBPROCESS isolation: the leg spins up its own CLI + device
+        # engine; running it inside this process once crashed hard after
+        # the chip legs (losing the whole record).  A child can only lose
+        # its own fields.
+        import subprocess
+
+        dev = "cpu" if os.environ.get("PTPU_BENCH_CPU") == "1" else "auto"
         try:
-            e2e_fields = measure_e2e_fields(
-                device="cpu" if os.environ.get("PTPU_BENCH_CPU") == "1"
-                else "auto"
+            p = subprocess.run(
+                [sys.executable, "-c",
+                 "import json, sys; sys.path.insert(0, sys.argv[1]); "
+                 "from bench import measure_e2e_fields; "
+                 "print('E2E_JSON ' + json.dumps(measure_e2e_fields(sys.argv[2])))",
+                 os.path.dirname(os.path.abspath(__file__)), dev],
+                capture_output=True, text=True, timeout=900,
             )
+            for line in p.stdout.splitlines():
+                if line.startswith("E2E_JSON "):
+                    e2e_fields = json.loads(line[len("E2E_JSON "):])
+                    break
+            else:
+                raise RuntimeError(
+                    f"e2e subprocess rc={p.returncode}: {p.stderr[-300:]}"
+                )
         except Exception as e:  # pragma: no cover - diagnostic path
             sys.stderr.write(f"[bench] e2e leg failed: {e!r}\n")
             e2e_fields = {"e2e_error": repr(e)[:300]}

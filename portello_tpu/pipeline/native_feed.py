@@ -559,7 +559,7 @@ def scan_and_remap_reads_native(
         else:
             res_words = jax.device_put(words_np)
         logger.info(
-            f"Resident reference table: {words_np.nbytes / 2**20:.0f} MiB in "
+            f"Resident reference table: {words_np.nbytes / 2**20:.1f} MiB in "
             "device memory; packed read rows"
         )
 
