@@ -493,10 +493,49 @@ def e2e_main():
     )
 
 
+def _e2e_fields_subprocess():
+    """Product-level fields (VERDICT r4 #3) via an ISOLATED child process.
+
+    Must run BEFORE this process touches the device: only one TPU grant
+    exists through the axon relay, so a child dispatching device work while
+    the parent holds a live TPU client dies with FAILED_PRECONDITION (and
+    an in-process leg after the chip runs once crashed the whole bench).
+    A child that runs first — and can only lose its own fields — is the
+    robust ordering.
+    """
+    import subprocess
+
+    dev = "cpu" if os.environ.get("PTPU_BENCH_CPU") == "1" else "auto"
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import json, sys; sys.path.insert(0, sys.argv[1]); "
+             "from bench import measure_e2e_fields; "
+             "print('E2E_JSON ' + json.dumps(measure_e2e_fields(sys.argv[2])))",
+             os.path.dirname(os.path.abspath(__file__)), dev],
+            capture_output=True, text=True, timeout=900,
+        )
+        for line in p.stdout.splitlines():
+            if line.startswith("E2E_JSON "):
+                return json.loads(line[len("E2E_JSON "):])
+        raise RuntimeError(
+            f"e2e subprocess rc={p.returncode}: {p.stderr[-300:]}"
+        )
+    except Exception as e:  # pragma: no cover - diagnostic path
+        sys.stderr.write(f"[bench] e2e leg failed: {e!r}\n")
+        return {"e2e_error": repr(e)[:300]}
+
+
 def main():
     batch = int(os.environ.get("PTPU_BENCH_BATCH", "512"))
     reps = int(os.environ.get("PTPU_BENCH_REPS", "40"))
     read_len = int(os.environ.get("PTPU_BENCH_READLEN", "18000"))
+
+    # e2e/feed leg FIRST (see _e2e_fields_subprocess: the child needs the
+    # sole TPU grant before this process claims it)
+    e2e_fields = {}
+    if os.environ.get("PTPU_BENCH_SKIP_E2E") != "1":
+        e2e_fields = _e2e_fields_subprocess()
 
     import jax
 
@@ -790,35 +829,6 @@ def main():
     # ---- product-level fields (VERDICT r4 #3): feed capacity + a small
     # end-to-end CLI leg in the same record, every round.  A failure here
     # must not lose the chip numbers.
-    e2e_fields = {}
-    if os.environ.get("PTPU_BENCH_SKIP_E2E") != "1":
-        # SUBPROCESS isolation: the leg spins up its own CLI + device
-        # engine; running it inside this process once crashed hard after
-        # the chip legs (losing the whole record).  A child can only lose
-        # its own fields.
-        import subprocess
-
-        dev = "cpu" if os.environ.get("PTPU_BENCH_CPU") == "1" else "auto"
-        try:
-            p = subprocess.run(
-                [sys.executable, "-c",
-                 "import json, sys; sys.path.insert(0, sys.argv[1]); "
-                 "from bench import measure_e2e_fields; "
-                 "print('E2E_JSON ' + json.dumps(measure_e2e_fields(sys.argv[2])))",
-                 os.path.dirname(os.path.abspath(__file__)), dev],
-                capture_output=True, text=True, timeout=900,
-            )
-            for line in p.stdout.splitlines():
-                if line.startswith("E2E_JSON "):
-                    e2e_fields = json.loads(line[len("E2E_JSON "):])
-                    break
-            else:
-                raise RuntimeError(
-                    f"e2e subprocess rc={p.returncode}: {p.stderr[-300:]}"
-                )
-        except Exception as e:  # pragma: no cover - diagnostic path
-            sys.stderr.write(f"[bench] e2e leg failed: {e!r}\n")
-            e2e_fields = {"e2e_error": repr(e)[:300]}
     print(
         json.dumps(
             {
