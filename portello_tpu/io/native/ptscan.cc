@@ -2193,15 +2193,16 @@ void* ptscan_create(
   }
   // Parallel BGZF readahead: the serial inflate in the framing loop was the
   // measured host-feed ceiling (~42 us/item at 18 kb; PERF.md phase split).
-  // Default width = prep_threads - 1 (floor 2): with the round-5 resident
-  // fill the producer's other legs got light enough that a full-width
-  // readahead pool CONTENDS with prepare/fill/finisher on small hosts —
-  // RA=3 vs 4 on the 4-core box cut the read leg 0.10 -> 0.03-0.04 s and
-  // lifted feed capacity ~25% (PERF.md round 5).  PTPU_RA_THREADS overrides.
+  // With the round-5 resident fill, RA = prep_threads - 1 measured ~25%
+  // more feed capacity on the 4-core box (read leg 0.10 -> 0.03-0.05 s —
+  // the full-width pool contends with prepare/fill/finisher; PERF.md round
+  // 5) — but shipping that as the DEFAULT coincided with 4/4 full-suite
+  // hangs/crashes (ROUND5.md flake note), so the default stays at
+  // prep_threads until the interaction is isolated; production deployments
+  // can set PTPU_RA_THREADS=<cores-1> for the measured win.
   {
     const char* rt = getenv("PTPU_RA_THREADS");
-    int n = rt ? atoi(rt)
-               : (sc.prep_threads > 2 ? sc.prep_threads - 1 : 2);
+    int n = rt ? atoi(rt) : sc.prep_threads;
     ptio_reader_set_threads(sc.reader, n);
   }
   pool_start(sc.pool, sc.prep_threads);
