@@ -20,9 +20,11 @@
 #endif
 
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <queue>
@@ -38,6 +40,33 @@
 #include <unistd.h>
 
 namespace {
+
+// Watchdog condvar wait: identical blocking semantics, but after each 120 s
+// without the predicate it logs WHERE it is stuck plus a caller-supplied
+// state line, then keeps waiting.  Converts any future lost-wakeup /
+// deadlock (ROUND5.md flake note) into a self-diagnosing stderr report
+// instead of a silent hang.  PTPU_WATCHDOG_SECS overrides the period
+// (test harnesses shorten it to capture diagnoses quickly).
+inline int wd_secs() {
+  static int v = [] {
+    const char* e = getenv("PTPU_WATCHDOG_SECS");
+    int n = e ? atoi(e) : 120;
+    return n > 0 ? n : 120;
+  }();
+  return v;
+}
+
+template <typename Pred, typename Dump>
+void wd_wait(std::condition_variable& cv, std::unique_lock<std::mutex>& lk,
+             const char* site, Pred pred, Dump dump) {
+  int rounds = 0;
+  while (!cv.wait_for(lk, std::chrono::seconds(wd_secs()), pred)) {
+    ++rounds;
+    fprintf(stderr, "[ptscan-watchdog] '%s' blocked %ds: %s\n", site,
+            rounds * wd_secs(), dump().c_str());
+    fflush(stderr);
+  }
+}
 
 constexpr uint8_t kEofMarker[28] = {
     0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff,
@@ -257,7 +286,19 @@ bool load_block(Reader* r, size_t coffset) {
           break;
         }
         if (!r->ra_pending.count(coffset)) break;  // decode failed or seek
-        r->ra_done_cv.wait(lk);
+        wd_wait(r->ra_done_cv, lk, "load_block ra",
+                [&] {
+                  return r->ra_cache.count(coffset) ||
+                         !r->ra_pending.count(coffset);
+                },
+                [&] {
+                  char b[120];
+                  snprintf(b, sizeof b,
+                           "coffset=%zu todo=%zu pending=%zu cache=%zu",
+                           coffset, r->ra_todo.size(), r->ra_pending.size(),
+                           r->ra_cache.size());
+                  return std::string(b);
+                });
       }
     }
     if (taken) {
@@ -284,8 +325,17 @@ size_t push_read(Reader* r, uint8_t* out, size_t n) {
   size_t got = 0;
   std::unique_lock<std::mutex> lk(r->push_mu);
   while (n > 0) {
-    while (r->push_q.empty() && !r->push_eof && !r->push_closed)
-      r->push_cv_data.wait(lk);
+    wd_wait(r->push_cv_data, lk, "push_read data",
+            [&] {
+              return !r->push_q.empty() || r->push_eof || r->push_closed;
+            },
+            [&] {
+              char b[120];
+              snprintf(b, sizeof b, "buffered=%zu eof=%d closed=%d",
+                       r->push_buffered, (int)r->push_eof,
+                       (int)r->push_closed);
+              return std::string(b);
+            });
     if (r->push_q.empty()) break;
     std::vector<uint8_t>& front = r->push_q.front();
     size_t take = front.size() - r->push_front_off;
@@ -494,7 +544,19 @@ void writer_submit(Writer* w, std::vector<uint8_t>&& raw) {
     // Bound memory BEFORE enqueueing: at most max_inflight blocks
     // (~64 KB raw each) queued to the pool + IO thread.
     std::unique_lock<std::mutex> lk(w->mu);
-    w->cv_space.wait(lk, [&] { return w->inflight.size() < w->max_inflight; });
+    wd_wait(w->cv_space, lk, "writer_submit space",
+            [&] { return w->inflight.size() < w->max_inflight; },
+            [&] {
+              char b[160];
+              snprintf(b, sizeof b,
+                       "inflight=%zu todo=%zu front_done=%d closing=%d "
+                       "err='%s'",
+                       w->inflight.size(), w->todo.size(),
+                       w->inflight.empty() ? -1
+                                           : (int)w->inflight.front()->done,
+                       (int)w->closing, w->error.c_str());
+              return std::string(b);
+            });
     w->todo.push_back(job);
     w->inflight.push_back(job);
   }
@@ -562,8 +624,14 @@ int ptio_reader_push(void* h, const uint8_t* data, long long n) {
   Reader* r = static_cast<Reader*>(h);
   if (!r->push_mode || n < 0) return -1;
   std::unique_lock<std::mutex> lk(r->push_mu);
-  while (r->push_buffered >= r->push_cap && !r->push_closed)
-    r->push_cv_space.wait(lk);
+  wd_wait(r->push_cv_space, lk, "push space",
+          [&] { return r->push_buffered < r->push_cap || r->push_closed; },
+          [&] {
+            char b[96];
+            snprintf(b, sizeof b, "buffered=%zu cap=%zu eof=%d",
+                     r->push_buffered, r->push_cap, (int)r->push_eof);
+            return std::string(b);
+          });
   if (r->push_closed || r->push_eof) return -1;
   r->push_q.emplace_back(data, data + n);
   r->push_buffered += static_cast<size_t>(n);

@@ -724,9 +724,17 @@ void pool_run(WorkPool& p, int64_t n,
     p.completed.fetch_add(1);
   }
   std::unique_lock<std::mutex> lk(p.mu);
-  p.done_cv.wait(lk, [&] {
-    return p.completed.load() >= p.n && p.active == 0;
-  });
+  wd_wait(p.done_cv, lk, "pool_run done",
+          [&] { return p.completed.load() >= p.n && p.active == 0; },
+          [&] {
+            char b[120];
+            snprintf(b, sizeof b,
+                     "completed=%lld n=%lld next=%lld active=%d epoch=%llu",
+                     (long long)p.completed.load(), (long long)p.n,
+                     (long long)p.next.load(), p.active,
+                     (unsigned long long)p.epoch);
+            return std::string(b);
+          });
   if (p.eptr) {
     std::exception_ptr e = p.eptr;
     p.eptr = nullptr;
@@ -859,6 +867,7 @@ long long now_ns() {
              std::chrono::steady_clock::now().time_since_epoch())
       .count();
 }
+
 
 int64_t upper_bound_i64(const int64_t* a, int64_t n, int64_t v) {
   return std::upper_bound(a, a + n, v) - a;
@@ -1437,9 +1446,17 @@ void drain_fifo(Scanner& sc) {
   }
   if (ready.empty()) return;
   std::unique_lock<std::mutex> lk(sc.fin_mu);
-  sc.fin_space.wait(lk, [&] {
-    return sc.fin_q.size() < kFinQCap || !sc.fin_error.empty();
-  });
+  wd_wait(sc.fin_space, lk, "drain_fifo fin space",
+          [&] {
+            return sc.fin_q.size() < kFinQCap || !sc.fin_error.empty();
+          },
+          [&] {
+            char b[120];
+            snprintf(b, sizeof b, "fin_q=%zu closing=%d err='%s'",
+                     sc.fin_q.size(), (int)sc.fin_closing,
+                     sc.fin_error.c_str());
+            return std::string(b);
+          });
   if (!sc.fin_error.empty()) throw std::runtime_error(sc.fin_error);
   for (auto& r : ready) sc.fin_q.push_back(std::move(r));
   lk.unlock();
@@ -2219,7 +2236,15 @@ const char* ptscan_error(void* hv) {
 // then publish the slot.  Throws on shutdown so the producer unwinds.
 void emit_slot(Scanner& sc, Slot* s) {
   std::unique_lock<std::mutex> lk(sc.q_mu);
-  sc.q_space.wait(lk, [&] { return sc.ready_q.size() < 2 || sc.shutdown; });
+  wd_wait(sc.q_space, lk, "emit_slot space",
+          [&] { return sc.ready_q.size() < 2 || sc.shutdown; },
+          [&] {
+            char b[96];
+            snprintf(b, sizeof b, "ready=%zu posted=%zu shutdown=%d",
+                     sc.ready_q.size(), sc.posted_q.size(),
+                     (int)sc.shutdown);
+            return std::string(b);
+          });
   if (sc.shutdown) throw std::runtime_error("scanner shut down");
   sc.ready_q.push_back({s->accum, s, s->count});
   lk.unlock();
@@ -2365,7 +2390,17 @@ int ptscan_next_batch(void* hv, PtscanBatchDesc* out) {
   Scanner::EmittedBatch eb;
   {
     std::unique_lock<std::mutex> lk(sc.q_mu);
-    sc.q_cv.wait(lk, [&] { return !sc.ready_q.empty() || sc.prod_done; });
+    wd_wait(sc.q_cv, lk, "next_batch ready",
+            [&] { return !sc.ready_q.empty() || sc.prod_done; },
+            [&] {
+              // q_mu-protected fields only (the dump itself must not race)
+              char b[120];
+              snprintf(b, sizeof b,
+                       "ready=%zu posted=%zu prod_done=%d shutdown=%d",
+                       sc.ready_q.size(), sc.posted_q.size(),
+                       (int)sc.prod_done, (int)sc.shutdown);
+              return std::string(b);
+            });
     if (!sc.prod_error.empty()) {
       sc.error = sc.prod_error;
       return -1;
