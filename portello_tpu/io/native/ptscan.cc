@@ -658,6 +658,20 @@ struct WorkPool {
   int64_t n = 0;
   uint64_t epoch = 0;
   int active = 0;
+  // Epoch liveness gate (round-5 corruption fix): without it, a worker that
+  // slept through epoch E entirely could wake AFTER E completed (the wake
+  // predicate `epoch != seen` stays true forever), read the then-dead `fn`
+  // pointer under the lock, and — once the next pool_run reset `next` to 0 —
+  // claim ticket 0 and INVOKE THE DESTROYED CLOSURE of epoch E while epoch
+  // E+1 ran (stack-use-after-scope; caught by ASAN at pool_worker's (*fn)(i)
+  // and reproduced by ptscan_dbg_pool_stress).  That one stale call both
+  // corrupts memory through the dead closure's captures and steals an item
+  // of the live epoch — the wandering RA>=2 suite crashes/hangs
+  // (ROUND5.md).  `in_flight` is true only while a pool_run is between
+  // epoch publish and completion-observed, both transitions under `mu`, so
+  // a worker can only enter an epoch whose fn is still alive (its ++active
+  // then blocks pool_run's return until it leaves).
+  bool in_flight = false;
   bool closing = false;
   std::exception_ptr eptr;
 };
@@ -669,7 +683,9 @@ void pool_worker(WorkPool* p) {
     int64_t n;
     {
       std::unique_lock<std::mutex> lk(p->mu);
-      p->cv.wait(lk, [&] { return p->epoch != seen || p->closing; });
+      p->cv.wait(lk, [&] {
+        return (p->epoch != seen && p->in_flight) || p->closing;
+      });
       if (p->closing) return;
       seen = p->epoch;
       fn = p->fn;
@@ -710,6 +726,7 @@ void pool_run(WorkPool& p, int64_t n,
     p.completed.store(0, std::memory_order_relaxed);
     p.eptr = nullptr;
     ++p.epoch;
+    p.in_flight = true;
   }
   p.cv.notify_all();
   for (;;) {
@@ -735,6 +752,10 @@ void pool_run(WorkPool& p, int64_t n,
                      (unsigned long long)p.epoch);
             return std::string(b);
           });
+  // close the epoch in the SAME critical section that observed completion:
+  // after this unlock no worker can reach `fn` again (wake predicate
+  // requires in_flight), so destroying the caller's closure is safe
+  p.in_flight = false;
   if (p.eptr) {
     std::exception_ptr e = p.eptr;
     p.eptr = nullptr;
@@ -2210,16 +2231,21 @@ void* ptscan_create(
   }
   // Parallel BGZF readahead: the serial inflate in the framing loop was the
   // measured host-feed ceiling (~42 us/item at 18 kb; PERF.md phase split).
-  // With the round-5 resident fill, RA = prep_threads - 1 measured ~25%
-  // more feed capacity on the 4-core box (read leg 0.10 -> 0.03-0.05 s —
-  // the full-width pool contends with prepare/fill/finisher; PERF.md round
-  // 5) — but shipping that as the DEFAULT coincided with 4/4 full-suite
-  // hangs/crashes (ROUND5.md flake note), so the default stays at
-  // prep_threads until the interaction is isolated; production deployments
-  // can set PTPU_RA_THREADS=<cores-1> for the measured win.
+  // Default width = prep_threads - 1 (floor 2): with the round-5 resident
+  // fill the producer's other legs got light enough that a full-width
+  // readahead pool CONTENDS with prepare/fill/finisher on small hosts —
+  // RA=3 vs 4 on the 4-core box cut the read leg 0.10 -> 0.03-0.05 s and
+  // lifted feed capacity ~25% (PERF.md round 5).  PTPU_RA_THREADS overrides.
+  // (An earlier attempt to ship this default was reverted after suite
+  // hangs/crashes; the root cause was the WorkPool stale-epoch closure
+  // invocation — see the `in_flight` comment above — which the changed RA
+  // scheduling merely exposed.  Fixed and regression-covered by
+  // ptscan_dbg_pool_stress; re-validated with 3/3 full suites at RA=3 and
+  // the ASAN feed-test loop.)
   {
     const char* rt = getenv("PTPU_RA_THREADS");
-    int n = rt ? atoi(rt) : sc.prep_threads;
+    int n = rt ? atoi(rt)
+               : (sc.prep_threads > 2 ? sc.prep_threads - 1 : 2);
     ptio_reader_set_threads(sc.reader, n);
   }
   pool_start(sc.pool, sc.prep_threads);
@@ -2753,6 +2779,43 @@ void ptscan_dbg_seqcodec(int mode, const uint8_t* packed, long long l_seq,
   } else {
     repack_seq_rc(packed, l_seq, out);
   }
+}
+
+// Stress/regression surface for the WorkPool epoch handoff
+// (tests/test_native_feed.py::test_pool_epoch_stress).  Alternates two
+// DIFFERENT epoch bodies over rapid tiny epochs: the round-5 stale-worker
+// bug (a worker that slept through epoch E waking after E completed, reading
+// the dead fn pointer, then claiming ticket 0 of epoch E+1 once `next` was
+// reset — invoking the destroyed closure: the wandering RA>=2 suite
+// corruption) executes body A during a B epoch, which the per-item `who`
+// check below catches even in an uninstrumented build (ASAN flags the dead
+// closure invocation itself).  Returns 0 when every item of every epoch ran
+// exactly its own epoch's body.
+int ptscan_dbg_pool_stress(int n_threads, long long epochs) {
+  WorkPool pool;
+  pool_start(pool, n_threads < 2 ? 2 : n_threads);
+  std::vector<std::atomic<uint8_t>> who(16);
+  long long bad = 0;
+  for (long long e = 0; e < epochs; ++e) {
+    int n = 2 + (int)(e % 5);  // >=2: n==1 runs inline, no handoff
+    for (int i = 0; i < n; ++i) who[i].store(0, std::memory_order_relaxed);
+    // fresh std::function temporaries each call, at the same stack slot —
+    // the production pattern (producer_main's per-iteration lambdas)
+    if ((e & 1) == 0) {
+      pool_run(pool, n, [&](int64_t i) {
+        who[i].store(1, std::memory_order_relaxed);
+      });
+    } else {
+      pool_run(pool, n, [&](int64_t i) {
+        who[i].store(2, std::memory_order_relaxed);
+      });
+    }
+    uint8_t want = (e & 1) == 0 ? 1 : 2;
+    for (int i = 0; i < n; ++i)
+      if (who[i].load(std::memory_order_relaxed) != want) ++bad;
+  }
+  pool_stop(pool);
+  return bad == 0 ? 0 : 1;
 }
 
 }  // extern "C"

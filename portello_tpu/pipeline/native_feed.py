@@ -181,6 +181,13 @@ def get_lib():
     with _lib_lock:
         if _lib is not None or _build_error is not None:
             return _lib
+        # sanitizer runs: bind a prebuilt instrumented library for the WHOLE
+        # process (incl. pytest), bypassing the staleness rebuild that would
+        # silently swap in an uninstrumented build
+        override = os.environ.get("PTPU_PTSCAN_SO")
+        if override:
+            _lib = bind_lib(override)
+            return _lib
         deps = [_SRC,
                 os.path.join(os.path.dirname(_SRC), "ptio.cc"),
                 os.path.join(os.path.dirname(_SRC), "ptcore.cc")]

@@ -508,3 +508,22 @@ def test_native_feed_resident_requires_host_shift(tmp_path, monkeypatch):
     monkeypatch.setenv("PTPU_HOST_SHIFT", "0")
     out_r, _ = _run_cli(tmp_path, "reshs_devshift", "native")
     assert _records(out_r) == _records(out_t)
+
+
+def test_pool_epoch_stress():
+    """WorkPool epoch-handoff regression (round 5): a worker that slept
+    through an epoch must never wake into a COMPLETED epoch, read the dead
+    closure pointer, and claim a ticket of the next epoch once ``next`` is
+    reset — that stale invocation of a destroyed std::function was the
+    wandering RA>=2 suite corruption (ASAN stack-use-after-scope at
+    pool_worker's ``(*fn)(i)``; ROUND5.md).  ptscan_dbg_pool_stress
+    alternates two distinct epoch bodies over rapid tiny epochs and returns
+    nonzero if any item ran the wrong epoch's body; under ASAN the stale
+    call itself aborts.  Pre-fix this tripped within ~one 200k-epoch trial
+    at 6 threads."""
+    import ctypes
+
+    lib = native_feed.get_lib()
+    lib.ptscan_dbg_pool_stress.restype = ctypes.c_int
+    lib.ptscan_dbg_pool_stress.argtypes = [ctypes.c_int, ctypes.c_longlong]
+    assert lib.ptscan_dbg_pool_stress(6, 200_000) == 0
