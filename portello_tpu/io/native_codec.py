@@ -53,15 +53,21 @@ def get_lib():
     with _lib_lock:
         if _lib is not None or _build_error is not None:
             return _lib
-        if not os.path.exists(_SO) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+        # sanitizer runs bind a prebuilt instrumented build, bypassing the
+        # staleness rebuild (scripts/asan_native.py)
+        override = os.environ.get("PTPU_PTIO_SO")
+        if not override and (
+            not os.path.exists(_SO)
+            or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+            )
         ):
             err = _build()
             if err is not None:
                 _build_error = err
                 return None
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(override or _SO)
         lib.ptio_reader_open.restype = ctypes.c_void_p
         lib.ptio_reader_open.argtypes = [ctypes.c_char_p]
         lib.ptio_reader_close.argtypes = [ctypes.c_void_p]

@@ -57,14 +57,18 @@ def get_lib():
     with _lib_lock:
         if _lib is not None or _build_error is not None:
             return _lib
-        if not os.path.exists(_SO) or (
-            os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+        # sanitizer runs bind a prebuilt instrumented build, bypassing the
+        # staleness rebuild (scripts/asan_native.py)
+        override = os.environ.get("PTPU_PTCORE_SO")
+        if not override and (
+            not os.path.exists(_SO)
+            or os.path.getmtime(_SRC) > os.path.getmtime(_SO)
         ):
             err = _build()
             if err is not None:
                 _build_error = err
                 return None
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(override or _SO)
         lib.ptcore_lift_simplify_batch.restype = ctypes.c_longlong
         lib.ptcore_lift_simplify_batch.argtypes = [
             ctypes.c_longlong,                     # b

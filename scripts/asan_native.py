@@ -22,7 +22,9 @@ Hard-won environment notes (do NOT rediscover these):
     throw/catch and report generation work.
   - PTPU_PTSCAN_SO binds the prebuilt instrumented library for the whole
     process (pipeline/native_feed.get_lib honors it), bypassing the
-    staleness rebuild that would silently swap in an uninstrumented build.
+    staleness rebuild that would silently swap in an uninstrumented build;
+    PTPU_PTIO_SO / PTPU_PTCORE_SO do the same for the standalone codec and
+    exact-core libraries (io/native_codec.py, ops/native_core.py).
   - jax runs fine under the preload (CPU-forced tests included); leak
     detection must stay off (jaxlib/python hold intentional globals).
   - The pool-handoff regression also has a jax-free deterministic driver:
@@ -40,10 +42,20 @@ import os
 import subprocess
 import sys
 
-SRC = os.path.join(
+NATIVE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "..", "portello_tpu", "io",
-    "native", "ptscan.cc",
+    "native",
 )
+SRC = os.path.join(NATIVE, "ptscan.cc")
+# standalone libs loaded by io/native_codec.py and ops/native_core.py; bound
+# via PTPU_PTIO_SO / PTPU_PTCORE_SO (ptscan.so statically includes both
+# sources, so PTPU_PTSCAN_SO covers the scanner-side copies)
+EXTRA = {
+    "PTPU_PTIO_SO": (os.path.join(NATIVE, "ptio.cc"), "/tmp/ptio_asan.so"),
+    "PTPU_PTCORE_SO": (
+        os.path.join(NATIVE, "ptcore.cc"), "/tmp/ptcore_asan.so"
+    ),
+}
 
 FEED_TESTS = [
     "tests/test_native_feed.py",
@@ -56,10 +68,10 @@ FEED_TESTS = [
 ]
 
 
-def build_asan(out_so: str) -> None:
+def build_asan(out_so: str, src: str = SRC) -> None:
     base = [
         "g++", "-O1", "-g", "-std=c++17", "-shared", "-fPIC",
-        "-fsanitize=address", SRC, "-o", out_so,
+        "-fsanitize=address", src, "-o", out_so,
     ]
     proc = subprocess.run(base + ["-lz", "-ldeflate", "-lpthread"])
     if proc.returncode != 0:
@@ -96,5 +108,8 @@ if __name__ == "__main__":
     a = p.parse_args()
     if a.build_asan:
         build_asan("/tmp/ptscan_asan.so")
+        for env, (src, out) in EXTRA.items():
+            build_asan(out, src)
+            print(f"  bind with {env}={out}")
     if a.loop:
         loop(a.loop)
