@@ -1,0 +1,63 @@
+"""Extended randomized differential-fuzz soak over the compute surfaces.
+
+The in-suite fuzz tests pin a handful of seeds (CI must be deterministic);
+this driver reuses the SAME test bodies with a stream of fresh seeds for as
+long as requested, so idle machine time turns into conformance evidence:
+
+  - tests/test_fuzz_conformance.py::test_fuzz_hostile_rates_fwd_and_rev —
+    hostile edit rates through fwd_batch/rev_batch (mm + gather forms,
+    fused rev chain) vs the exact oracle, overflow->fallback contract;
+  - tests/test_resident.py::test_fwd_batch_resident_equals_table — the
+    production resident graph vs the table graph, bit-identical;
+  - tests/test_liftover_kernel.py::test_fuzz_against_oracle and
+    tests/test_seq_kernels.py fuzzes rerun as whole functions (their inner
+    RNG draws are already broad) for extra rounds.
+
+Any assertion failure prints the seed so the case can be pinned into the
+suite.  Usage: python scripts/fuzz_soak.py [minutes] (default 10).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
+
+import test_fuzz_conformance as tfc  # noqa: E402
+import test_resident as tres  # noqa: E402
+
+
+def main():
+    minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+    deadline = time.time() + minutes * 60
+    master = np.random.default_rng(int(time.time()) % (2**31))
+    rounds = 0
+    t0 = time.time()
+    while time.time() < deadline:
+        seed = int(master.integers(0, 2**31 - 1))
+        try:
+            tfc.test_fuzz_hostile_rates_fwd_and_rev(seed)
+            tres.test_fwd_batch_resident_equals_table(seed)
+        except AssertionError:
+            print(f"FUZZ FAILURE at seed={seed}", flush=True)
+            raise
+        rounds += 1
+        if rounds % 5 == 0:
+            print(
+                f"[fuzz_soak] {rounds} seed-rounds clean "
+                f"({time.time() - t0:.0f}s)", flush=True,
+            )
+    print(f"FUZZ SOAK CLEAN: {rounds} fresh-seed rounds over "
+          f"{time.time() - t0:.0f}s")
+
+
+if __name__ == "__main__":
+    main()
