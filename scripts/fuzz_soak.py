@@ -34,6 +34,35 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import test_fuzz_conformance as tfc  # noqa: E402
 import test_resident as tres  # noqa: E402
 
+from portello_tpu.io import arith_nx16, fqzcomp, rans_nx16, tok3  # noqa: E402
+
+
+def codec_round(seed: int) -> None:
+    """Fresh-seed encode->decode round-trips over every CRAM 3.1 codec
+    (the suite's codec tests pin fixed seeds; this sweeps new inputs)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 4000))
+    # skewed alphabet exercises the frequency tables harder than uniform
+    alpha = rng.integers(2, 40)
+    data = rng.integers(0, alpha, size=n).astype(np.uint8).tobytes()
+    for order in (0, 1):
+        assert rans_nx16.decode(rans_nx16.encode(data, order=order)) == data
+        assert arith_nx16.decode(arith_nx16.encode(data, order=order)) == data
+    quals = rng.integers(0, 45, size=n).astype(np.uint8).tobytes()
+    lens = []
+    left = n
+    while left > 0:
+        take = int(min(left, rng.integers(1, 400)))
+        lens.append(take)
+        left -= take
+    assert fqzcomp.decode(fqzcomp.encode(quals, lens), n_out=n) == quals
+    names = b"".join(
+        f"read{int(rng.integers(0, 10**6))}/{int(rng.integers(1, 3))}\x00"
+        .encode()
+        for _ in range(int(rng.integers(1, 200)))
+    )
+    assert tok3.decode(tok3.encode(names)) == names
+
 
 def main():
     minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
@@ -46,6 +75,7 @@ def main():
         try:
             tfc.test_fuzz_hostile_rates_fwd_and_rev(seed)
             tres.test_fwd_batch_resident_equals_table(seed)
+            codec_round(seed)
         except AssertionError:
             print(f"FUZZ FAILURE at seed={seed}", flush=True)
             raise
