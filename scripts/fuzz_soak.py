@@ -64,8 +64,62 @@ def codec_round(seed: int) -> None:
     assert tok3.decode(tok3.encode(names)) == names
 
 
+def scenario_round(seed: int) -> None:
+    """Fresh-seed END-TO-END equality: a random simulated scenario through
+    the full CLI on the production native feed (pool threads, readahead,
+    resident fill, host-shift routing, finisher, writers) vs the no-JAX
+    exact host path — record-identical outputs required.  This is the
+    suite's conformance pattern (tests/test_native_feed.py) re-run on data
+    the suite has never seen."""
+    import shutil
+    import tempfile
+
+    from portello_tpu.io.bam import BamReader
+    from portello_tpu.main import main
+    from portello_tpu.testutil.simulate import make_scenario
+
+    rng = np.random.default_rng(seed)
+    work = tempfile.mkdtemp(prefix="fuzz_scn_")
+    try:
+        make_scenario(
+            work, rng=rng,
+            n_reads_per_contig=int(rng.integers(10, 80)),
+            read_len=int(rng.integers(150, 2500)),
+            read_snp_rate=float(rng.uniform(0.0005, 0.02)),
+            read_indel_rate=float(rng.uniform(0.0005, 0.02)),
+        )
+
+        def run(tag, device, feed):
+            out = os.path.join(work, f"rem_{tag}.bam")
+            un = os.path.join(work, f"un_{tag}.bam")
+            main([
+                "--assembly-to-ref", os.path.join(work, "asm_to_ref.bam"),
+                "--read-to-assembly", os.path.join(work, "read_to_asm.bam"),
+                "--remapped-read-output", out,
+                "--unassembled-read-output", un,
+                "--ref", os.path.join(work, "ref.fa"),
+                "--device", device, "--feed", feed,
+                "--batch-size", str(int(rng.integers(16, 65))),
+                "--threads", str(int(rng.integers(1, 5))),
+            ])
+            return out, un
+
+        def recs(p):
+            with BamReader(p) as r:
+                return sorted(x.to_sam(r.header) for x in r)
+
+        out_n, un_n = run("native", "cpu", "native")
+        out_h, un_h = run("host", "host", "python")
+        assert recs(out_n) == recs(out_h), "native feed diverged from oracle"
+        assert recs(un_n) == recs(un_h)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main():
-    minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    scenarios = "--scenario" in sys.argv
+    minutes = float(argv[0]) if argv else 10.0
     deadline = time.time() + minutes * 60
     master = np.random.default_rng(int(time.time()) % (2**31))
     rounds = 0
@@ -73,9 +127,12 @@ def main():
     while time.time() < deadline:
         seed = int(master.integers(0, 2**31 - 1))
         try:
-            tfc.test_fuzz_hostile_rates_fwd_and_rev(seed)
-            tres.test_fwd_batch_resident_equals_table(seed)
-            codec_round(seed)
+            if scenarios:
+                scenario_round(seed)
+            else:
+                tfc.test_fuzz_hostile_rates_fwd_and_rev(seed)
+                tres.test_fwd_batch_resident_equals_table(seed)
+                codec_round(seed)
         except AssertionError:
             print(f"FUZZ FAILURE at seed={seed}", flush=True)
             raise
@@ -85,7 +142,8 @@ def main():
                 f"[fuzz_soak] {rounds} seed-rounds clean "
                 f"({time.time() - t0:.0f}s)", flush=True,
             )
-    print(f"FUZZ SOAK CLEAN: {rounds} fresh-seed rounds over "
+    kind = "scenario" if scenarios else "kernel/codec"
+    print(f"FUZZ SOAK CLEAN: {rounds} fresh-seed {kind} rounds over "
           f"{time.time() - t0:.0f}s")
 
 
